@@ -1,0 +1,135 @@
+import numpy as np
+import pytest
+
+import waldboost_tpu as wb
+from waldboost_tpu import training as tr
+
+
+def gaussian_data(n=400, f=32, sep=2.0, seed=0):
+    rng = np.random.RandomState(seed)
+    X0 = rng.randn(n, 4, 4, 2).astype("f")
+    X1 = rng.randn(n, 4, 4, 2).astype("f")
+    X1[:, 1, 2, 0] += sep  # one separating feature
+    return X0, X1
+
+
+def test_weights():
+    H = np.array([0.0, 1.0, -1.0], "f")
+    w = tr.weights(H)
+    np.testing.assert_allclose(w, np.exp(H) / 3 / 2, rtol=1e-6)
+
+
+@pytest.mark.parametrize("backend", ["hist", "sklearn"])
+def test_dtree_fit_separates(backend):
+    X0, X1 = gaussian_data(sep=3.0)
+    W0 = np.full(len(X0), 1.0 / len(X0), "f")
+    W1 = np.full(len(X1), 1.0 / len(X1), "f")
+    tree = tr.DTree.fit(X0, W0, X1, W1, max_depth=2, backend=backend)
+    p0 = tree.predict(X0)
+    p1 = tree.predict(X1)
+    # most negatives score below most positives
+    assert (p0 < 0).mean() > 0.8
+    assert (p1 > 0).mean() > 0.8
+    # the discovered root feature should be the separating one
+    assert tuple(tree.feature[0]) == (1, 2, 0)
+
+
+def test_dtree_hist_respects_feature_mask():
+    X0, X1 = gaussian_data()
+    W0 = np.full(len(X0), 1.0 / len(X0), "f")
+    W1 = np.full(len(X1), 1.0 / len(X1), "f")
+    F = 4 * 4 * 2
+    sep_flat = np.ravel_multi_index((1, 2, 0), (4, 4, 2))
+    allowed = [np.array([i for i in range(F) if i != sep_flat])] * 2
+    tree = tr.DTree.fit(X0, W0, X1, W1, max_depth=2,
+                        allowed_features=allowed, backend="hist")
+    used = {np.ravel_multi_index(tuple(f), (4, 4, 2))
+            for f, l in zip(tree.feature, tree.left) if l >= 0}
+    assert sep_flat not in used
+
+
+def test_dtree_clip_and_quantize():
+    X0, X1 = gaussian_data(sep=5.0)
+    W0 = np.full(len(X0), 1.0 / len(X0), "f")
+    W1 = np.full(len(X1), 1.0 / len(X1), "f")
+    tree = tr.DTree.fit(X0, W0, X1, W1, max_depth=1, clip=0.5, quantizer=32)
+    assert np.abs(tree.prediction).max() <= 0.5 + 1e-6
+    np.testing.assert_allclose(tree.prediction * 32,
+                               np.round(tree.prediction * 32), atol=1e-5)
+
+
+def test_dtree_proto_roundtrip():
+    X0, X1 = gaussian_data()
+    W0 = np.full(len(X0), 1.0 / len(X0), "f")
+    W1 = np.full(len(X1), 1.0 / len(X1), "f")
+    tree = tr.DTree.fit(X0, W0, X1, W1, max_depth=2)
+    from waldboost_tpu.proto import model_pb2
+    pb = model_pb2.DTree()
+    tree.as_proto(pb)
+    t2 = tr.DTree.from_proto(pb)
+    X = np.concatenate([X0[:10], X1[:10]])
+    np.testing.assert_allclose(tree.predict(X), t2.predict(X), rtol=1e-6)
+
+
+def test_fit_rejection_threshold_reference_semantics():
+    rng = np.random.RandomState(0)
+    H0 = rng.randn(500) - 1
+    H1 = rng.randn(500) + 1
+    theta = tr.fit_rejection_threshold(H0, 1.0, H1, 1.0, alpha=0.2)
+    # naive loop implementation of /root/reference/waldboost/training.py:191-220
+    ts = np.sort(np.unique(np.concatenate([H0, H1])))[1:]
+    R = np.array([((1.0 * (H0 < t).mean() + 0 + 1e-6)
+                   / (1.0 * (H1 < t).mean() + 0 + 1e-6)) for t in ts])
+    idx = np.nonzero(R > 5)[0]
+    want = ts[idx.max()] if idx.size else -np.inf
+    assert theta == pytest.approx(want)
+
+
+def test_fit_rejection_threshold_degenerate():
+    # non-overlapping -> min(H1)
+    assert tr.fit_rejection_threshold(
+        np.array([-2., -1.]), 1.0, np.array([1., 2.]), 1.0, 0.1) == 1.0
+    # <3 unique values -> -inf
+    assert tr.fit_rejection_threshold(
+        np.array([0., 0.]), 1.0, np.array([0., 0.]), 1.0, 0.1) == -np.inf
+
+
+def test_rejection_schedule():
+    sched = tr.BasicRejectionSchedule(rejection_interval=(2, 5), target_p0=1e-5)
+    assert sched(0, 1.0) == -np.inf
+    assert sched(3, 1.0) is None
+    assert sched(6, 1.0) == -np.inf
+    assert sched(3, 1e-6) == -np.inf
+    sched = tr.BasicRejectionSchedule(rejection_interval=None)
+    assert sched(100, 1.0) is None
+
+
+def test_fit_stage_and_learner_state(tmp_path):
+    X0, X1 = gaussian_data(sep=3.0)
+    H0 = np.zeros(len(X0), "f")
+    H1 = np.zeros(len(X1), "f")
+    model = wb.Model((4, 4, 2), dict(shrink=1, n_per_oct=2, smooth=0,
+                                     channels="grad_hist"))
+    learner = tr.Learner(alpha=0.2, max_depth=2)
+    l1, p0, p1 = learner.fit_stage(model, X0, H0, X1, H1)
+    assert len(model) == 1
+    assert len(learner) == 1
+    assert 0 <= p0 <= 1 and 0 <= p1 <= 1
+    # learner checkpoint roundtrip
+    f = tmp_path / "learner.pkl"
+    learner.save(str(f))
+    l2 = tr.Learner.load(str(f))
+    assert l2.alpha == learner.alpha
+    assert l2.p0 == learner.p0 and l2.p1 == learner.p1
+
+
+def test_fit_stage_explicit_zero_theta_not_refit():
+    """theta=0.0 must be used as-is (reference bug: falsy check re-fits it,
+    SURVEY.md appendix)."""
+    X0, X1 = gaussian_data(sep=3.0)
+    model = wb.Model((4, 4, 2), dict(shrink=1, n_per_oct=2, smooth=0,
+                                     channels="grad_hist"))
+    learner = tr.Learner(alpha=0.2, max_depth=1)
+    learner.fit_stage(model, X0, np.zeros(len(X0), "f"),
+                      X1, np.zeros(len(X1), "f"), theta=0.0)
+    assert model.theta[0] == 0.0

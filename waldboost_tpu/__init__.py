@@ -1,0 +1,134 @@
+"""waldboost_tpu — TPU-native WaldBoost object-detection framework.
+
+A from-scratch JAX/XLA/Pallas re-architecture with the full capabilities of
+the CPU reference (RomanJuranek/waldboost): soft-cascade sliding-window
+detectors over aggregated-channel-features-style image channels with SPRT
+early rejection [1], FPGA-friendly quantized training, CNN post-verification,
+and multi-chip data-parallel detection/training via jax.sharding.
+
+Example
+-------
+    import waldboost_tpu as wb
+    from waldboost_tpu.utils import fake_data_generator
+
+    training_images = fake_data_generator()
+    model = wb.Model((12, 12, 4), wb.default_channel_opts)
+    wb.train(model, training_images, length=16)
+
+    image = next(training_images)["image"]
+    boxes = wb.detect(image, model)
+
+References
+----------
+[1] Sochman et al.: WaldBoost — Learning for Time Constrained Sequential
+    Detection, CVPR 2005 (cited at /root/reference/waldboost/__init__.py:201).
+"""
+
+import logging
+
+import numpy as np
+
+from . import boxes as bbx  # noqa: F401  (public box substrate)
+from . import channels, groundtruth, samples  # noqa: F401
+from .boxes import Boxes  # noqa: F401
+from .channels import default_channel_opts  # noqa: F401
+from .model import Model
+from .samples import SamplePool
+from .training import BasicRejectionSchedule, DTree, Learner  # noqa: F401
+
+__version__ = "0.1.0"
+
+load = load_model = Model.load
+
+
+def save_model(model: Model, filename: str) -> None:
+    """Save model to file. See Model.save."""
+    model.save(filename)
+
+
+save = save_model
+
+
+def detect(image: np.ndarray, *models: Model, channel_opts: dict = None,
+           response_scale=None) -> Boxes:
+    """Detect objects using multiple detectors sharing one channel pyramid.
+
+    API parity with /root/reference/waldboost/__init__.py:75-130: returns
+    boxes with 'scores' (scaled per model by ``response_scale``) and 'label'
+    (emitting model index) fields.  NMS is left to the caller, as in the
+    reference.
+    """
+    channel_opts = channel_opts or models[0].channel_opts
+    if response_scale is None:
+        response_scale = [1] * len(models)
+    response_scale = np.array(response_scale, "f")
+    if response_scale.size != len(models):
+        raise ValueError("Wrong response_scale parameter")
+
+    if len(models) == 1 and channel_opts is models[0].channel_opts:
+        # fast path: single packed-canvas device pass
+        out = models[0].detect(image)
+        out.set_field("scores", out.get_field("scores") * response_scale[0])
+        out.set_field("label", np.zeros(len(out), dtype=np.int64))
+        return out
+
+    dt_boxes = []
+    for chns, scale in channels.channel_pyramid(image, channel_opts):
+        for k, model in enumerate(models):
+            r, c, h = model.predict_on_image(chns)
+            if r.size == 0:
+                continue
+            b = model.get_boxes(r, c, scale)
+            b.set_field("scores", h * response_scale[k])
+            b.set_field("label", np.full(r.size, k, dtype=np.int64))
+            dt_boxes.append(b)
+    return bbx.concatenate(dt_boxes, ["scores", "label"])
+
+
+def train(model: Model,
+          training_images,
+          learner: Learner = None,
+          pool: SamplePool = None,
+          length: int = 64,
+          theta_schedule=None,
+          callbacks=(),
+          logger: logging.Logger = None):
+    """Train or continue training a detection model.
+
+    Baseline pipeline with parity to /root/reference/waldboost/__init__.py:133-227:
+    per stage — refill/re-score the sample pool, fit one weak classifier on
+    exp-loss weights, fit the SPRT rejection threshold, run callbacks.
+
+    ``training_images`` is an iterable/generator of dicts with keys
+    ``"image"`` (H, W uint8/float ndarray) and ``"groundtruth_boxes"``
+    (:class:`Boxes`, optional 'ignore' field).
+    """
+    logger = logger or logging.getLogger("Training")
+
+    if len(model) >= length:
+        return learner
+
+    learner = learner or Learner()
+    if theta_schedule is None:
+        theta_schedule = BasicRejectionSchedule()
+
+    if len(model) != len(learner):
+        raise RuntimeError("Model length and learner length are not consistent")
+
+    if len(model) > 0:
+        logger.info(f"{len(model)} stages are already present, continuing")
+
+    pool = pool or SamplePool()
+
+    for stage in range(len(model), length):
+        pool.update(model, training_images)
+        X0, H0 = pool.get_false_positives()
+        X1, H1 = pool.get_true_positives()
+        stage_loss, p0, p1 = learner.fit_stage(
+            model, X0, H0, X1, H1,
+            theta=theta_schedule(stage, learner.false_positive_rate))
+        logger.log(15, f"Stage {stage}: loss: {stage_loss:g}, fpr: {p0:g}, tpr: {p1:g}")
+        for cb in callbacks:
+            cb(model, learner, stage)
+
+    return learner

@@ -1,0 +1,263 @@
+"""Channel features: channel functions, registry, and the multi-scale pyramid.
+
+TPU-first redesign of /root/reference/waldboost/channels.py:
+
+* Channel functions are pure JAX functions ``(H, W) image -> (C, H, W)``
+  channels (channel-major on device; the public generator yields HWC numpy to
+  preserve the reference API).
+* The ragged generator-of-scales becomes a *static pyramid plan* computed
+  host-side from the image shape (:func:`pyramid_plan`); the device pipeline
+  is traced once per (image-shape, channel-opts) and compiled by XLA with
+  fully static shapes (:func:`compute_pyramid`).
+* Channel functions are persisted by *registry name* (a safe lookup table)
+  instead of the reference's ``eval``-based dynamic import
+  (/root/reference/waldboost/model.py:23-29).
+
+Level geometry reproduces /root/reference/waldboost/channels.py:93-146
+exactly: octave halving via ``avg_pool_2`` while min side >= 8, ``n_per_oct``
+intra-octave scales with factor ``2**(-1/n_per_oct)``, sizes snapped to
+multiples of ``shrink`` via ``int((w*s)/shrink)*shrink`` (load-bearing for
+parity), ``real_scale = nw / original_width``, optional shrink-2 average pool
+and 3x3 binomial smoothing, yielded scale is ``real_scale / shrink``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import image as imops
+
+__all__ = [
+    "ChannelFunction",
+    "register_channel_function",
+    "resolve_channel_function",
+    "grad_mag",
+    "grad_hist",
+    "channel_pyramid",
+    "pyramid_plan",
+    "compute_pyramid",
+    "Level",
+    "default_channel_opts",
+]
+
+
+# ---------------------------------------------------------------------------
+# Channel function registry
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ChannelFunction:
+    """A named image->channels transform.
+
+    ``fn`` maps a (H, W) image (dtype preserved from the resize stage) to a
+    (C, H, W) channel tensor.  ``name`` is the canonical registry key, also
+    written into saved models; ``aliases`` list additional accepted names
+    (including the reference's dotted symbol paths, so models saved by the CPU
+    reference load here).
+    """
+
+    name: str
+    fn: Callable[[jax.Array], jax.Array]
+    n_channels: int
+    aliases: Tuple[str, ...] = ()
+
+    def __call__(self, image: jax.Array) -> jax.Array:
+        return self.fn(image)
+
+
+_REGISTRY: Dict[str, ChannelFunction] = {}
+
+
+def register_channel_function(cf: ChannelFunction) -> ChannelFunction:
+    for key in (cf.name,) + tuple(cf.aliases):
+        _REGISTRY[key] = cf
+    return cf
+
+
+def resolve_channel_function(name_or_cf) -> ChannelFunction:
+    """Safe registry lookup (replaces the reference's ``eval``-based
+    ``symbol_from_name``, /root/reference/waldboost/model.py:27-29)."""
+    if isinstance(name_or_cf, ChannelFunction):
+        return name_or_cf
+    try:
+        return _REGISTRY[name_or_cf]
+    except KeyError:
+        raise KeyError(
+            f"Unknown channel function '{name_or_cf}'. Registered: "
+            f"{sorted(set(cf.name for cf in _REGISTRY.values()))}"
+        ) from None
+
+
+# ---------------------------------------------------------------------------
+# Built-in channel functions (float family)
+# ---------------------------------------------------------------------------
+
+def _grad_mag_fn(image: jax.Array, norm: int = 5, eps: float = 1e-3) -> jax.Array:
+    """Locally-normalized gradient magnitude, 1 channel.
+    Mirrors /root/reference/waldboost/channels.py:30-37."""
+    gx, gy = imops.gradients(image.astype(jnp.float32))
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    if norm is not None and norm > 1:
+        H = imops.triangle_kernel(norm)
+        nrm = imops.separable_filter_reflect(mag, H)
+        mag = mag / (nrm + eps)
+    return mag[None, :, :]
+
+
+def _grad_hist_fn(image: jax.Array, n_bins: int = 4, full: bool = False, bias: float = 0.0) -> jax.Array:
+    """Oriented-gradient projections, ``n_bins`` channels.
+    Mirrors /root/reference/waldboost/channels.py:40-52."""
+    gx, gy = imops.gradients(image.astype(jnp.float32))
+    max_theta = 2 * np.pi if full else np.pi
+    theta = np.linspace(0, max_theta, n_bins + 1)[:-1]
+    cs = np.cos(theta).astype(np.float32)
+    sn = np.sin(theta).astype(np.float32)
+    chns = gx[None] * cs[:, None, None] - gy[None] * sn[:, None, None]
+    value = jnp.maximum(jnp.abs(chns) - bias, 0.0)
+    return jnp.sign(chns) * value if full else value
+
+
+grad_mag = register_channel_function(
+    ChannelFunction(
+        name="waldboost_tpu.channels.grad_mag",
+        fn=_grad_mag_fn,
+        n_channels=1,
+        aliases=("grad_mag", "waldboost.channels.grad_mag", "waldboost.nb_channels.grad_mag"),
+    )
+)
+
+grad_hist = register_channel_function(
+    ChannelFunction(
+        name="waldboost_tpu.channels.grad_hist",
+        fn=_grad_hist_fn,
+        n_channels=4,
+        aliases=("grad_hist", "waldboost.channels.grad_hist", "waldboost.nb_channels.grad_hist"),
+    )
+)
+
+
+default_channel_opts = dict(shrink=2, n_per_oct=8, smooth=1, channels=grad_hist)
+
+
+# ---------------------------------------------------------------------------
+# Pyramid plan (static, host-side)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Level:
+    octave: int      # which halved octave image this level resizes from
+    height: int      # resize target of the octave image (pre-shrink)
+    width: int
+    out_height: int  # channel tensor size after optional shrink pooling
+    out_width: int
+    scale: float     # channel-grid coordinate * 1/scale = image coordinate
+
+
+def _normalize_opts(channel_opts: dict) -> Tuple[int, int, int, ChannelFunction]:
+    shrink = int(channel_opts["shrink"])
+    n_per_oct = int(channel_opts["n_per_oct"])
+    smooth = int(channel_opts["smooth"])
+    cf = resolve_channel_function(channel_opts["channels"])
+    if shrink not in (1, 2):
+        raise ValueError("Shrink factor must be integer 1 <= shrink <= 2")
+    return shrink, n_per_oct, smooth, cf
+
+
+@functools.lru_cache(maxsize=None)
+def pyramid_plan(h: int, w: int, shrink: int, n_per_oct: int) -> Tuple[Level, ...]:
+    """Static description of every pyramid level for an (h, w) image.
+
+    Pure host arithmetic replicating the generator loop at
+    /root/reference/waldboost/channels.py:93-131.
+    """
+    levels: List[Level] = []
+    oh, ow = h, w
+    octave = 0
+    factor = 2.0 ** (-1.0 / n_per_oct)
+    while oh >= 8 and ow >= 8:
+        for i in range(n_per_oct):
+            s = factor ** i
+            nw = int((ow * s) / shrink) * shrink
+            nh = int((oh * s) / shrink) * shrink
+            real_scale = nw / w
+            levels.append(
+                Level(
+                    octave=octave,
+                    height=nh,
+                    width=nw,
+                    out_height=nh // shrink,
+                    out_width=nw // shrink,
+                    scale=real_scale / shrink,
+                )
+            )
+        oh, ow = oh // 2, ow // 2
+        octave += 1
+    return tuple(levels)
+
+
+def _compute_octaves(image: jax.Array, n_octaves: int) -> List[jax.Array]:
+    octaves = [image]
+    for _ in range(n_octaves - 1):
+        octaves.append(imops.avg_pool_2(octaves[-1]))
+    return octaves
+
+
+def _level_channels(oct_image: jax.Array, level: Level, shrink: int, smooth: int,
+                    cf: ChannelFunction) -> jax.Array:
+    im = imops.resize_bilinear(oct_image, level.height, level.width)
+    chns = cf(im)
+    if shrink == 2:
+        chns = imops.avg_pool_2(chns)
+    if smooth == 1:
+        chns = imops.smooth_3x3(chns)
+    return chns
+
+
+def compute_pyramid(image: jax.Array, channel_opts: dict) -> List[Tuple[jax.Array, float]]:
+    """Compute every pyramid level's channel tensor (CHW) on device.
+
+    Returns a list of ``(chns, scale)`` with ``chns`` of static shape
+    ``(C, out_height, out_width)``.  Call under ``jax.jit`` (the shapes are a
+    pure function of ``image.shape`` and the opts).
+    """
+    shrink, n_per_oct, smooth, cf = _normalize_opts(channel_opts)
+    h, w = image.shape[-2], image.shape[-1]
+    plan = pyramid_plan(h, w, shrink, n_per_oct)
+    if not plan:
+        return []
+    n_octaves = plan[-1].octave + 1
+    octaves = _compute_octaves(image, n_octaves)
+    out = []
+    for level in plan:
+        chns = _level_channels(octaves[level.octave], level, shrink, smooth, cf)
+        out.append((chns, level.scale))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("shrink", "n_per_oct", "smooth", "cf"))
+def _pyramid_jit(image, shrink, n_per_oct, smooth, cf):
+    opts = dict(shrink=shrink, n_per_oct=n_per_oct, smooth=smooth, channels=cf)
+    return [c for c, _ in compute_pyramid(image, opts)]
+
+
+def channel_pyramid(image, channel_opts: dict):
+    """Generator of ``(chns_hwc, scale)`` per pyramid level — public API parity
+    with /root/reference/waldboost/channels.py:111-146.
+
+    ``image`` must be a 2-D array.  Channels are returned as (H, W, C) numpy
+    arrays (the device pipeline is CHW internally).
+    """
+    image = np.asarray(image)
+    if image.ndim != 2:
+        raise ValueError("Image must have 2 dimensions")
+    shrink, n_per_oct, smooth, cf = _normalize_opts(channel_opts)
+    plan = pyramid_plan(image.shape[0], image.shape[1], shrink, n_per_oct)
+    chns_list = _pyramid_jit(jnp.asarray(image), shrink, n_per_oct, smooth, cf)
+    for level, chns in zip(plan, chns_list):
+        yield np.transpose(np.asarray(chns), (1, 2, 0)), level.scale

@@ -1,0 +1,433 @@
+"""Detection model: cascade container + TPU detection pipeline.
+
+Re-architecture of /root/reference/waldboost/model.py for TPU:
+
+* The classifier is compiled to a structure-of-arrays :class:`~waldboost_tpu.ops.cascade.Cascade`
+  (padded static shapes, cached; rebuilt lazily when stages are appended).
+* ``detect`` packs *all* pyramid levels into one channel canvas (shelf
+  packing with window-sized gaps) and evaluates the whole cascade in a single
+  static-shaped masked pass — one XLA program per (image-shape, opts,
+  cascade-shape) instead of one per pyramid level.  Windows in gaps/padding
+  are pre-killed via a static mask, so the survivor set is identical to the
+  reference's per-level loop (/root/reference/waldboost/model.py:149-179).
+* ``predict`` / ``predict_on_image`` / ``scan_channels`` keep the reference
+  API (used by training and sample mining).
+* Serialization is wire-compatible protobuf (zlib level 9,
+  /root/reference/waldboost/model.py:324-344) with a safe channel-function
+  registry instead of ``eval`` (/root/reference/waldboost/model.py:23-29).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import zlib
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import boxes as bbx
+from .boxes import Boxes
+from .channels import (ChannelFunction, Level, _normalize_opts, compute_pyramid,
+                       pyramid_plan, resolve_channel_function)
+from .ops import cascade as casc_ops
+from .ops.cascade import Cascade, cascade_predict_samples, cascade_response_grid
+from .proto import model_pb2
+
+__all__ = ["Model", "PackedPyramidPlan"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Packed pyramid plan (static, host-side)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class PackedLevel:
+    level: Level
+    plan_index: int  # index into the full pyramid plan / compute_pyramid output
+    y: int           # canvas offset of this level's channel tensor
+    x: int
+
+
+@dataclasses.dataclass(frozen=True)
+class PackedPyramidPlan:
+    """Shelf-packed layout of all pyramid levels into one (C, H, W) canvas."""
+
+    levels: Tuple[PackedLevel, ...]
+    canvas_h: int
+    canvas_w: int
+
+    @staticmethod
+    def build(plan: Sequence[Level], window: Tuple[int, int],
+              lane_align: int = 128) -> "PackedPyramidPlan":
+        m, n = window
+        # Only levels that can host at least one window origin matter.
+        usable = [(pi, lv) for pi, lv in enumerate(plan)
+                  if lv.out_height > m and lv.out_width > n]
+        if not usable:
+            return PackedPyramidPlan(levels=(), canvas_h=max(m + 1, 8), canvas_w=max(n + 1, lane_align))
+        order = sorted(range(len(usable)), key=lambda i: -usable[i][1].out_height)
+        canvas_w = _round_up(max(lv.out_width for _, lv in usable) + n, lane_align)
+        placed: Dict[int, PackedLevel] = {}
+        shelf_y = 0
+        shelf_h = 0
+        cur_x = 0
+        for i in order:
+            pi, lv = usable[i]
+            w_need = lv.out_width + n  # gap so windows never cross levels
+            h_need = lv.out_height + m
+            if cur_x + w_need > canvas_w:
+                shelf_y += shelf_h
+                shelf_h = 0
+                cur_x = 0
+            placed[i] = PackedLevel(level=lv, plan_index=pi, y=shelf_y, x=cur_x)
+            cur_x += w_need
+            shelf_h = max(shelf_h, h_need)
+        canvas_h = _round_up(shelf_y + shelf_h, 8)
+        ordered = tuple(placed[i] for i in range(len(usable)))
+        return PackedPyramidPlan(levels=ordered, canvas_h=canvas_h, canvas_w=canvas_w)
+
+    def valid_mask(self, window: Tuple[int, int]) -> np.ndarray:
+        """Static bool mask over canvas window origins: True where the origin
+        belongs to some level's origin grid."""
+        m, n = window
+        gu, gv = max(self.canvas_h - m, 0), max(self.canvas_w - n, 0)
+        mask = np.zeros((gu, gv), bool)
+        for pl in self.levels:
+            lv = pl.level
+            mask[pl.y:pl.y + (lv.out_height - m), pl.x:pl.x + (lv.out_width - n)] = True
+        return mask
+
+    def level_maps(self, window: Tuple[int, int]) -> Tuple[np.ndarray, np.ndarray]:
+        """(level_id, inv_scale) static maps over canvas origins; level_id is
+        -1 outside any level."""
+        m, n = window
+        gu, gv = max(self.canvas_h - m, 0), max(self.canvas_w - n, 0)
+        level_id = np.full((gu, gv), -1, np.int32)
+        for i, pl in enumerate(self.levels):
+            lv = pl.level
+            level_id[pl.y:pl.y + (lv.out_height - m), pl.x:pl.x + (lv.out_width - n)] = i
+        return level_id, np.array([1.0 / pl.level.scale for pl in self.levels], np.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def _packed_plan_cached(h: int, w: int, shrink: int, n_per_oct: int,
+                        window: Tuple[int, int]) -> PackedPyramidPlan:
+    plan = pyramid_plan(h, w, shrink, n_per_oct)
+    return PackedPyramidPlan.build(plan, window)
+
+
+# ---------------------------------------------------------------------------
+# jitted device programs (module-level for cross-model cache sharing)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("window", "depth"))
+def _grid_eval_jit(chns_chw, casc: Cascade, window, depth):
+    return cascade_response_grid(chns_chw, casc, window, depth)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "depth"))
+def _predict_jit(x, casc: Cascade, shape, depth):
+    return cascade_predict_samples(x, casc, depth)
+
+
+def _packed_body(image, casc: Cascade, valid_mask, shrink, n_per_oct,
+                 smooth, cf, window, depth, packed: PackedPyramidPlan):
+    """Channels for every level -> packed canvas -> one cascade pass."""
+    opts = dict(shrink=shrink, n_per_oct=n_per_oct, smooth=smooth, channels=cf)
+    levels = compute_pyramid(image, opts)
+    n_ch = cf.n_channels
+    canvas = jnp.zeros((n_ch, packed.canvas_h, packed.canvas_w), jnp.float32)
+    for pl in packed.levels:
+        chns, _ = levels[pl.plan_index]
+        canvas = jax.lax.dynamic_update_slice(
+            canvas, chns.astype(jnp.float32), (0, pl.y, pl.x))
+    hs, alive, n_weak = cascade_response_grid(canvas, casc, window, depth,
+                                              init_alive=valid_mask)
+    return canvas, hs, alive, n_weak
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shrink", "n_per_oct", "smooth", "cf", "window", "depth", "packed"),
+)
+def _detect_packed_jit(image, casc: Cascade, valid_mask, shrink, n_per_oct,
+                       smooth, cf, window, depth, packed: PackedPyramidPlan):
+    _, hs, alive, n_weak = _packed_body(image, casc, valid_mask, shrink,
+                                        n_per_oct, smooth, cf, window, depth,
+                                        packed)
+    return hs, alive, n_weak
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shrink", "n_per_oct", "smooth", "cf", "window", "depth", "packed"),
+)
+def _scan_packed_jit(image, casc: Cascade, valid_mask, shrink, n_per_oct,
+                     smooth, cf, window, depth, packed: PackedPyramidPlan):
+    return _packed_body(image, casc, valid_mask, shrink, n_per_oct, smooth,
+                        cf, window, depth, packed)
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+class Model:
+    """Detection model: window shape + channel opts + soft cascade.
+
+    API parity with /root/reference/waldboost/model.py:32 (``predict``,
+    ``predict_on_image``, ``detect``, ``channels``, ``scan_channels``,
+    ``get_boxes``, ``append``, ``save``/``load``, ``eval_cost``).
+    """
+
+    #: pad stage count to a multiple of this to stabilise jit cache keys
+    #: while the model grows during training
+    STAGE_PAD = 8
+
+    def __init__(self, shape, channel_opts):
+        self.shape = tuple(int(s) for s in shape)
+        opts = dict(channel_opts)
+        opts["channels"] = resolve_channel_function(opts["channels"])
+        self.channel_opts = opts
+        self.classifier: List = []
+        self.theta: List[float] = []
+        self._cascade: Optional[Cascade] = None
+        self._cascade_depth = 0
+        self._cascade_version = -1
+        self._version = 0
+        self.reset()
+
+    # -- stats ---------------------------------------------------------
+    @property
+    def eval_cost(self) -> float:
+        """Average number of weak-classifier evaluations per scanned window
+        (/root/reference/waldboost/model.py:69-89)."""
+        return self.n_weak / self.n_loc if self.n_loc > 0 else 0
+
+    def reset(self) -> None:
+        self.n_loc = 0
+        self.n_weak = 0
+
+    # -- container protocol ---------------------------------------------
+    def __getitem__(self, i):
+        return self.classifier[i], self.theta[i]
+
+    def __len__(self) -> int:
+        return len(self.classifier)
+
+    def __bool__(self) -> bool:
+        return bool(self.classifier)
+
+    def __iter__(self):
+        yield from zip(self.classifier, self.theta)
+
+    def append(self, weak, theta: float) -> None:
+        self.classifier.append(weak)
+        self.theta.append(float(theta))
+        self._version += 1
+
+    # -- cascade compilation ---------------------------------------------
+    def _get_cascade(self) -> Tuple[Cascade, int]:
+        if self._cascade is None or self._cascade_version != self._version:
+            stages = [w.to_stage_dict() for w in self.classifier]
+            pad_T = max(_round_up(max(len(stages), 1), self.STAGE_PAD), self.STAGE_PAD)
+            casc, depth = casc_ops.cascade_from_stages(stages, self.theta, n_stages=pad_T)
+            self._cascade = casc
+            self._cascade_depth = max(depth, 1)
+            self._cascade_version = self._version
+        return self._cascade, self._cascade_depth
+
+    # -- channels ---------------------------------------------------------
+    def channels(self, image):
+        """Iterator over the channel pyramid (HWC numpy per level)."""
+        from .channels import channel_pyramid
+        yield from channel_pyramid(image, self.channel_opts)
+
+    def scan_channels(self, image):
+        """Yield ``(chns, scale, (r, c, h))`` per level — the mining entry
+        point (/root/reference/waldboost/model.py:105-134)."""
+        for chns, scale in self.channels(image):
+            yield chns, scale, self.predict_on_image(chns)
+
+    # -- boxes --------------------------------------------------------------
+    def get_boxes(self, r, c, scale) -> Boxes:
+        """Window origins (r, c) at pyramid scale -> XYXY boxes in image space
+        (/root/reference/waldboost/model.py:136-147)."""
+        r = np.asarray(r)
+        c = np.asarray(c)
+        if r.size == 0:
+            return Boxes(np.empty((0, 4), np.float32))
+        m, n = self.shape[:2]
+        x1 = c.reshape(-1, 1).astype(np.float32)
+        y1 = r.reshape(-1, 1).astype(np.float32)
+        rects = np.concatenate([x1, y1, x1 + n, y1 + m], axis=1)
+        return Boxes(rects).normalized(scale=1.0 / scale)
+
+    # -- inference ----------------------------------------------------------
+    def predict(self, X) -> Tuple[np.ndarray, np.ndarray]:
+        """Cascade scores for a batch of samples (N,)+shape.  Rejected samples
+        get -inf (/root/reference/waldboost/model.py:181-214)."""
+        X = np.asarray(X)
+        n, *shape = X.shape
+        assert tuple(shape) == tuple(self.shape), \
+            f"Invalid shape of X. Expected {self.shape}, given {shape}"
+        if not self.classifier:
+            return np.zeros(n, np.float32), np.ones(n, bool)
+        if n == 0:
+            return np.zeros(0, np.float32), np.zeros(0, bool)
+        casc, depth = self._get_cascade()
+        H, mask = _predict_jit(jnp.asarray(X), casc, tuple(self.shape), depth)
+        return np.asarray(H), np.asarray(mask)
+
+    def predict_on_image(self, X) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Evaluate the cascade on all window origins of an HWC channel image.
+        Returns surviving ``(rs, cs, hs)`` (/root/reference/waldboost/model.py:216-259)."""
+        X = np.asarray(X) if not isinstance(X, jax.Array) else X
+        u, v, ch_image = X.shape
+        m, n, ch_cls = self.shape
+        assert ch_image == ch_cls, \
+            f"Invalid number of channels. Expected {ch_cls} given {ch_image}."
+        gu, gv = max(u - m, 0), max(v - n, 0)
+        self.n_loc += gu * gv
+        if gu == 0 or gv == 0:
+            e = np.empty(0, np.int64)
+            return e, e, np.empty(0, np.float32)
+        if not self.classifier:
+            rs, cs = np.indices((gu, gv))
+            return rs.flatten(), cs.flatten(), np.zeros(gu * gv, np.float32)
+        casc, depth = self._get_cascade()
+        chw = jnp.transpose(jnp.asarray(X), (2, 0, 1))
+        hs, alive, n_weak = _grid_eval_jit(chw, casc, (m, n), depth)
+        self.n_weak += int(n_weak)
+        alive = np.asarray(alive)
+        rs, cs = np.nonzero(alive)
+        return rs, cs, np.asarray(hs)[rs, cs]
+
+    def scan_packed(self, image):
+        """Single-pass pyramid scan for sample mining.
+
+        Runs the packed-canvas pipeline once and returns
+        ``(canvas_hwc, packed_plan, rs, cs, hs)`` where ``rs``/``cs`` are
+        *canvas* coordinates of surviving window origins and ``canvas_hwc``
+        holds every level's channels (so windows can be cropped directly at
+        canvas coordinates — identical pixels to per-level crops).  Returns
+        ``None`` when the image is too small for any level.  Updates
+        eval-cost counters like ``predict_on_image`` does.
+        """
+        image = np.asarray(image)
+        if image.ndim != 2:
+            raise ValueError("Image must have 2 dimensions")
+        m, n, _ = self.shape
+        shrink, n_per_oct, smooth, cf = _normalize_opts(self.channel_opts)
+        packed = _packed_plan_cached(image.shape[0], image.shape[1], shrink,
+                                     n_per_oct, (m, n))
+        if not packed.levels:
+            return None
+        valid = jnp.asarray(packed.valid_mask((m, n)))
+        casc, depth = self._get_cascade()
+        canvas, hs, alive, n_weak = _scan_packed_jit(
+            jnp.asarray(image), casc, valid, shrink, n_per_oct, smooth, cf,
+            (m, n), depth, packed)
+        level_id_map, _ = packed.level_maps((m, n))
+        self.n_loc += int((level_id_map >= 0).sum())
+        self.n_weak += int(n_weak)
+        alive_np = np.asarray(alive)
+        rs, cs = np.nonzero(alive_np)
+        scores = np.asarray(hs)[rs, cs] if rs.size else np.empty(0, np.float32)
+        canvas_hwc = np.transpose(np.asarray(canvas), (1, 2, 0))
+        return canvas_hwc, packed, rs, cs, scores
+
+    def detect(self, image) -> Boxes:
+        """Detect objects: full pyramid + cascade in one packed device pass.
+        Returns surviving window boxes with a 'scores' field (pre-NMS), the
+        same set the reference's per-level loop produces
+        (/root/reference/waldboost/model.py:149-179)."""
+        image = np.asarray(image)
+        if image.ndim != 2:
+            raise ValueError("Image must have 2 dimensions")
+        m, n, _ = self.shape
+        shrink, n_per_oct, smooth, cf = _normalize_opts(self.channel_opts)
+        packed = _packed_plan_cached(image.shape[0], image.shape[1], shrink,
+                                     n_per_oct, (m, n))
+        if not packed.levels:
+            return bbx.empty_boxes(scores=np.empty(0, np.float32))
+        valid = jnp.asarray(packed.valid_mask((m, n)))
+        casc, depth = self._get_cascade()
+        hs, alive, n_weak = _detect_packed_jit(
+            jnp.asarray(image), casc, valid, shrink, n_per_oct, smooth, cf,
+            (m, n), depth, packed)
+        # stats: n_loc counts every origin of every level (reference counts
+        # per-level grids, /root/reference/waldboost/model.py:248)
+        level_id_map, inv_scales = packed.level_maps((m, n))
+        self.n_loc += int((level_id_map >= 0).sum())
+        self.n_weak += int(n_weak)
+        alive_np = np.asarray(alive)
+        rs, cs = np.nonzero(alive_np)
+        if rs.size == 0:
+            return bbx.empty_boxes(scores=np.empty(0, np.float32))
+        scores = np.asarray(hs)[rs, cs]
+        lid = level_id_map[rs, cs]
+        # canvas origin -> level-local origin -> image-space box
+        offs = np.array([(pl.y, pl.x) for pl in packed.levels], np.int64)
+        local_r = rs - offs[lid, 0]
+        local_c = cs - offs[lid, 1]
+        x1 = local_c.astype(np.float32)
+        y1 = local_r.astype(np.float32)
+        rects = np.stack([x1, y1, x1 + n, y1 + m], axis=1)
+        rects *= inv_scales[lid][:, None]
+        out = Boxes(rects)
+        out.set_field("scores", scores.astype(np.float32))
+        return out
+
+    # -- serialization -----------------------------------------------------
+    def as_proto(self, proto) -> None:
+        proto.Clear()
+        proto.shape.extend(self.shape)
+        proto.channel_opts.shrink = int(self.channel_opts["shrink"])
+        proto.channel_opts.n_per_oct = int(self.channel_opts["n_per_oct"])
+        proto.channel_opts.smooth = int(self.channel_opts["smooth"])
+        proto.channel_opts.func = self.channel_opts["channels"].name
+        for weak, theta in self:
+            w_pb = proto.classifier.add()
+            weak.as_proto(w_pb)
+            proto.theta.append(theta)
+
+    @staticmethod
+    def from_proto(proto) -> "Model":
+        from .training import DTree
+        shape = tuple(proto.shape)
+        channel_opts = {
+            "shrink": proto.channel_opts.shrink,
+            "n_per_oct": proto.channel_opts.n_per_oct,
+            "smooth": proto.channel_opts.smooth,
+            "channels": resolve_channel_function(proto.channel_opts.func),
+        }
+        M = Model(shape, channel_opts)
+        for weak_proto, theta_proto in zip(proto.classifier, proto.theta):
+            M.append(DTree.from_proto(weak_proto), theta_proto)
+        return M
+
+    def save(self, filename: str) -> None:
+        proto = model_pb2.Model()
+        self.as_proto(proto)
+        data = zlib.compress(proto.SerializeToString(), 9)
+        with open(filename, "wb") as f:
+            f.write(data)
+
+    @staticmethod
+    def load(filename: str) -> "Model":
+        with open(filename, "rb") as f:
+            data = f.read()
+        proto = model_pb2.Model()
+        try:
+            proto.ParseFromString(zlib.decompress(data))
+        except Exception:
+            raise ValueError(f"Cannot read model from {filename}")
+        return Model.from_proto(proto)

@@ -1,0 +1,263 @@
+"""Soft-cascade (WaldBoost) evaluation as static-shaped, masked XLA programs.
+
+TPU-first re-expression of the reference's branchy SPRT cascade
+(/root/reference/waldboost/model.py:181-259 and
+/root/reference/waldboost/training.py:73-96):
+
+* Decision trees are stored structure-of-arrays: per-stage node tables
+  ``(feature_row, feature_col, feature_channel, threshold, left, right,
+  prediction)`` padded to a common node count ``NN`` across stages.
+* Dense sliding-window evaluation exploits that a pixel-comparison feature
+  over *all* window origins is just a shifted image slice:
+  ``X[r0 : r0+GU, c0 : c0+GV, ch] <= thr`` — no gathers, pure VPU work.
+* SPRT early rejection becomes *masked lockstep* evaluation: every window
+  advances through every stage, an ``alive`` mask records rejection.  Because
+  rejection is monotone, the surviving set and the survivors' accumulated
+  scores are bit-identical to the reference's survivor-compaction loop.
+
+Grid convention (reference parity): for a (C, U, V) channel tensor and an
+(m, n) window, the window-origin grid is ``(max(U-m, 0), max(V-n, 0))`` —
+the reference's ``np.indices((u-m, v-n))`` at
+/root/reference/waldboost/model.py:243 never evaluates the final origin.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "Cascade",
+    "cascade_from_stages",
+    "stack_node_table",
+    "tree_depth",
+    "cascade_response_grid",
+    "cascade_predict_samples",
+    "NEG_INF",
+]
+
+NEG_INF = np.float32(-np.inf)
+
+
+class Cascade(NamedTuple):
+    """SoA cascade parameters.  All arrays have leading dim T (stages); node
+    tables have second dim NN (max nodes per stage, padded with leaves)."""
+
+    fr: jax.Array    # (T, NN) int32  feature row offset within window
+    fc: jax.Array    # (T, NN) int32  feature col offset
+    fch: jax.Array   # (T, NN) int32  feature channel
+    thr: jax.Array   # (T, NN) float32 split threshold
+    left: jax.Array  # (T, NN) int32  left child (-1 -> leaf)
+    right: jax.Array # (T, NN) int32  right child
+    pred: jax.Array  # (T, NN) float32 per-node log-odds prediction
+    theta: jax.Array # (T,)   float32 SPRT rejection threshold (-inf = none)
+    active: jax.Array  # (T,) bool — False for inert padding stages
+
+    @property
+    def n_stages(self) -> int:
+        return self.fr.shape[0]
+
+    @property
+    def n_nodes(self) -> int:
+        return self.fr.shape[1]
+
+
+def tree_depth(left: np.ndarray, right: np.ndarray) -> int:
+    """Longest root->leaf path (number of routing steps) of a flat-array tree."""
+    left = np.asarray(left, np.int64)
+    right = np.asarray(right, np.int64)
+    if left.size == 0:
+        return 0
+
+    def depth(n: int) -> int:
+        if left[n] < 0:
+            return 0
+        return 1 + max(depth(int(left[n])), depth(int(right[n])))
+
+    return depth(0)
+
+
+def stack_node_table(stages: Sequence[dict], n_nodes: Optional[int] = None) -> Tuple[dict, int]:
+    """Pad per-stage node dicts to a common node count and stack into (T, NN)
+    numpy arrays.  Each stage dict has keys feature (K,3) int, threshold (K,),
+    left (K,), right (K,), prediction (K,).  Padded nodes are inert leaves.
+
+    Returns (arrays_dict, max_depth).
+    """
+    T = len(stages)
+    if n_nodes is None:
+        n_nodes = max((len(s["threshold"]) for s in stages), default=1)
+    n_nodes = max(int(n_nodes), 1)
+    out = {
+        "fr": np.zeros((T, n_nodes), np.int32),
+        "fc": np.zeros((T, n_nodes), np.int32),
+        "fch": np.zeros((T, n_nodes), np.int32),
+        "thr": np.zeros((T, n_nodes), np.float32),
+        "left": np.full((T, n_nodes), -1, np.int32),
+        "right": np.full((T, n_nodes), -1, np.int32),
+        "pred": np.zeros((T, n_nodes), np.float32),
+    }
+    max_depth = 0
+    for t, s in enumerate(stages):
+        k = len(s["threshold"])
+        ftr = np.asarray(s["feature"], np.int32).reshape(k, 3)
+        # Reference encodes leaf features as (0,0,0) after the None->[0,0,0]
+        # mapping at /root/reference/waldboost/training.py:25; the slice they
+        # produce is never routed to, so any in-range value is fine.
+        ftr = np.maximum(ftr, 0)
+        out["fr"][t, :k] = ftr[:, 0]
+        out["fc"][t, :k] = ftr[:, 1]
+        out["fch"][t, :k] = ftr[:, 2]
+        out["thr"][t, :k] = np.asarray(s["threshold"], np.float32)
+        out["left"][t, :k] = np.asarray(s["left"], np.int32)
+        out["right"][t, :k] = np.asarray(s["right"], np.int32)
+        out["pred"][t, :k] = np.asarray(s["prediction"], np.float32)
+        max_depth = max(max_depth, tree_depth(out["left"][t], out["right"][t]))
+    return out, max_depth
+
+
+def cascade_from_stages(stages: Sequence[dict], thetas: Sequence[float],
+                        n_nodes: Optional[int] = None,
+                        n_stages: Optional[int] = None) -> Tuple[Cascade, int]:
+    """Build a device :class:`Cascade` from per-stage node dicts + thetas.
+
+    ``n_stages``/``n_nodes`` allow padding to a larger static shape (padded
+    stages predict 0 with theta=-inf, so results are unchanged) — used to
+    stabilize jit cache keys while the model grows during training.
+    Returns (cascade, max_depth).
+    """
+    T = len(stages)
+    pad_T = int(n_stages) if n_stages is not None else T
+    arrays, depth = stack_node_table(list(stages), n_nodes=n_nodes)
+    theta = np.full(pad_T, NEG_INF, np.float32)
+    if T:
+        theta[:T] = np.asarray(list(thetas), np.float32)
+    active = np.zeros(pad_T, bool)
+    active[:T] = True
+    if pad_T > T:
+        nn = arrays["fr"].shape[1]
+        for key, fill in (("fr", 0), ("fc", 0), ("fch", 0), ("thr", 0.0),
+                          ("left", -1), ("right", -1), ("pred", 0.0)):
+            pad = np.full((pad_T - T, nn), fill, arrays[key].dtype)
+            arrays[key] = np.concatenate([arrays[key], pad], axis=0)
+    casc = Cascade(
+        fr=jnp.asarray(arrays["fr"]), fc=jnp.asarray(arrays["fc"]),
+        fch=jnp.asarray(arrays["fch"]), thr=jnp.asarray(arrays["thr"]),
+        left=jnp.asarray(arrays["left"]), right=jnp.asarray(arrays["right"]),
+        pred=jnp.asarray(arrays["pred"]), theta=jnp.asarray(theta),
+        active=jnp.asarray(active),
+    )
+    return casc, depth
+
+
+# ---------------------------------------------------------------------------
+# Dense grid evaluation (detection path)
+# ---------------------------------------------------------------------------
+
+def _route_and_predict(bins, left, right, pred, node0, depth, nn):
+    """Route windows through one tree given per-node comparison maps.
+
+    ``bins``: list of NN bool arrays (window-shaped); ``left/right/pred``:
+    traced (NN,) vectors; returns per-window response array."""
+    node = node0
+    for _ in range(depth):
+        new_node = node
+        for j in range(nn):
+            tgt = jnp.where(bins[j], left[j], right[j])
+            tgt = jnp.where(left[j] < 0, j, tgt)  # leaves stay put
+            new_node = jnp.where(node == j, tgt, new_node)
+        node = new_node
+    resp = jnp.zeros(node.shape, jnp.float32)
+    for j in range(nn):
+        resp = jnp.where(node == j, pred[j], resp)
+    return resp
+
+
+def cascade_response_grid(chns: jax.Array, casc: Cascade, window: Tuple[int, int],
+                          depth: int, init_alive: Optional[jax.Array] = None
+                          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Evaluate the full cascade on every window origin of a (C, U, V) channel
+    tensor.
+
+    Returns ``(hs, alive, n_weak)``: accumulated scores (GU, GV) float32,
+    survivor mask (GU, GV) bool, and the scalar count of weak-classifier
+    evaluations performed on live windows (the reference's ``n_weak`` counter,
+    /root/reference/waldboost/model.py:248-252).
+
+    ``init_alive`` optionally pre-kills windows (used by packed-pyramid
+    evaluation to mask padding).  Pre-killed windows do not count toward
+    ``n_weak`` but their grid positions DO count toward ``n_loc`` bookkeeping
+    done by the caller.
+    """
+    C, U, V = chns.shape
+    m, n = window
+    gu, gv = max(U - m, 0), max(V - n, 0)
+    if gu == 0 or gv == 0:
+        z = jnp.zeros((gu, gv), jnp.float32)
+        return z, jnp.zeros((gu, gv), bool), jnp.zeros((), jnp.int32)
+
+    T, NN = casc.n_stages, casc.n_nodes
+    hs = jnp.zeros((gu, gv), jnp.float32)
+    alive = jnp.ones((gu, gv), bool) if init_alive is None else init_alive
+    node0 = jnp.zeros((gu, gv), jnp.int32)
+    n_weak = jnp.zeros((), jnp.int32)
+
+    for t in range(T):
+        bins = []
+        for j in range(NN):
+            start = (casc.fch[t, j], casc.fr[t, j], casc.fc[t, j])
+            patch = jax.lax.dynamic_slice(chns, start, (1, gu, gv))[0]
+            bins.append(patch.astype(jnp.float32) <= casc.thr[t, j])
+        resp = _route_and_predict(bins, casc.left[t], casc.right[t],
+                                  casc.pred[t], node0, depth, NN)
+        n_weak = n_weak + jnp.sum(alive, dtype=jnp.int32) * casc.active[t].astype(jnp.int32)
+        hs = hs + jnp.where(alive, resp, 0.0)
+        alive = jnp.logical_and(alive, hs >= casc.theta[t])
+    return hs, alive, n_weak
+
+
+# ---------------------------------------------------------------------------
+# Batched sample evaluation (training path)
+# ---------------------------------------------------------------------------
+
+def cascade_predict_samples(x: jax.Array, casc: Cascade, depth: int,
+                            valid: Optional[jax.Array] = None
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """Evaluate the cascade on a batch of cropped windows.
+
+    ``x``: (N, m, n, C) samples (HWC per sample — the training-side layout,
+    matching the reference's ``Model.predict`` contract at
+    /root/reference/waldboost/model.py:181-214).
+
+    Returns ``(H, mask)``: scores with rejected samples set to -inf, and the
+    survivor mask.
+    """
+    N = x.shape[0]
+    m, n, C = x.shape[1], x.shape[2], x.shape[3]
+    xf = x.reshape(N, m * n * C).astype(jnp.float32)
+    T, NN = casc.n_stages, casc.n_nodes
+    # flat feature index per node: (row * n + col) * C + ch
+    fidx = (casc.fr * n + casc.fc) * C + casc.fch  # (T, NN) int32
+
+    H = jnp.zeros(N, jnp.float32)
+    mask = jnp.ones(N, bool) if valid is None else valid
+
+    for t in range(T):
+        node = jnp.zeros(N, jnp.int32)
+        for _ in range(depth):
+            f = jnp.take(fidx[t], node)            # (N,)
+            v = jnp.take_along_axis(xf, f[:, None], axis=1)[:, 0]
+            b = v <= jnp.take(casc.thr[t], node)
+            lft = jnp.take(casc.left[t], node)
+            rgt = jnp.take(casc.right[t], node)
+            nxt = jnp.where(b, lft, rgt)
+            node = jnp.where(lft < 0, node, nxt)
+        resp = jnp.take(casc.pred[t], node)
+        H = H + jnp.where(mask, resp, 0.0)
+        mask = jnp.logical_and(mask, H >= casc.theta[t])
+    H = jnp.where(mask, H, NEG_INF)
+    return H, mask

@@ -1,0 +1,209 @@
+"""On-device decision-tree fitting via weighted histograms.
+
+TPU-native replacement for both of the reference's tree trainers:
+
+* the sklearn CART wrapper (/root/reference/waldboost/training.py:34-50), and
+* the FPGA scratch trainer's weighted-histogram information-gain split
+  (/root/reference/waldboost/fpga/training.py:15-57), which SURVEY.md §7
+  identifies as the cleaner, already-quantized spec to follow.
+
+The tree is grown as a *complete* heap-ordered tree of static depth
+``max_depth`` (node k's children are 2k+1 / 2k+2), with per-node early
+leaf-termination (``min_samples_leaf``) recorded in the left/right arrays.
+Every quantity is a fixed-shape array op: per-(node, class, feature) weighted
+histograms via segment-sum, cumulative sums along the bin axis, entropy gain,
+and a flat argmax — no data-dependent shapes anywhere, so the whole fit jits
+and shards (the histograms are the only cross-sample reduction, which makes
+multi-chip training a single ``psum`` — see waldboost_tpu.parallel).
+
+Numerical notes:
+* Split thresholds are bin edges ``fmin + (b+1)*width``; binning uses
+  ``bin(x) = clip(ceil((x-fmin)/width)-1, 0, B-1)`` so that
+  ``x <= threshold  <=>  bin(x) <= b`` exactly (fit/inference consistency).
+* Entropy uses a 0*log(0)=0 convention (the reference's raw ``p*log2(p)`` can
+  produce NaN on pure nodes; this is a deliberate robustness improvement).
+* Class balancing matches the FPGA trainer (each class's split-weights sum to
+  0.5, /root/reference/waldboost/fpga/training.py:105-107); leaf predictions
+  use the *raw* weights with +1e-3 smoothing
+  (/root/reference/waldboost/fpga/training.py:158-162).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["fit_tree_complete", "TreeFitResult", "prune_heap_tree"]
+
+
+class TreeFitResult(NamedTuple):
+    feature: jax.Array    # (n_nodes,) int32 flat feature index, -1 for leaf
+    threshold: jax.Array  # (n_nodes,) float32
+    left: jax.Array       # (n_nodes,) int32 (-1 leaf)
+    right: jax.Array      # (n_nodes,) int32
+    pred: jax.Array       # (n_nodes,) float32 log-odds
+
+
+def _entropy2(p0: jax.Array, p1: jax.Array) -> jax.Array:
+    """Binary entropy of unnormalized masses, with 0*log(0) = 0."""
+    tot = p0 + p1
+    tot = jnp.where(tot > 0, tot, 1.0)
+    q0 = p0 / tot
+    q1 = p1 / tot
+    h0 = jnp.where(q0 > 0, -q0 * jnp.log2(jnp.where(q0 > 0, q0, 1.0)), 0.0)
+    h1 = jnp.where(q1 > 0, -q1 * jnp.log2(jnp.where(q1 > 0, q1, 1.0)), 0.0)
+    return h0 + h1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_depth", "n_bins", "min_samples_leaf"),
+)
+def fit_tree_complete(
+    xf: jax.Array,            # (N, F) float32 flattened sample features
+    y: jax.Array,             # (N,) int32 class labels {0, 1}
+    w_split: jax.Array,       # (N,) float32 class-balanced split weights
+    w_pred: jax.Array,        # (N,) float32 raw weights for leaf predictions
+    valid: jax.Array,         # (N,) bool padding mask
+    max_depth: int = 2,
+    n_bins: int = 256,
+    min_samples_leaf: int = 1,
+    feature_mask: Optional[jax.Array] = None,  # (max_depth, F) bool allowed per depth
+) -> TreeFitResult:
+    N, F = xf.shape
+    B = int(n_bins)
+    D = int(max_depth)
+    n_nodes = 2 ** (D + 1) - 1
+
+    xf = xf.astype(jnp.float32)
+    w_split = jnp.where(valid, w_split, 0.0).astype(jnp.float32)
+    w_pred = jnp.where(valid, w_pred, 0.0).astype(jnp.float32)
+
+    # -- global per-feature quantization grid ------------------------------
+    fmin = jnp.min(jnp.where(valid[:, None], xf, jnp.inf), axis=0)
+    fmax = jnp.max(jnp.where(valid[:, None], xf, -jnp.inf), axis=0)
+    fmin = jnp.where(jnp.isfinite(fmin), fmin, 0.0)
+    fmax = jnp.where(jnp.isfinite(fmax), fmax, 0.0)
+    width = jnp.maximum((fmax - fmin) / B, 1e-12)
+    bins = jnp.clip(jnp.ceil((xf - fmin[None, :]) / width[None, :]) - 1, 0, B - 1)
+    bins = bins.astype(jnp.int32)  # (N, F)
+
+    # -- outputs ------------------------------------------------------------
+    feature = jnp.full(n_nodes, -1, jnp.int32)
+    threshold = jnp.zeros(n_nodes, jnp.float32)
+    left = jnp.full(n_nodes, -1, jnp.int32)
+    right = jnp.full(n_nodes, -1, jnp.int32)
+    w0_acc = jnp.zeros(n_nodes, jnp.float32)
+    w1_acc = jnp.zeros(n_nodes, jnp.float32)
+
+    node = jnp.zeros(N, jnp.int32)  # heap node id per sample
+
+    def accumulate_pred(w0_acc, w1_acc, node, d):
+        """Add per-node class masses for nodes at heap level d."""
+        base = 2 ** d - 1
+        at_level = jnp.logical_and(node >= base, valid)
+        seg = jnp.where(at_level, node, n_nodes)
+        w0_acc = w0_acc + jax.ops.segment_sum(
+            w_pred * (y == 0) * at_level, seg, num_segments=n_nodes + 1)[:n_nodes]
+        w1_acc = w1_acc + jax.ops.segment_sum(
+            w_pred * (y == 1) * at_level, seg, num_segments=n_nodes + 1)[:n_nodes]
+        return w0_acc, w1_acc
+
+    for d in range(D):
+        n_level = 2 ** d
+        base = n_level - 1
+        w0_acc, w1_acc = accumulate_pred(w0_acc, w1_acc, node, d)
+
+        at_level = jnp.logical_and(node >= base, valid)
+        local = jnp.where(at_level, node - base, n_level)  # trash slot n_level
+
+        # -- histograms: (F, n_level, 2, B) weighted class histograms -------
+        seg_nc = local * 2 + y  # (N,)
+        segid = seg_nc[:, None] * B + bins  # (N, F)
+        n_seg = (n_level + 1) * 2 * B
+
+        def per_feature(seg_col):
+            return jax.ops.segment_sum(w_split, seg_col, num_segments=n_seg)
+
+        hist = jax.vmap(per_feature, in_axes=1)(segid)  # (F, n_seg)
+        hist = hist.reshape(F, n_level + 1, 2, B)[:, :n_level]  # drop trash
+
+        l0 = jnp.cumsum(hist[:, :, 0, :], axis=-1)  # (F, n_level, B)
+        l1 = jnp.cumsum(hist[:, :, 1, :], axis=-1)
+        l0_tot = l0[..., -1:]
+        l1_tot = l1[..., -1:]
+        r0 = l0_tot - l0
+        r1 = l1_tot - l1
+        tot = l0_tot + l1_tot
+        tot_safe = jnp.where(tot > 0, tot, 1.0)
+        left_w = (l0 + l1) / tot_safe
+        right_w = (r0 + r1) / tot_safe
+        gain = _entropy2(l0_tot, l1_tot) - (
+            left_w * _entropy2(l0 + 1e-4, l1 + 1e-4)
+            + right_w * _entropy2(r0 + 1e-4, r1 + 1e-4)
+        )  # (F, n_level, B)
+        # last bin = empty right side; exclude as a split candidate
+        gain = gain.at[..., B - 1].set(-jnp.inf)
+        if feature_mask is not None:
+            gain = jnp.where(feature_mask[d][:, None, None], gain, -jnp.inf)
+
+        flat = gain.transpose(1, 0, 2).reshape(n_level, F * B)
+        best = jnp.argmax(flat, axis=1)              # (n_level,)
+        best_f = (best // B).astype(jnp.int32)
+        best_b = (best % B).astype(jnp.int32)
+        best_thr = fmin[best_f] + (best_b + 1).astype(jnp.float32) * width[best_f]
+
+        # -- leaf decision ---------------------------------------------------
+        cnt = jax.ops.segment_sum(
+            at_level.astype(jnp.float32), jnp.where(at_level, local, n_level),
+            num_segments=n_level + 1)[:n_level]
+        # a node needs at least 2 samples to split (sklearn min_samples_split)
+        make_leaf = cnt < float(max(min_samples_leaf, 2))
+
+        ids = base + jnp.arange(n_level, dtype=jnp.int32)
+        feature = feature.at[ids].set(jnp.where(make_leaf, -1, best_f))
+        threshold = threshold.at[ids].set(jnp.where(make_leaf, 0.0, best_thr))
+        left = left.at[ids].set(jnp.where(make_leaf, -1, 2 * ids + 1))
+        right = right.at[ids].set(jnp.where(make_leaf, -1, 2 * ids + 2))
+
+        # -- route samples ----------------------------------------------------
+        node_f = best_f[jnp.clip(local, 0, n_level - 1)]
+        node_t = best_thr[jnp.clip(local, 0, n_level - 1)]
+        node_leaf = make_leaf[jnp.clip(local, 0, n_level - 1)]
+        xv = jnp.take_along_axis(xf, node_f[:, None], axis=1)[:, 0]
+        go_right = xv > node_t
+        child = 2 * node + 1 + go_right.astype(jnp.int32)
+        node = jnp.where(jnp.logical_and(at_level, jnp.logical_not(node_leaf)),
+                         child, node)
+
+    w0_acc, w1_acc = accumulate_pred(w0_acc, w1_acc, node, D)
+    pred = jnp.log((w1_acc + 1e-3) / (w0_acc + 1e-3)) / 2.0
+    return TreeFitResult(feature=feature, threshold=threshold, left=left,
+                         right=right, pred=pred.astype(jnp.float32))
+
+
+def prune_heap_tree(feature: np.ndarray, threshold: np.ndarray,
+                    left: np.ndarray, right: np.ndarray, pred: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Drop unreachable heap nodes (children of early leaves) and renumber in
+    BFS order.  Host-side post-processing of :func:`fit_tree_complete`."""
+    feature = np.asarray(feature)
+    order = []
+    remap = {}
+    queue = [0]
+    while queue:
+        k = queue.pop(0)
+        remap[k] = len(order)
+        order.append(k)
+        if left[k] >= 0:
+            queue.append(int(left[k]))
+            queue.append(int(right[k]))
+    idx = np.array(order, int)
+    new_left = np.array([remap[int(l)] if l >= 0 else -1 for l in left[idx]], np.int32)
+    new_right = np.array([remap[int(r)] if r >= 0 else -1 for r in right[idx]], np.int32)
+    return (feature[idx].astype(np.int32), threshold[idx].astype(np.float32),
+            new_left, new_right, pred[idx].astype(np.float32))

@@ -1,0 +1,227 @@
+"""Core image ops: separable convolution, pooling, smoothing, bilinear resize.
+
+All functions operate on CHW (``(C, H, W)``) or HW arrays — channel-major is
+the on-device layout of this framework: the last (lane) dimension is image
+width and the sublane dimension is height, which is what the TPU VPU wants for
+row-wise stencils.
+
+Reference-semantics notes (these quirks are load-bearing for detection parity
+with the CPU reference — see SURVEY.md §7 "hard parts"):
+
+* ``avg_pool_2`` sums in the *input dtype* (so uint8 inputs wrap around mod
+  256, exactly like the numba kernel at
+  /root/reference/waldboost/channels.py:55-64), divides in float and
+  truncate-casts back to the input dtype.
+* ``smooth_3x3`` reproduces the numba ``@stencil`` boundary behaviour of
+  /root/reference/waldboost/channels.py:78-90: output pixels whose 3x3
+  neighbourhood leaves the image are 0.
+* ``gradients`` uses scipy ``convolve1d``'s default *reflect* (symmetric)
+  boundary and its convolution (kernel-flipping) orientation:
+  ``D = [-1, 0, 1]`` yields ``out[i] = x[i-1] - x[i+1]``
+  (/root/reference/waldboost/channels.py:16-21).
+* ``resize_bilinear`` matches ``skimage.transform.resize(..., order=1,
+  anti_aliasing=False, preserve_range=True)``: half-pixel-centre coordinate
+  convention with edge clamping (/root/reference/waldboost/channels.py:132),
+  followed by a truncating cast back to the input dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "avg_pool_2",
+    "max_pool_2",
+    "smooth_3x3",
+    "gradients",
+    "separable_filter_reflect",
+    "triangle_kernel",
+    "resize_bilinear",
+]
+
+
+def _is_integer(dtype) -> bool:
+    return jnp.issubdtype(dtype, jnp.integer)
+
+
+def avg_pool_2(arr: jax.Array) -> jax.Array:
+    """Non-overlapping 2x2 average pool over the last two (H, W) dims.
+
+    Odd trailing rows/cols are dropped.  Sums are computed in the input dtype
+    (uint8 wraps — reference parity), divided by 4 in float32, then
+    truncate-cast back to the input dtype.
+    """
+    h, w = arr.shape[-2], arr.shape[-1]
+    hl, wl = h - (h % 2), w - (w % 2)
+    a = arr[..., 0:hl:2, 0:wl:2]
+    b = arr[..., 1:hl:2, 0:wl:2]
+    c = arr[..., 0:hl:2, 1:wl:2]
+    d = arr[..., 1:hl:2, 1:wl:2]
+    s = a + b + c + d  # input dtype: uint8 wraps, float accumulates — parity
+    out = s.astype(jnp.float32) / 4.0
+    if _is_integer(arr.dtype):
+        return out.astype(arr.dtype)  # XLA converts float->int toward zero
+    return out.astype(arr.dtype)
+
+
+def max_pool_2(arr: jax.Array) -> jax.Array:
+    """Non-overlapping 2x2 max pool over the last two dims (odd edges dropped).
+
+    Mirrors /root/reference/waldboost/channels.py:67-75.
+    """
+    h, w = arr.shape[-2], arr.shape[-1]
+    hl, wl = h - (h % 2), w - (w % 2)
+    m0 = jnp.maximum(arr[..., 0:hl:2, 0:wl:2], arr[..., 1:hl:2, 0:wl:2])
+    m1 = jnp.maximum(arr[..., 0:hl:2, 1:wl:2], arr[..., 1:hl:2, 1:wl:2])
+    return jnp.maximum(m0, m1)
+
+
+def smooth_3x3(arr: jax.Array) -> jax.Array:
+    """3x3 binomial ([1 2 1] x [1 2 1]) / 16 smoothing over the last two dims.
+
+    Border pixels (where the 3x3 window leaves the image) are 0, matching the
+    numba stencil default of /root/reference/waldboost/channels.py:78-90.
+    Integer inputs compute in int32 and truncate-cast back.
+    """
+    dtype = arr.dtype
+    work = arr.astype(jnp.int32) if _is_integer(dtype) else arr
+    # Row pass [1,2,1] then column pass, valid region only.
+    r = work[..., :-2, :] + 2 * work[..., 1:-1, :] + work[..., 2:, :]
+    v = r[..., :, :-2] + 2 * r[..., :, 1:-1] + r[..., :, 2:]
+    v = v.astype(jnp.float32) / 16.0
+    if _is_integer(dtype):
+        v = v.astype(dtype)
+    else:
+        v = v.astype(dtype)
+    pad = [(0, 0)] * (arr.ndim - 2) + [(1, 1), (1, 1)]
+    return jnp.pad(v, pad)
+
+
+def _pad_reflect(x: jax.Array, n: int, axis: int) -> jax.Array:
+    """Symmetric ('reflect' in scipy.ndimage parlance) padding: d c b a | a b c d."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (n, n)
+    return jnp.pad(x, pad, mode="symmetric")
+
+
+def _conv1d_lastdims(x: jax.Array, kernel: np.ndarray, axis: int) -> jax.Array:
+    """Correlate the (already padded) array with ``kernel`` along ``axis`` via
+    shifted adds.  Kernel is a small static numpy vector; taps with weight 0
+    are skipped and +-1/2 weights stay as adds, so XLA fuses everything into a
+    single VPU loop."""
+    k = len(kernel)
+    out = None
+    for j, wgt in enumerate(kernel):
+        if wgt == 0:
+            continue
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(j, x.shape[axis] - (k - 1 - j))
+        term = x[tuple(sl)]
+        if wgt != 1:
+            term = term * jnp.asarray(wgt, x.dtype)
+        out = term if out is None else out + term
+    return out
+
+
+def separable_filter_reflect(x: jax.Array, k0: np.ndarray, k1: np.ndarray | None = None) -> jax.Array:
+    """Separable correlation with symmetric-reflect boundary over the last two
+    dims; equivalent to scipy ``convolve1d(convolve1d(x, k0, axis=0), k1, axis=1)``
+    with mode='reflect' for *symmetric* kernels (scipy flips the kernel; the
+    callers here only use symmetric kernels via this entry point).
+    Mirrors ``separable_convolve`` at /root/reference/waldboost/channels.py:24-27.
+    """
+    k1 = k0 if k1 is None else k1
+    h = len(k0) // 2
+    x = _pad_reflect(x, h, axis=-2)
+    x = _conv1d_lastdims(x, np.asarray(k0, np.float32), axis=-2)
+    h = len(k1) // 2
+    x = _pad_reflect(x, h, axis=-1)
+    x = _conv1d_lastdims(x, np.asarray(k1, np.float32), axis=-1)
+    return x
+
+
+def triangle_kernel(n: int) -> np.ndarray:
+    """Normalized triangle kernel, /root/reference/waldboost/channels.py:11-13."""
+    H = (np.concatenate([np.arange(n + 1), np.arange(n - 1, -1, -1)]) + 1).astype(np.float32)
+    return H / H.sum()
+
+
+def gradients(image: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Smoothed image gradients, matching
+    /root/reference/waldboost/channels.py:16-21 exactly:
+
+        gy = conv1d(conv1d(im, [1,2,1], axis=1), [-1,0,1], axis=0)
+        gx = conv1d(conv1d(im, [1,2,1], axis=0), [-1,0,1], axis=1)
+
+    where scipy's convolve1d flips the kernel, so the derivative tap computes
+    ``x[i-1] - x[i+1]``; boundary mode is symmetric reflect.  Input: (H, W)
+    float32.  Returns (gx, gy).
+    """
+    image = image.astype(jnp.float32)
+    smooth = np.array([1.0, 2.0, 1.0], np.float32)
+    # Smooth along width (axis=-1), derivative along height (axis=-2) -> gy
+    t = _pad_reflect(image, 1, axis=-1)
+    t = _conv1d_lastdims(t, smooth, axis=-1)
+    t = _pad_reflect(t, 1, axis=-2)
+    gy = t[..., :-2, :] - t[..., 2:, :]  # x[i-1] - x[i+1]
+    # Smooth along height, derivative along width -> gx
+    s = _pad_reflect(image, 1, axis=-2)
+    s = _conv1d_lastdims(s, smooth, axis=-2)
+    s = _pad_reflect(s, 1, axis=-1)
+    gx = s[..., :, :-2] - s[..., :, 2:]
+    return gx, gy
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _resize_bilinear_f32(image: jax.Array, nh: int, nw: int) -> jax.Array:
+    h, w = image.shape[-2], image.shape[-1]
+    if (nh, nw) == (h, w):
+        return image.astype(jnp.float32)
+
+    def axis_weights(n_in: int, n_out: int):
+        # skimage/warp convention: out pixel k samples input (k+0.5)*in/out-0.5
+        coords = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+        coords = np.clip(coords, 0.0, n_in - 1.0)
+        i0 = np.floor(coords).astype(np.int32)
+        i0 = np.minimum(i0, n_in - 2) if n_in > 1 else np.zeros_like(i0)
+        frac = (coords - i0).astype(np.float32)
+        return i0, frac
+
+    x = image.astype(jnp.float32)
+    i0, fr = axis_weights(h, nh)
+    if nh != h:
+        top = jnp.take(x, i0, axis=-2)
+        bot = jnp.take(x, np.minimum(i0 + 1, h - 1), axis=-2)
+        frow = jnp.asarray(fr)[..., :, None]
+        x = top * (1.0 - frow) + bot * frow
+    j0, fc = axis_weights(w, nw)
+    if nw != w:
+        left = jnp.take(x, j0, axis=-1)
+        right = jnp.take(x, np.minimum(j0 + 1, w - 1), axis=-1)
+        fcol = jnp.asarray(fc)
+        x = left * (1.0 - fcol) + right * fcol
+    return x
+
+
+def resize_bilinear(image: jax.Array, nh: int, nw: int) -> jax.Array:
+    """Bilinear resize over the last two dims with skimage ``resize(order=1,
+    anti_aliasing=False)`` semantics, followed by a truncating cast back to the
+    input dtype (the reference does ``.astype(dtype)`` at
+    /root/reference/waldboost/channels.py:132).  ``nh``/``nw`` are static.
+
+    Integer truncation note: when the exact interpolated value is itself an
+    integer, truncation is a coin flip in any finite precision (skimage's own
+    float64 truncates up or down depending on 1e-16 rounding).  This
+    implementation resolves the ambiguity deterministically toward the
+    *exact-arithmetic* result by nudging with an epsilon below the smallest
+    nonzero fractional part a bilinear blend of uint8 values can produce at
+    realistic scale ratios.
+    """
+    out = _resize_bilinear_f32(image, int(nh), int(nw))
+    if _is_integer(image.dtype):
+        return (out + 1e-4).astype(image.dtype)  # trunc toward zero
+    return out.astype(image.dtype)

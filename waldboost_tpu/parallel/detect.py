@@ -1,0 +1,88 @@
+"""Batched / multi-chip detection.
+
+Builds a jitted program that runs the packed-pyramid cascade over a *batch*
+of same-sized images, optionally sharded across a device mesh (data
+parallelism over images — the TPU-native replacement for the reference CLI's
+``multiprocessing.Pool(6)`` fan-out,
+/root/reference/scripts/waldboost-detect.py:65-67).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..channels import _normalize_opts
+from ..model import Model, _packed_body, _packed_plan_cached
+from .mesh import data_sharding, replicated
+
+__all__ = ["make_batched_detector", "detect_batch"]
+
+
+def make_batched_detector(model: Model, image_shape: Tuple[int, int],
+                          mesh=None, donate: bool = False):
+    """Compile a batched detector for ``model`` on images of ``image_shape``.
+
+    Returns ``fn(images) -> (hs, alive, n_weak)`` where ``images`` is
+    (B, H, W); outputs have leading batch dim.  With ``mesh`` given, inputs
+    and outputs are sharded over the mesh's data axis (B must be divisible by
+    the mesh size).
+    """
+    m, n, _ = model.shape
+    shrink, n_per_oct, smooth, cf = _normalize_opts(model.channel_opts)
+    packed = _packed_plan_cached(image_shape[0], image_shape[1], shrink,
+                                 n_per_oct, (m, n))
+    valid = jnp.asarray(packed.valid_mask((m, n)))
+    casc, depth = model._get_cascade()
+
+    def one(image):
+        _, hs, alive, n_weak = _packed_body(
+            image, casc, valid, shrink, n_per_oct, smooth, cf, (m, n), depth,
+            packed)
+        return hs, alive, n_weak
+
+    batched = jax.vmap(one)
+    if mesh is None:
+        return jax.jit(batched), packed
+    in_sh = data_sharding(mesh, 3)
+    out_sh = (data_sharding(mesh, 3), data_sharding(mesh, 3), data_sharding(mesh, 1))
+    return jax.jit(batched, in_shardings=(in_sh,), out_shardings=out_sh), packed
+
+
+def detect_batch(model: Model, images: np.ndarray, mesh=None):
+    """Convenience wrapper: run batched detection and extract per-image boxes
+    on the host.  Returns a list of Boxes (pre-NMS), matching
+    ``Model.detect`` output per image."""
+    from .. import boxes as bbx
+    from ..boxes import Boxes
+
+    images = np.asarray(images)
+    fn, packed = make_batched_detector(model, images.shape[1:], mesh=mesh)
+    hs, alive, n_weak = fn(jnp.asarray(images))
+    hs = np.asarray(hs)
+    alive = np.asarray(alive)
+    m, n, _ = model.shape
+    level_id_map, inv_scales = packed.level_maps((m, n))
+    offs = np.array([(pl.y, pl.x) for pl in packed.levels], np.int64) \
+        if packed.levels else np.zeros((0, 2), np.int64)
+    out = []
+    for b in range(images.shape[0]):
+        rs, cs = np.nonzero(alive[b])
+        if rs.size == 0:
+            out.append(bbx.empty_boxes(scores=np.empty(0, np.float32)))
+            continue
+        lid = level_id_map[rs, cs]
+        local_r = rs - offs[lid, 0]
+        local_c = cs - offs[lid, 1]
+        x1 = local_c.astype(np.float32)
+        y1 = local_r.astype(np.float32)
+        rects = np.stack([x1, y1, x1 + n, y1 + m], axis=1)
+        rects *= inv_scales[lid][:, None]
+        bx = Boxes(rects)
+        bx.set_field("scores", hs[b][rs, cs].astype(np.float32))
+        out.append(bx)
+    return out

@@ -1,0 +1,224 @@
+"""Training-sample mining: window cropping, IoU labeling, bootstrapped pool.
+
+Parity map to /root/reference/waldboost/samples.py — the host orchestrates the
+inherently ragged bookkeeping (box lists, per-image quotas) while all heavy
+compute (pyramid channels + cascade scan inside ``model.scan_channels``, pool
+re-scoring via ``model.predict``) runs on device.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Iterable, Optional, Tuple
+
+import numpy as np
+
+from . import boxes as bbx
+from .boxes import Boxes
+from .model import Model
+
+__all__ = [
+    "gather_samples",
+    "select_candidates",
+    "SampleLabel",
+    "label_boxes",
+    "get_samples_from_image",
+    "SamplePool",
+]
+
+
+def gather_samples(chns: np.ndarray, rs: np.ndarray, cs: np.ndarray,
+                   shape: tuple) -> np.ndarray:
+    """Crop (m, n, C) windows at origins (rs, cs) from an HWC channel tensor
+    (/root/reference/waldboost/samples.py:14-43).  No range checks."""
+    if rs.size != cs.size:
+        raise ValueError("Sizes of 'rs' and 'cs' must match")
+    m, n, _ = shape
+    if rs.size == 0:
+        return np.empty((0,) + tuple(shape), dtype=np.asarray(chns).dtype)
+    chns = np.asarray(chns)
+    X = [chns[r:r + m, c:c + n, ...] for r, c in zip(rs, cs)]
+    return np.array(X)
+
+
+def select_candidates(condition: np.ndarray, max_candidates: int,
+                      rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """At most ``max_candidates`` indices where condition is True; random
+    subsample (with replacement, matching the reference's np.random.choice
+    default at /root/reference/waldboost/samples.py:74-77) when more."""
+    idx = np.flatnonzero(condition)
+    if idx.size > max_candidates:
+        rng = rng or np.random.default_rng()
+        idx = rng.choice(idx, max_candidates)
+    return idx
+
+
+class SampleLabel:
+    TRUE_POSITIVE = 1
+    FALSE_POSITIVE = -1
+    IGNORE = 0
+
+
+def label_boxes(dt_boxes: Optional[Boxes], gt_boxes: Optional[Boxes],
+                min_tp_iou: float = 0.7, max_fp_iou: float = 0.3,
+                max_tp_candidates: int = 100, max_fp_candidates: int = 100,
+                rng: Optional[np.random.Generator] = None) -> None:
+    """Label detections TP/FP/IGNORE by IoU against ground truth; mutates
+    ``dt_boxes`` adding 'instance_id' and 'tp_label'
+    (/root/reference/waldboost/samples.py:87-149)."""
+    if dt_boxes is None:
+        return
+    if gt_boxes is not None and len(gt_boxes) > 0:
+        if gt_boxes.has_field("ignore"):
+            ignore_flag = np.asarray(gt_boxes.get_field("ignore")).reshape(-1)
+        else:
+            ignore_flag = np.zeros(len(gt_boxes))
+        overlap = bbx.iou(dt_boxes, gt_boxes)
+        dt_iou = np.max(overlap, axis=1)
+        dt_instance_id = np.argmax(overlap, axis=1).astype(np.int32)
+        dt_ignore_flag = ignore_flag[dt_instance_id]
+        fp = select_candidates(dt_iou < max_fp_iou, max_fp_candidates, rng)
+        tp = select_candidates(
+            np.logical_and(dt_iou > min_tp_iou, dt_ignore_flag == 0),
+            max_tp_candidates, rng)
+        box_label = np.full(len(dt_boxes), SampleLabel.IGNORE, np.int32)
+        box_label[tp] = SampleLabel.TRUE_POSITIVE
+        box_label[fp] = SampleLabel.FALSE_POSITIVE
+    else:
+        dt_instance_id = np.full(len(dt_boxes), -1, np.int32)
+        box_label = np.full(len(dt_boxes), SampleLabel.IGNORE, np.int32)
+        fp = select_candidates(np.ones(len(dt_boxes), bool), max_fp_candidates, rng)
+        box_label[fp] = SampleLabel.FALSE_POSITIVE
+    dt_boxes.set_field("instance_id", dt_instance_id)
+    dt_boxes.set_field("tp_label", box_label)
+
+
+def get_samples_from_image(model: Model, image, gt_boxes: Optional[Boxes],
+                           tp=True, fp=True, rng=None, **kwargs):
+    """Scan the pyramid, label surviving windows, crop their feature maps.
+    Yields labeled Boxes with 'scores', 'tp_label', 'samples' fields per level
+    (/root/reference/waldboost/samples.py:160-216).
+
+    Uses the single-pass packed pyramid scan (one device program per image
+    shape) and crops windows directly from the packed canvas; labeling and
+    candidate caps are still applied *per pyramid level*, matching the
+    reference's per-level loop."""
+    scan = model.scan_packed(image)
+    if scan is None:
+        return
+    canvas_hwc, packed, rs, cs, hs = scan
+    if rs.size == 0:
+        return
+    m, n, _ = model.shape
+    level_id_map, _ = packed.level_maps((m, n))
+    lid = level_id_map[rs, cs]
+    for i, pl in enumerate(packed.levels):
+        sel = np.flatnonzero(lid == i)
+        if sel.size == 0:
+            continue
+        r = rs[sel] - pl.y
+        c = cs[sel] - pl.x
+        h = hs[sel]
+        dt_boxes = model.get_boxes(r, c, pl.level.scale)
+        dt_boxes.set_field("scores", h)
+        dt_boxes.set_field("row", rs[sel])   # canvas coordinates for cropping
+        dt_boxes.set_field("col", cs[sel])
+        label_boxes(dt_boxes, gt_boxes, rng=rng, **kwargs)
+        tp_label = dt_boxes.get_field("tp_label")
+        selector = np.logical_or(
+            np.logical_and(tp_label == SampleLabel.TRUE_POSITIVE, bool(tp)),
+            np.logical_and(tp_label == SampleLabel.FALSE_POSITIVE, bool(fp)))
+        sample_indices = np.flatnonzero(selector)
+        dt_boxes = dt_boxes[sample_indices]
+        if len(dt_boxes) == 0:
+            continue
+        samples = gather_samples(canvas_hwc,
+                                 dt_boxes.get_field("row").flatten(),
+                                 dt_boxes.get_field("col").flatten(),
+                                 model.shape)
+        dt_boxes.set_field("samples", samples)
+        yield dt_boxes
+
+
+class SamplePool:
+    """Bootstrapped container of labeled training windows
+    (/root/reference/waldboost/samples.py:219-332).
+
+    Each ``update`` re-scores the pool with the grown cascade (device batch
+    predict), drops rejected samples, and mines new images until the tp/fp
+    quotas are refilled — keeping false positives *hard*."""
+
+    def __init__(self, min_tp: int = 1000, min_fp: int = 1000,
+                 logger_: Optional[logging.Logger] = None,
+                 seed: Optional[int] = None, **kwargs):
+        self.samples: Optional[Boxes] = None
+        self.min_tp = min_tp
+        self.min_fp = min_fp
+        self.label_boxes_args = kwargs
+        self.logger = logger_ or logging.getLogger("SamplePool")
+        self.rng = np.random.default_rng(seed)
+
+    def update(self, model: Model, iterable: Iterable[dict]) -> None:
+        self.update_scores(model)
+        self.remove_low_scoring()
+        stats = self.pool_stats()
+        sample_tp = max(self.min_tp - stats["num_tp"], 0)
+        sample_fp = max(self.min_fp - stats["num_fp"], 0)
+        self.logger.log(
+            15, f"Pool size: tp: {stats['num_tp']}/{self.min_tp}, "
+                f"fp: {stats['num_fp']}/{self.min_fp}")
+        if sample_tp or sample_fp:
+            new_samples = []
+            for gt_dict in iterable:
+                image = gt_dict["image"]
+                gt_boxes = gt_dict["groundtruth_boxes"]
+                for dt_boxes in get_samples_from_image(
+                        model, image, gt_boxes, tp=sample_tp > 0,
+                        fp=sample_fp > 0, rng=self.rng,
+                        **self.label_boxes_args):
+                    lbl = dt_boxes.get_field("tp_label")
+                    sample_tp -= int((lbl == SampleLabel.TRUE_POSITIVE).sum())
+                    sample_fp -= int((lbl == SampleLabel.FALSE_POSITIVE).sum())
+                    new_samples.append(dt_boxes)
+                if sample_fp <= 0 and sample_tp <= 0:
+                    break
+            if new_samples:
+                if self.samples is not None:
+                    self.samples = bbx.concatenate([self.samples] + new_samples)
+                else:
+                    self.samples = bbx.concatenate(new_samples)
+
+    def pool_stats(self) -> dict:
+        if self.samples is None:
+            return dict(num_tp=0, num_fp=0)
+        labels = self.samples.get_field("tp_label")
+        return dict(num_tp=int((labels == SampleLabel.TRUE_POSITIVE).sum()),
+                    num_fp=int((labels == SampleLabel.FALSE_POSITIVE).sum()))
+
+    def print_stats(self) -> None:
+        self.logger.info(str(self.pool_stats()))
+
+    def update_scores(self, model: Model) -> None:
+        if self.samples is not None and len(self.samples):
+            new_scores, _ = model.predict(self.samples.get_field("samples"))
+            self.samples.set_field("scores", new_scores)
+
+    def remove_low_scoring(self, min_score: float = -np.inf) -> None:
+        if self.samples is not None and len(self.samples):
+            mask = self.samples.get_field("scores") > min_score
+            self.samples = self.samples[np.flatnonzero(mask)]
+            self.logger.log(
+                15, f"Removed {int((~mask).sum())}/{mask.size} samples")
+
+    def get_samples(self, label: int) -> Tuple[np.ndarray, np.ndarray]:
+        labels = self.samples.get_field("tp_label")
+        boxes = self.samples[labels == label]
+        X = boxes.get_field("samples")
+        H = boxes.get_field("scores").flatten()
+        return X.copy(), H.copy()
+
+    def get_true_positives(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self.get_samples(label=SampleLabel.TRUE_POSITIVE)
+
+    def get_false_positives(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self.get_samples(label=SampleLabel.FALSE_POSITIVE)
