@@ -1,0 +1,94 @@
+import numpy as np
+import pytest
+
+import oracle
+import waldboost_tpu as wb
+from waldboost_tpu import fpga
+
+
+def sobel_oracle(img):
+    """Reference 3x3 Sobel with zero borders (numba stencil semantics,
+    /root/reference/waldboost/fpga/channels.py:5-27)."""
+    img = img.astype(np.int64)
+    h, w = img.shape
+    dx = np.zeros((h, w), np.int64)
+    dy = np.zeros((h, w), np.int64)
+    for i in range(1, h - 1):
+        for j in range(1, w - 1):
+            p = img[i - 1:i + 2, j - 1:j + 2]
+            dx[i, j] = (-(p[0, 0] + 2 * p[1, 0] + p[2, 0])
+                        + p[0, 2] + 2 * p[1, 2] + p[2, 2])
+            dy[i, j] = (-(p[0, 0] + 2 * p[0, 1] + p[0, 2])
+                        + p[2, 0] + 2 * p[2, 1] + p[2, 2])
+    return dx, dy
+
+
+def test_grad_hist_4_u1_matches_reference_semantics():
+    img = np.random.RandomState(0).randint(0, 256, (14, 17)).astype(np.uint8)
+    out = np.asarray(fpga.grad_hist_4_u1.fn(img))  # (4, H, W)
+    dx, dy = sobel_oracle(img)
+    y = np.stack([
+        dx,
+        (0.5 * dx - 0.5 * dy).astype(np.int64),  # trunc toward zero
+        dy,
+        (0.5 * dx + 0.5 * dy).astype(np.int64),
+    ])
+    want = np.minimum(np.abs(y) // 4, 255).astype(np.uint8)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_grad_mag_u1_matches_reference_semantics():
+    img = np.random.RandomState(1).randint(0, 256, (12, 15)).astype(np.uint8)
+    out = np.asarray(fpga.grad_mag_u1.fn(img))
+    dx, dy = sobel_oracle(img)
+    want = np.minimum(np.maximum(np.abs(dx), np.abs(dy)) // 4, 255)
+    np.testing.assert_array_equal(out[0], want.astype(np.uint8))
+
+
+def test_banks_pattern_and_scheduler():
+    b = fpga.PixelBanks((4, 4, 2), (2, 2))
+    # 2x2 tiling across the window, repeated over channels
+    assert b.pattern.shape == (4, 4, 2)
+    np.testing.assert_array_equal(b.pattern[..., 0], b.pattern[..., 1])
+    np.testing.assert_array_equal(
+        b.pattern[:2, :2, 0], [[0, 1], [2, 3]])
+    px = b.bank_pixels([0])
+    assert (b.pattern.reshape(-1)[px] == 0).all()
+
+    s = fpga.BankScheduler(4)
+    assert s.schedule(2) == [[0], [1]]
+    assert s.schedule(2) == [[2], [3]]
+    assert s.schedule(2) == [[0], [1]]  # round-robin
+
+
+def test_fpga_dtree_quantized():
+    rng = np.random.RandomState(2)
+    X0 = rng.randint(0, 256, (300, 4, 4, 1)).astype(np.uint8)
+    X1 = rng.randint(0, 256, (300, 4, 4, 1)).astype(np.uint8)
+    X1[:, 1, 1, 0] = np.minimum(X1[:, 1, 1, 0].astype(int) + 120, 255).astype(np.uint8)
+    W0 = np.full(300, 1 / 300, "f")
+    W1 = np.full(300, 1 / 300, "f")
+    tree = fpga.DTree.fit(X0.astype("f"), W0, X1.astype("f"), W1)
+    # integer thresholds, clipped + quantized responses
+    np.testing.assert_allclose(tree.threshold, np.round(tree.threshold))
+    assert np.abs(tree.prediction).max() <= 3 + 1e-6
+    np.testing.assert_allclose(tree.prediction * 32,
+                               np.round(tree.prediction * 32), atol=1e-4)
+
+
+def test_fpga_train_end_to_end():
+    from waldboost_tpu.utils import fake_data_generator
+    gen = fake_data_generator(seed=3)
+    opts = dict(shrink=2, n_per_oct=2, smooth=1, channels="grad_hist_4_u1")
+    model = wb.Model((8, 8, 4), opts)
+    pool = wb.SamplePool(min_tp=60, min_fp=60, seed=0)
+    learner = fpga.train(model, gen, pool=pool, length=2, max_depth=2)
+    assert len(model) == 2
+    # quantized responses survive into the model
+    for weak, theta in model:
+        np.testing.assert_allclose(weak.prediction * 32,
+                                   np.round(weak.prediction * 32), atol=1e-4)
+    # detect roundtrip with integer channels
+    d = next(gen)
+    boxes = model.detect(d["image"])
+    assert boxes is not None

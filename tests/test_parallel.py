@@ -1,0 +1,107 @@
+"""Multi-chip tests over the 8-virtual-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8 — the standard JAX idiom)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import waldboost_tpu as wb
+from waldboost_tpu.parallel.detect import detect_batch, make_batched_detector
+from waldboost_tpu.parallel.mesh import make_mesh, shard_array
+from waldboost_tpu.parallel.train_step import make_train_step
+
+from test_model import make_model
+
+
+def _mesh_or_skip(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+    return make_mesh(n)
+
+
+def test_batched_detect_matches_single():
+    model = make_model(n_stages=4, shape=(8, 8, 4),
+                       opts=dict(shrink=2, n_per_oct=2, smooth=1,
+                                 channels="grad_hist"))
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 256, (4, 48, 64)).astype(np.uint8)
+    batched = detect_batch(model, images)
+    for b, img in zip(batched, images):
+        single = model.detect(img)
+        assert len(b) == len(single)
+        if len(b):
+            np.testing.assert_allclose(np.sort(b.get_field("scores")),
+                                       np.sort(single.get_field("scores")),
+                                       rtol=1e-5)
+
+
+def test_sharded_detect_matches_unsharded():
+    mesh = _mesh_or_skip(4)
+    model = make_model(n_stages=3, shape=(8, 8, 4),
+                       opts=dict(shrink=2, n_per_oct=2, smooth=0,
+                                 channels="grad_hist"))
+    rng = np.random.RandomState(1)
+    images = rng.randint(0, 256, (4, 40, 56)).astype(np.uint8)
+    fn_s, _ = make_batched_detector(model, (40, 56), mesh=mesh)
+    fn_u, _ = make_batched_detector(model, (40, 56))
+    hs_s, al_s, nw_s = fn_s(shard_array(images, mesh))
+    hs_u, al_u, nw_u = fn_u(jnp.asarray(images))
+    np.testing.assert_array_equal(np.asarray(al_s), np.asarray(al_u))
+    np.testing.assert_allclose(np.asarray(hs_s)[np.asarray(al_s)],
+                               np.asarray(hs_u)[np.asarray(al_u)], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(nw_s), np.asarray(nw_u))
+
+
+def test_sharded_train_step_matches_single_device():
+    mesh = _mesh_or_skip(8)
+    rng = np.random.RandomState(2)
+    N, F = 64, 32
+    x0 = rng.randn(N, F).astype("f")
+    x1 = (rng.randn(N, F) + 1.5).astype("f")
+    H0 = np.zeros(N, "f")
+    H1 = np.zeros(N, "f")
+    v0 = np.ones(N, bool)
+    v1 = np.ones(N, bool)
+    args = (jnp.float32(1.0), jnp.float32(1.0), jnp.float32(-np.inf),
+            jnp.asarray(True))
+
+    step1 = make_train_step(alpha=0.2, max_depth=2, n_bins=64)
+    r1 = step1(jnp.asarray(x0), jnp.asarray(H0), jnp.asarray(v0),
+               jnp.asarray(x1), jnp.asarray(H1), jnp.asarray(v1), *args)
+
+    stepN = make_train_step(alpha=0.2, max_depth=2, n_bins=64, mesh=mesh)
+    rN = stepN(shard_array(x0, mesh), shard_array(H0, mesh),
+               shard_array(v0, mesh), shard_array(x1, mesh),
+               shard_array(H1, mesh), shard_array(v1, mesh), *args)
+
+    # identical tree, threshold, statistics across sharding
+    np.testing.assert_array_equal(np.asarray(r1.tree.feature),
+                                  np.asarray(rN.tree.feature))
+    np.testing.assert_allclose(np.asarray(r1.tree.threshold),
+                               np.asarray(rN.tree.threshold), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1.tree.pred),
+                               np.asarray(rN.tree.pred), rtol=1e-5)
+    assert float(r1.theta) == pytest.approx(float(rN.theta), rel=1e-6)
+    assert float(r1.p0) == pytest.approx(float(rN.p0))
+    assert float(r1.p1) == pytest.approx(float(rN.p1))
+    np.testing.assert_allclose(np.asarray(r1.H0), np.asarray(rN.H0), rtol=1e-5)
+
+
+def test_train_step_improves_loss():
+    rng = np.random.RandomState(3)
+    N, F = 128, 16
+    x0 = rng.randn(N, F).astype("f")
+    x1 = (rng.randn(N, F) + 2.0).astype("f")
+    step = make_train_step(alpha=0.2, max_depth=2, n_bins=64)
+    H0 = jnp.zeros(N)
+    H1 = jnp.zeros(N)
+    v = jnp.ones(N, bool)
+    args = (jnp.float32(1.0), jnp.float32(1.0), jnp.float32(-np.inf),
+            jnp.asarray(True))
+    losses = []
+    for _ in range(3):
+        r = step(jnp.asarray(x0), H0, v, jnp.asarray(x1), H1, v, *args)
+        H0, H1 = r.H0, r.H1
+        losses.append(float(r.loss))
+    assert losses[2] < losses[0]

@@ -52,6 +52,22 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 @dataclasses.dataclass(frozen=True)
+class CanvasCtx:
+    """Context handed to canvas-mode channel functions.
+
+    ``reflect``: fills each pyramid level's halo band with the symmetric
+    reflection of the level content (one static gather) — how per-level
+    scipy ``mode='reflect'`` boundary semantics survive the packed canvas.
+    ``border_mask``: image-space bool mask, False on each level's 1px border
+    ring and outside levels — the numba-stencil zero-border convention of the
+    FPGA channels.
+    """
+
+    reflect: Callable[[jax.Array], jax.Array]
+    border_mask: Optional[jax.Array] = None
+
+
+@dataclasses.dataclass(frozen=True)
 class ChannelFunction:
     """A named image->channels transform.
 
@@ -60,12 +76,22 @@ class ChannelFunction:
     written into saved models; ``aliases`` list additional accepted names
     (including the reference's dotted symbol paths, so models saved by the CPU
     reference load here).
+
+    Canvas mode (the fast path): ``canvas_fn(canvas, ctx)`` computes channels
+    for a whole packed multi-level canvas in one pass.  ``halo`` declares the
+    image-space reflect halo the function needs around each level for its
+    outputs to be exact at level edges (gradient radius + normalization
+    radius); ``boundary`` selects reflect halos vs the numba-stencil
+    zero-border convention.
     """
 
     name: str
     fn: Callable[[jax.Array], jax.Array]
     n_channels: int
     aliases: Tuple[str, ...] = ()
+    halo: int = 1
+    boundary: str = "reflect"  # or "stencil_zero"
+    canvas_fn: Optional[Callable[[jax.Array, CanvasCtx], jax.Array]] = None
 
     def __call__(self, image: jax.Array) -> jax.Array:
         return self.fn(image)
@@ -85,6 +111,11 @@ def resolve_channel_function(name_or_cf) -> ChannelFunction:
     ``symbol_from_name``, /root/reference/waldboost/model.py:27-29)."""
     if isinstance(name_or_cf, ChannelFunction):
         return name_or_cf
+    if name_or_cf not in _REGISTRY:
+        # built-in submodules register on import; pull them in lazily so a
+        # saved model loads without the user importing waldboost_tpu.fpga
+        import importlib
+        importlib.import_module("waldboost_tpu.fpga.channels")
     try:
         return _REGISTRY[name_or_cf]
     except KeyError:
@@ -123,12 +154,37 @@ def _grad_hist_fn(image: jax.Array, n_bins: int = 4, full: bool = False, bias: f
     return jnp.sign(chns) * value if full else value
 
 
+def _grad_mag_canvas_fn(canvas: jax.Array, ctx: CanvasCtx, norm: int = 5,
+                        eps: float = 1e-3) -> jax.Array:
+    """Canvas-mode grad_mag: one gradient pass over the packed canvas (level
+    halos hold reflected image pixels, so level-edge gradients are exact);
+    the magnitude is then halo-reflected before the triangle normalization so
+    the norm conv sees reflected *magnitudes*, exactly like the per-level
+    reference (/root/reference/waldboost/channels.py:30-37)."""
+    gx, gy = imops.gradients(canvas.astype(jnp.float32))
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    if norm is not None and norm > 1:
+        mag_r = ctx.reflect(mag)
+        H = imops.triangle_kernel(norm)
+        nrm = imops.separable_filter_reflect(mag_r, H)
+        mag = mag / (nrm + eps)
+    return mag[None, :, :]
+
+
+def _grad_hist_canvas_fn(canvas: jax.Array, ctx: CanvasCtx, n_bins: int = 4,
+                         full: bool = False, bias: float = 0.0) -> jax.Array:
+    # single gradient pass; level halos make level-edge gradients exact
+    return _grad_hist_fn(canvas, n_bins=n_bins, full=full, bias=bias)
+
+
 grad_mag = register_channel_function(
     ChannelFunction(
         name="waldboost_tpu.channels.grad_mag",
         fn=_grad_mag_fn,
         n_channels=1,
         aliases=("grad_mag", "waldboost.channels.grad_mag", "waldboost.nb_channels.grad_mag"),
+        halo=6,  # gradient radius 1 + triangle norm radius 5
+        canvas_fn=_grad_mag_canvas_fn,
     )
 )
 
@@ -138,6 +194,8 @@ grad_hist = register_channel_function(
         fn=_grad_hist_fn,
         n_channels=4,
         aliases=("grad_hist", "waldboost.channels.grad_hist", "waldboost.nb_channels.grad_hist"),
+        halo=1,  # gradient radius only
+        canvas_fn=_grad_hist_canvas_fn,
     )
 )
 

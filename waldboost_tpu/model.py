@@ -57,41 +57,115 @@ class PackedLevel:
 
 @dataclasses.dataclass(frozen=True)
 class PackedPyramidPlan:
-    """Shelf-packed layout of all pyramid levels into one (C, H, W) canvas."""
+    """Shelf-packed layout of all pyramid levels into one (C, H, W) canvas.
+
+    Gaps between levels are at least the window size (so windows never read
+    across levels) *and* at least ``2*ceil(halo/shrink)`` (so the image-space
+    reflect halos of neighbouring levels never overlap); the canvas carries a
+    ``margin`` so edge levels have halo room too.
+    """
 
     levels: Tuple[PackedLevel, ...]
     canvas_h: int
     canvas_w: int
+    shrink: int = 1
+    halo: int = 0     # image-space halo the layout was built for
 
     @staticmethod
     def build(plan: Sequence[Level], window: Tuple[int, int],
-              lane_align: int = 128) -> "PackedPyramidPlan":
+              lane_align: int = 128, halo: int = 0, shrink: int = 1
+              ) -> "PackedPyramidPlan":
         m, n = window
+        halo_c = -(-halo // shrink)  # halo in channel-space units
+        gap_y = max(m, 2 * halo_c)
+        gap_x = max(n, 2 * halo_c)
+        margin = halo_c
         # Only levels that can host at least one window origin matter.
         usable = [(pi, lv) for pi, lv in enumerate(plan)
                   if lv.out_height > m and lv.out_width > n]
         if not usable:
-            return PackedPyramidPlan(levels=(), canvas_h=max(m + 1, 8), canvas_w=max(n + 1, lane_align))
+            return PackedPyramidPlan(levels=(), canvas_h=max(m + 1, 8),
+                                     canvas_w=max(n + 1, lane_align),
+                                     shrink=shrink, halo=halo)
         order = sorted(range(len(usable)), key=lambda i: -usable[i][1].out_height)
-        canvas_w = _round_up(max(lv.out_width for _, lv in usable) + n, lane_align)
-        placed: Dict[int, PackedLevel] = {}
-        shelf_y = 0
-        shelf_h = 0
-        cur_x = 0
-        for i in order:
-            pi, lv = usable[i]
-            w_need = lv.out_width + n  # gap so windows never cross levels
-            h_need = lv.out_height + m
-            if cur_x + w_need > canvas_w:
-                shelf_y += shelf_h
-                shelf_h = 0
-                cur_x = 0
-            placed[i] = PackedLevel(level=lv, plan_index=pi, y=shelf_y, x=cur_x)
-            cur_x += w_need
-            shelf_h = max(shelf_h, h_need)
-        canvas_h = _round_up(shelf_y + shelf_h, 8)
+
+        def shelf_pack(canvas_w: int):
+            placed: Dict[int, PackedLevel] = {}
+            shelf_y = margin
+            shelf_h = 0
+            cur_x = margin
+            for i in order:
+                pi, lv = usable[i]
+                w_need = lv.out_width + gap_x
+                h_need = lv.out_height + gap_y
+                if cur_x + w_need > canvas_w - margin:
+                    shelf_y += shelf_h
+                    shelf_h = 0
+                    cur_x = margin
+                placed[i] = PackedLevel(level=lv, plan_index=pi, y=shelf_y,
+                                        x=cur_x)
+                cur_x += w_need
+                shelf_h = max(shelf_h, h_need)
+            canvas_h = _round_up(shelf_y + shelf_h + margin, 8)
+            return placed, canvas_h
+
+        # Try several canvas widths and keep the smallest total area —
+        # the naive max-level-width canvas stacks every level vertically
+        # and can waste 5x+ in gap rows.
+        min_w = _round_up(max(lv.out_width for _, lv in usable)
+                          + gap_x + 2 * margin, lane_align)
+        best = None
+        for canvas_w in range(min_w, min_w + 8 * lane_align, lane_align):
+            placed, canvas_h = shelf_pack(canvas_w)
+            area = canvas_h * canvas_w
+            if best is None or area < best[0]:
+                best = (area, canvas_w, canvas_h, placed)
+        _, canvas_w, canvas_h, placed = best
         ordered = tuple(placed[i] for i in range(len(usable)))
-        return PackedPyramidPlan(levels=ordered, canvas_h=canvas_h, canvas_w=canvas_w)
+        return PackedPyramidPlan(levels=ordered, canvas_h=canvas_h,
+                                 canvas_w=canvas_w, shrink=shrink, halo=halo)
+
+    # -- static canvas masks / permutations (image space = channel space
+    #    scaled by shrink) ------------------------------------------------
+    def image_canvas_shape(self) -> Tuple[int, int]:
+        return self.canvas_h * self.shrink, self.canvas_w * self.shrink
+
+    def reflect_regions(self) -> Tuple[Tuple[int, int, int, int, int], ...]:
+        """Image-space (y, x, h, w, halo) regions for halo reflection."""
+        s = self.shrink
+        return tuple((pl.y * s, pl.x * s, pl.level.height, pl.level.width,
+                      self.halo) for pl in self.levels)
+
+    def stencil_border_mask(self) -> np.ndarray:
+        """Image-space bool mask: True strictly inside each level (1px ring
+        excluded) — the numba-stencil zero-border convention."""
+        H, W = self.image_canvas_shape()
+        mask = np.zeros((H, W), bool)
+        s = self.shrink
+        for pl in self.levels:
+            y, x = pl.y * s, pl.x * s
+            h, w = pl.level.height, pl.level.width
+            if h > 2 and w > 2:
+                mask[y + 1:y + h - 1, x + 1:x + w - 1] = True
+        return mask
+
+    def smooth_interior_mask(self) -> np.ndarray:
+        """Channel-space bool mask: True strictly inside each level's channel
+        rect (1px ring excluded) — per-level smooth zero-border convention."""
+        mask = np.zeros((self.canvas_h, self.canvas_w), bool)
+        for pl in self.levels:
+            h, w = pl.level.out_height, pl.level.out_width
+            if h > 2 and w > 2:
+                mask[pl.y + 1:pl.y + h - 1, pl.x + 1:pl.x + w - 1] = True
+        return mask
+
+    def level_interior_mask(self) -> np.ndarray:
+        """Channel-space bool mask: True inside each level's channel rect."""
+        mask = np.zeros((self.canvas_h, self.canvas_w), bool)
+        for pl in self.levels:
+            mask[pl.y:pl.y + pl.level.out_height,
+                 pl.x:pl.x + pl.level.out_width] = True
+        return mask
 
     def valid_mask(self, window: Tuple[int, int]) -> np.ndarray:
         """Static bool mask over canvas window origins: True where the origin
@@ -118,9 +192,9 @@ class PackedPyramidPlan:
 
 @functools.lru_cache(maxsize=64)
 def _packed_plan_cached(h: int, w: int, shrink: int, n_per_oct: int,
-                        window: Tuple[int, int]) -> PackedPyramidPlan:
+                        window: Tuple[int, int], halo: int = 0) -> PackedPyramidPlan:
     plan = pyramid_plan(h, w, shrink, n_per_oct)
-    return PackedPyramidPlan.build(plan, window)
+    return PackedPyramidPlan.build(plan, window, halo=halo, shrink=shrink)
 
 
 # ---------------------------------------------------------------------------
@@ -137,17 +211,92 @@ def _predict_jit(x, casc: Cascade, shape, depth):
     return cascade_predict_samples(x, casc, depth)
 
 
-def _packed_body(image, casc: Cascade, valid_mask, shrink, n_per_oct,
-                 smooth, cf, window, depth, packed: PackedPyramidPlan):
-    """Channels for every level -> packed canvas -> one cascade pass."""
+def _channel_canvas_fast(image, shrink, smooth, cf, packed: PackedPyramidPlan):
+    """Canvas-first channel pipeline (the fast path).
+
+    Every level is resized from its octave image into ONE image-space canvas
+    (matmul resize on the MXU), level halos are filled with symmetric
+    reflections via one static gather, and the channel function / shrink
+    pooling / smoothing each run ONCE over the whole canvas.  Per-level
+    boundary semantics (scipy reflect for the float channels, numba-stencil
+    zero borders for the integer channels, per-level zero-border smoothing)
+    are restored by the halo reflection and static masks — outputs inside
+    every level rect are identical to the per-level reference pipeline.
+    """
+    from .channels import CanvasCtx, _compute_octaves
+    from .ops.warp import (apply_row_permutation, reflection_permutation,
+                           resize_matrices)
+
+    n_oct = max(pl.level.octave for pl in packed.levels) + 1
+    octaves = _compute_octaves(image, n_oct)
+    is_int = jnp.issubdtype(image.dtype, jnp.integer)
+
+    Hc_img, Wc_img = packed.image_canvas_shape()
+    img_canvas = jnp.zeros((Hc_img, Wc_img), jnp.float32)
+    for pl in packed.levels:
+        lv = pl.level
+        oct_img = octaves[lv.octave].astype(jnp.float32)
+        Rh, Rw = resize_matrices(oct_img.shape[0], oct_img.shape[1],
+                                 lv.height, lv.width)
+        im = jnp.einsum("ah,hw,bw->ab", jnp.asarray(Rh), oct_img,
+                        jnp.asarray(Rw), preferred_element_type=jnp.float32)
+        if is_int:
+            # truncating cast back to the input dtype with the deterministic
+            # exact-arithmetic convention (ops.image.resize_bilinear)
+            im = jnp.floor(im + 1e-4)
+        img_canvas = jax.lax.dynamic_update_slice(
+            img_canvas, im, (pl.y * shrink, pl.x * shrink))
+
+    if cf.boundary == "reflect" and cf.halo > 0:
+        perm = reflection_permutation((Hc_img, Wc_img),
+                                      packed.reflect_regions())
+        img_canvas = apply_row_permutation(img_canvas, perm)
+        reflect = lambda x: apply_row_permutation(x, perm)
+    else:
+        reflect = lambda x: x
+
+    border_mask = None
+    if cf.boundary == "stencil_zero":
+        border_mask = jnp.asarray(packed.stencil_border_mask())
+    ctx = CanvasCtx(reflect=reflect, border_mask=border_mask)
+    chns = cf.canvas_fn(img_canvas, ctx)
+
+    if shrink == 2:
+        from .ops.image import avg_pool_2
+        chns = avg_pool_2(chns)
+    if smooth == 1:
+        from .ops.image import smooth_3x3
+        chns = smooth_3x3(chns)
+        interior = jnp.asarray(packed.smooth_interior_mask())
+        zero = jnp.zeros((), chns.dtype)
+        chns = jnp.where(interior[None], chns, zero)
+    return chns
+
+
+def _channel_canvas_per_level(image, shrink, n_per_oct, smooth, cf,
+                              packed: PackedPyramidPlan):
+    """Fallback canvas assembly for channel functions without a canvas_fn:
+    per-level channel tensors written into the canvas (exact but slower)."""
     opts = dict(shrink=shrink, n_per_oct=n_per_oct, smooth=smooth, channels=cf)
     levels = compute_pyramid(image, opts)
-    n_ch = cf.n_channels
-    canvas = jnp.zeros((n_ch, packed.canvas_h, packed.canvas_w), jnp.float32)
+    canvas = jnp.zeros((cf.n_channels, packed.canvas_h, packed.canvas_w),
+                       jnp.float32)
     for pl in packed.levels:
         chns, _ = levels[pl.plan_index]
         canvas = jax.lax.dynamic_update_slice(
             canvas, chns.astype(jnp.float32), (0, pl.y, pl.x))
+    return canvas
+
+
+def _packed_body(image, casc: Cascade, valid_mask, shrink, n_per_oct,
+                 smooth, cf, window, depth, packed: PackedPyramidPlan):
+    """Channels for every level -> packed canvas -> one cascade pass."""
+    if cf.canvas_fn is not None:
+        canvas = _channel_canvas_fast(image, shrink, smooth, cf, packed)
+        canvas = canvas.astype(jnp.float32)
+    else:
+        canvas = _channel_canvas_per_level(image, shrink, n_per_oct, smooth,
+                                           cf, packed)
     hs, alive, n_weak = cascade_response_grid(canvas, casc, window, depth,
                                               init_alive=valid_mask)
     return canvas, hs, alive, n_weak
@@ -155,24 +304,35 @@ def _packed_body(image, casc: Cascade, valid_mask, shrink, n_per_oct,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("shrink", "n_per_oct", "smooth", "cf", "window", "depth", "packed"),
+    static_argnames=("shrink", "n_per_oct", "smooth", "cf", "packed"),
 )
-def _detect_packed_jit(image, casc: Cascade, valid_mask, shrink, n_per_oct,
-                       smooth, cf, window, depth, packed: PackedPyramidPlan):
-    _, hs, alive, n_weak = _packed_body(image, casc, valid_mask, shrink,
-                                        n_per_oct, smooth, cf, window, depth,
-                                        packed)
-    return hs, alive, n_weak
+def _canvas_jit(image, shrink, n_per_oct, smooth, cf,
+                packed: PackedPyramidPlan):
+    """Stage 1: packed channel canvas (f32, CHW)."""
+    if cf.canvas_fn is not None:
+        canvas = _channel_canvas_fast(image, shrink, smooth, cf, packed)
+        return canvas.astype(jnp.float32)
+    return _channel_canvas_per_level(image, shrink, n_per_oct, smooth, cf,
+                                     packed)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("shrink", "n_per_oct", "smooth", "cf", "window", "depth", "packed"),
-)
-def _scan_packed_jit(image, casc: Cascade, valid_mask, shrink, n_per_oct,
-                     smooth, cf, window, depth, packed: PackedPyramidPlan):
-    return _packed_body(image, casc, valid_mask, shrink, n_per_oct, smooth,
-                        cf, window, depth, packed)
+@functools.partial(jax.jit, static_argnames=("window", "depth"))
+def _canvas_cascade_jit(canvas, casc: Cascade, valid_mask, window, depth):
+    """Stage 2: masked lockstep cascade over the canvas.
+
+    Kept as a separate XLA program from the canvas build: composing both into
+    one program triggers pathological XLA scheduling on TPU (50ms vs 5ms, 20x
+    compile time) — measured, not theoretical."""
+    return cascade_response_grid(canvas, casc, window, depth,
+                                 init_alive=valid_mask)
+
+
+def _run_packed(image, casc, valid_mask, shrink, n_per_oct, smooth, cf,
+                window, depth, packed):
+    canvas = _canvas_jit(image, shrink, n_per_oct, smooth, cf, packed)
+    hs, alive, n_weak = _canvas_cascade_jit(canvas, casc, valid_mask, window,
+                                            depth)
+    return canvas, hs, alive, n_weak
 
 
 # ---------------------------------------------------------------------------
@@ -238,9 +398,9 @@ class Model:
         if self._cascade is None or self._cascade_version != self._version:
             stages = [w.to_stage_dict() for w in self.classifier]
             pad_T = max(_round_up(max(len(stages), 1), self.STAGE_PAD), self.STAGE_PAD)
-            casc, depth = casc_ops.cascade_from_stages(stages, self.theta, n_stages=pad_T)
+            casc, meta = casc_ops.cascade_from_stages(stages, self.theta, n_stages=pad_T)
             self._cascade = casc
-            self._cascade_depth = max(depth, 1)
+            self._cascade_depth = meta  # CascadeMeta (hashable, jit-static)
             self._cascade_version = self._version
         return self._cascade, self._cascade_depth
 
@@ -327,12 +487,12 @@ class Model:
         m, n, _ = self.shape
         shrink, n_per_oct, smooth, cf = _normalize_opts(self.channel_opts)
         packed = _packed_plan_cached(image.shape[0], image.shape[1], shrink,
-                                     n_per_oct, (m, n))
+                                     n_per_oct, (m, n), halo=cf.halo)
         if not packed.levels:
             return None
         valid = jnp.asarray(packed.valid_mask((m, n)))
         casc, depth = self._get_cascade()
-        canvas, hs, alive, n_weak = _scan_packed_jit(
+        canvas, hs, alive, n_weak = _run_packed(
             jnp.asarray(image), casc, valid, shrink, n_per_oct, smooth, cf,
             (m, n), depth, packed)
         level_id_map, _ = packed.level_maps((m, n))
@@ -355,12 +515,12 @@ class Model:
         m, n, _ = self.shape
         shrink, n_per_oct, smooth, cf = _normalize_opts(self.channel_opts)
         packed = _packed_plan_cached(image.shape[0], image.shape[1], shrink,
-                                     n_per_oct, (m, n))
+                                     n_per_oct, (m, n), halo=cf.halo)
         if not packed.levels:
             return bbx.empty_boxes(scores=np.empty(0, np.float32))
         valid = jnp.asarray(packed.valid_mask((m, n)))
         casc, depth = self._get_cascade()
-        hs, alive, n_weak = _detect_packed_jit(
+        _, hs, alive, n_weak = _run_packed(
             jnp.asarray(image), casc, valid, shrink, n_per_oct, smooth, cf,
             (m, n), depth, packed)
         # stats: n_loc counts every origin of every level (reference counts

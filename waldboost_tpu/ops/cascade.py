@@ -32,6 +32,7 @@ import numpy as np
 
 __all__ = [
     "Cascade",
+    "CascadeMeta",
     "cascade_from_stages",
     "stack_node_table",
     "tree_depth",
@@ -39,6 +40,13 @@ __all__ = [
     "cascade_predict_samples",
     "NEG_INF",
 ]
+
+
+class CascadeMeta(NamedTuple):
+    """Static (hashable) evaluation metadata of a cascade."""
+
+    depth: int       # max routing steps of any stage tree
+    n_internal: int  # max count of internal (slicing) nodes per stage
 
 NEG_INF = np.float32(-np.inf)
 
@@ -102,6 +110,7 @@ def stack_node_table(stages: Sequence[dict], n_nodes: Optional[int] = None) -> T
         "pred": np.zeros((T, n_nodes), np.float32),
     }
     max_depth = 0
+    n_internal = 1
     for t, s in enumerate(stages):
         k = len(s["threshold"])
         ftr = np.asarray(s["feature"], np.int32).reshape(k, 3)
@@ -109,30 +118,45 @@ def stack_node_table(stages: Sequence[dict], n_nodes: Optional[int] = None) -> T
         # mapping at /root/reference/waldboost/training.py:25; the slice they
         # produce is never routed to, so any in-range value is fine.
         ftr = np.maximum(ftr, 0)
+        left = np.asarray(s["left"], np.int32)
+        right = np.asarray(s["right"], np.int32)
+        thr = np.asarray(s["threshold"], np.float32)
+        pred = np.asarray(s["prediction"], np.float32)
+        # Reorder nodes internal-first (stable) so the grid evaluator only
+        # computes image slices for the first ``n_internal`` nodes — leaves
+        # need no comparison map (e.g. 3 slices instead of 7 for depth-2).
+        is_leaf = left < 0
+        perm = np.argsort(is_leaf, kind="stable")
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(k)
+        remap = lambda c: np.where(c >= 0, inv[np.maximum(c, 0)], -1)
+        ftr, thr, pred = ftr[perm], thr[perm], pred[perm]
+        left, right = remap(left[perm]), remap(right[perm])
+        n_internal = max(n_internal, int((~is_leaf).sum()))
         out["fr"][t, :k] = ftr[:, 0]
         out["fc"][t, :k] = ftr[:, 1]
         out["fch"][t, :k] = ftr[:, 2]
-        out["thr"][t, :k] = np.asarray(s["threshold"], np.float32)
-        out["left"][t, :k] = np.asarray(s["left"], np.int32)
-        out["right"][t, :k] = np.asarray(s["right"], np.int32)
-        out["pred"][t, :k] = np.asarray(s["prediction"], np.float32)
+        out["thr"][t, :k] = thr
+        out["left"][t, :k] = left
+        out["right"][t, :k] = right
+        out["pred"][t, :k] = pred
         max_depth = max(max_depth, tree_depth(out["left"][t], out["right"][t]))
-    return out, max_depth
+    return out, CascadeMeta(depth=max_depth, n_internal=n_internal)
 
 
 def cascade_from_stages(stages: Sequence[dict], thetas: Sequence[float],
                         n_nodes: Optional[int] = None,
-                        n_stages: Optional[int] = None) -> Tuple[Cascade, int]:
+                        n_stages: Optional[int] = None) -> Tuple[Cascade, "CascadeMeta"]:
     """Build a device :class:`Cascade` from per-stage node dicts + thetas.
 
     ``n_stages``/``n_nodes`` allow padding to a larger static shape (padded
     stages predict 0 with theta=-inf, so results are unchanged) — used to
     stabilize jit cache keys while the model grows during training.
-    Returns (cascade, max_depth).
+    Returns (cascade, CascadeMeta).
     """
     T = len(stages)
     pad_T = int(n_stages) if n_stages is not None else T
-    arrays, depth = stack_node_table(list(stages), n_nodes=n_nodes)
+    arrays, meta = stack_node_table(list(stages), n_nodes=n_nodes)
     theta = np.full(pad_T, NEG_INF, np.float32)
     if T:
         theta[:T] = np.asarray(list(thetas), np.float32)
@@ -151,7 +175,7 @@ def cascade_from_stages(stages: Sequence[dict], thetas: Sequence[float],
         pred=jnp.asarray(arrays["pred"]), theta=jnp.asarray(theta),
         active=jnp.asarray(active),
     )
-    return casc, depth
+    return casc, meta
 
 
 # ---------------------------------------------------------------------------
@@ -178,7 +202,7 @@ def _route_and_predict(bins, left, right, pred, node0, depth, nn):
 
 
 def cascade_response_grid(chns: jax.Array, casc: Cascade, window: Tuple[int, int],
-                          depth: int, init_alive: Optional[jax.Array] = None
+                          meta, init_alive: Optional[jax.Array] = None
                           ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Evaluate the full cascade on every window origin of a (C, U, V) channel
     tensor.
@@ -193,6 +217,10 @@ def cascade_response_grid(chns: jax.Array, casc: Cascade, window: Tuple[int, int
     ``n_weak`` but their grid positions DO count toward ``n_loc`` bookkeeping
     done by the caller.
     """
+    if isinstance(meta, int):
+        meta = CascadeMeta(depth=meta, n_internal=int(casc.n_nodes))
+    depth = max(meta.depth, 1)
+    n_slice = min(max(meta.n_internal, 1), casc.n_nodes)
     C, U, V = chns.shape
     m, n = window
     gu, gv = max(U - m, 0), max(V - n, 0)
@@ -206,17 +234,30 @@ def cascade_response_grid(chns: jax.Array, casc: Cascade, window: Tuple[int, int
     node0 = jnp.zeros((gu, gv), jnp.int32)
     n_weak = jnp.zeros((), jnp.int32)
 
-    for t in range(T):
+    def stage(carry, params):
+        hs, alive, n_weak = carry
+        fr, fc, fch, thr, left, right, pred, theta, active = params
+        # comparison maps only for internal nodes (internal-first ordering);
+        # leaves route to themselves so their bin map is never consulted
         bins = []
         for j in range(NN):
-            start = (casc.fch[t, j], casc.fr[t, j], casc.fc[t, j])
-            patch = jax.lax.dynamic_slice(chns, start, (1, gu, gv))[0]
-            bins.append(patch.astype(jnp.float32) <= casc.thr[t, j])
-        resp = _route_and_predict(bins, casc.left[t], casc.right[t],
-                                  casc.pred[t], node0, depth, NN)
-        n_weak = n_weak + jnp.sum(alive, dtype=jnp.int32) * casc.active[t].astype(jnp.int32)
+            if j < n_slice:
+                patch = jax.lax.dynamic_slice(chns, (fch[j], fr[j], fc[j]),
+                                              (1, gu, gv))[0]
+                bins.append(patch.astype(jnp.float32) <= thr[j])
+            else:
+                bins.append(jnp.zeros((), bool))
+        resp = _route_and_predict(bins, left, right, pred, node0, depth, NN)
+        n_weak = n_weak + jnp.sum(alive, dtype=jnp.int32) * active.astype(jnp.int32)
         hs = hs + jnp.where(alive, resp, 0.0)
-        alive = jnp.logical_and(alive, hs >= casc.theta[t])
+        alive = jnp.logical_and(alive, hs >= theta)
+        return (hs, alive, n_weak), None
+
+    # scan over stages: compiles one stage body instead of T unrolled copies
+    (hs, alive, n_weak), _ = jax.lax.scan(
+        stage, (hs, alive, n_weak),
+        (casc.fr, casc.fc, casc.fch, casc.thr, casc.left, casc.right,
+         casc.pred, casc.theta, casc.active))
     return hs, alive, n_weak
 
 
@@ -224,7 +265,7 @@ def cascade_response_grid(chns: jax.Array, casc: Cascade, window: Tuple[int, int
 # Batched sample evaluation (training path)
 # ---------------------------------------------------------------------------
 
-def cascade_predict_samples(x: jax.Array, casc: Cascade, depth: int,
+def cascade_predict_samples(x: jax.Array, casc: Cascade, meta,
                             valid: Optional[jax.Array] = None
                             ) -> Tuple[jax.Array, jax.Array]:
     """Evaluate the cascade on a batch of cropped windows.
@@ -236,6 +277,9 @@ def cascade_predict_samples(x: jax.Array, casc: Cascade, depth: int,
     Returns ``(H, mask)``: scores with rejected samples set to -inf, and the
     survivor mask.
     """
+    if isinstance(meta, int):
+        meta = CascadeMeta(depth=meta, n_internal=int(casc.n_nodes))
+    depth = max(meta.depth, 1)
     N = x.shape[0]
     m, n, C = x.shape[1], x.shape[2], x.shape[3]
     xf = x.reshape(N, m * n * C).astype(jnp.float32)
@@ -246,18 +290,25 @@ def cascade_predict_samples(x: jax.Array, casc: Cascade, depth: int,
     H = jnp.zeros(N, jnp.float32)
     mask = jnp.ones(N, bool) if valid is None else valid
 
-    for t in range(T):
+    def stage(carry, params):
+        H, mask = carry
+        fidx_t, thr_t, left_t, right_t, pred_t, theta_t = params
         node = jnp.zeros(N, jnp.int32)
         for _ in range(depth):
-            f = jnp.take(fidx[t], node)            # (N,)
+            f = jnp.take(fidx_t, node)             # (N,)
             v = jnp.take_along_axis(xf, f[:, None], axis=1)[:, 0]
-            b = v <= jnp.take(casc.thr[t], node)
-            lft = jnp.take(casc.left[t], node)
-            rgt = jnp.take(casc.right[t], node)
+            b = v <= jnp.take(thr_t, node)
+            lft = jnp.take(left_t, node)
+            rgt = jnp.take(right_t, node)
             nxt = jnp.where(b, lft, rgt)
             node = jnp.where(lft < 0, node, nxt)
-        resp = jnp.take(casc.pred[t], node)
+        resp = jnp.take(pred_t, node)
         H = H + jnp.where(mask, resp, 0.0)
-        mask = jnp.logical_and(mask, H >= casc.theta[t])
+        mask = jnp.logical_and(mask, H >= theta_t)
+        return (H, mask), None
+
+    (H, mask), _ = jax.lax.scan(
+        stage, (H, mask),
+        (fidx, casc.thr, casc.left, casc.right, casc.pred, casc.theta))
     H = jnp.where(mask, H, NEG_INF)
     return H, mask

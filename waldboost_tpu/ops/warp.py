@@ -1,0 +1,96 @@
+"""Resize-as-matmul and static halo-reflection permutations.
+
+TPU-first building blocks of the canvas-first pyramid pipeline:
+
+* :func:`resize_matrices` — bilinear resize expressed as two small dense
+  matrices ``out = R_h @ img @ R_w.T`` (2 nonzeros per row).  On TPU this
+  rides the MXU instead of the VPU-hostile gather path, and it is exactly the
+  same arithmetic as lerp (each output row/col is a 2-term convex blend).
+* :func:`reflection_permutation` — a static index map that fills designated
+  halo bands of a canvas with symmetric reflections of the adjacent interior,
+  leaving everything else in place.  Applying it is a single gather; it is
+  how per-level reflect boundary semantics (scipy ``mode='reflect'``,
+  /root/reference/waldboost/channels.py:19-27) survive packing many pyramid
+  levels into one canvas.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["resize_matrices", "reflection_permutation", "apply_row_permutation"]
+
+
+@functools.lru_cache(maxsize=None)
+def _axis_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bilinear sampling matrix, half-pixel-centre convention
+    with edge clamping (same coordinates as ops.image.resize_bilinear)."""
+    R = np.zeros((n_out, n_in), np.float32)
+    coords = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    coords = np.clip(coords, 0.0, n_in - 1.0)
+    i0 = np.floor(coords).astype(np.int64)
+    i0 = np.minimum(i0, max(n_in - 2, 0))
+    frac = (coords - i0).astype(np.float32)
+    R[np.arange(n_out), i0] = 1.0 - frac
+    if n_in > 1:
+        R[np.arange(n_out), np.minimum(i0 + 1, n_in - 1)] += frac
+    return R
+
+
+def resize_matrices(h: int, w: int, nh: int, nw: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Return (R_h, R_w) with ``resized = R_h @ img @ R_w.T``."""
+    return _axis_matrix(h, nh), _axis_matrix(w, nw)
+
+
+def _reflect_index(q: int, lo: int, hi: int) -> int:
+    """Symmetric reflection of coordinate q into [lo, hi): d c b a | a b c d."""
+    n = hi - lo
+    if n <= 0:
+        return lo
+    t = q - lo
+    period = 2 * n
+    t = t % period
+    if t < 0:
+        t += period
+    if t >= n:
+        t = period - 1 - t
+    return lo + t
+
+
+@functools.lru_cache(maxsize=64)
+def reflection_permutation(canvas_shape: Tuple[int, int],
+                           regions: Tuple[Tuple[int, int, int, int, int], ...]
+                           ) -> np.ndarray:
+    """Build a flat (H*W,) int32 index map.
+
+    ``regions``: tuples ``(y, x, h, w, halo)`` — interior rectangles whose
+    surrounding ``halo``-wide band should be filled with the symmetric
+    reflection of the rectangle's content.  Pixels outside any band map to
+    themselves.  Bands of different regions must not overlap (guaranteed by
+    the halo-aware packer).
+    """
+    H, W = canvas_shape
+    idx = np.arange(H * W, dtype=np.int32).reshape(H, W)
+    for (y, x, h, w, halo) in regions:
+        y0, y1 = max(y - halo, 0), min(y + h + halo, H)
+        x0, x1 = max(x - halo, 0), min(x + w + halo, W)
+        ys = np.arange(y0, y1)
+        xs = np.arange(x0, x1)
+        ry = np.array([_reflect_index(v, y, y + h) for v in ys], np.int64)
+        rx = np.array([_reflect_index(v, x, x + w) for v in xs], np.int64)
+        sub = (ry[:, None] * W + rx[None, :]).astype(np.int32)
+        idx[y0:y1, x0:x1] = sub
+    return idx.reshape(-1)
+
+
+def apply_row_permutation(canvas: jax.Array, perm: np.ndarray) -> jax.Array:
+    """Apply a flat permutation over the last two dims of (..., H, W)."""
+    *lead, H, W = canvas.shape
+    flat = canvas.reshape(tuple(lead) + (H * W,))
+    out = jnp.take(flat, jnp.asarray(perm), axis=-1)
+    return out.reshape(canvas.shape)

@@ -17,7 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..channels import _normalize_opts
-from ..model import Model, _packed_body, _packed_plan_cached
+from ..model import (Model, _channel_canvas_fast, _channel_canvas_per_level,
+                     _packed_plan_cached)
+from ..ops.cascade import cascade_response_grid
 from .mesh import data_sharding, replicated
 
 __all__ = ["make_batched_detector", "detect_batch"]
@@ -35,22 +37,42 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
     m, n, _ = model.shape
     shrink, n_per_oct, smooth, cf = _normalize_opts(model.channel_opts)
     packed = _packed_plan_cached(image_shape[0], image_shape[1], shrink,
-                                 n_per_oct, (m, n))
+                                 n_per_oct, (m, n), halo=cf.halo)
     valid = jnp.asarray(packed.valid_mask((m, n)))
     casc, depth = model._get_cascade()
 
-    def one(image):
-        _, hs, alive, n_weak = _packed_body(
-            image, casc, valid, shrink, n_per_oct, smooth, cf, (m, n), depth,
-            packed)
-        return hs, alive, n_weak
+    def canvas_one(image):
+        if cf.canvas_fn is not None:
+            return _channel_canvas_fast(image, shrink, smooth, cf,
+                                        packed).astype(jnp.float32)
+        return _channel_canvas_per_level(image, shrink, n_per_oct, smooth, cf,
+                                         packed)
 
-    batched = jax.vmap(one)
+    def cascade_one(canvas):
+        return cascade_response_grid(canvas, casc, (m, n), depth,
+                                     init_alive=valid)
+
+    canvas_b = jax.vmap(canvas_one)
+    cascade_b = jax.vmap(cascade_one)
+    # two XLA programs (canvas, cascade): composing them into one triggers
+    # pathological scheduling on TPU — see model._canvas_cascade_jit
     if mesh is None:
-        return jax.jit(batched), packed
-    in_sh = data_sharding(mesh, 3)
-    out_sh = (data_sharding(mesh, 3), data_sharding(mesh, 3), data_sharding(mesh, 1))
-    return jax.jit(batched, in_shardings=(in_sh,), out_shardings=out_sh), packed
+        canvas_jit = jax.jit(canvas_b)
+        cascade_jit = jax.jit(cascade_b)
+    else:
+        in_sh = data_sharding(mesh, 3)
+        cv_sh = data_sharding(mesh, 4)
+        out_sh = (data_sharding(mesh, 3), data_sharding(mesh, 3),
+                  data_sharding(mesh, 1))
+        canvas_jit = jax.jit(canvas_b, in_shardings=(in_sh,),
+                             out_shardings=cv_sh)
+        cascade_jit = jax.jit(cascade_b, in_shardings=(cv_sh,),
+                              out_shardings=out_sh)
+
+    def fn(images):
+        return cascade_jit(canvas_jit(images))
+
+    return fn, packed
 
 
 def detect_batch(model: Model, images: np.ndarray, mesh=None):

@@ -1,0 +1,195 @@
+"""Detector evaluation: PR curves, AUC, per-image NMS + GT matching.
+
+Parity with /root/reference/waldboost/testing.py (Evaluator, evaluate_model,
+detect_on_images, random_iterator — including the reference's `cycle` import
+bitrot fixed, SURVEY.md appendix).
+"""
+
+from __future__ import annotations
+
+import logging
+import random
+from itertools import cycle, islice
+from typing import Any, Sequence
+
+import numpy as np
+
+from . import boxes as bbx
+from .boxes import Boxes
+
+__all__ = ["Evaluator", "evaluate_model", "detect_on_images", "random_iterator",
+           "precision_recall", "auc"]
+
+
+def precision_recall(y_true: np.ndarray, scores: np.ndarray):
+    """Precision-recall curve over descending score thresholds.
+
+    Equivalent to sklearn.metrics.precision_recall_curve (used by the
+    reference at /root/reference/waldboost/testing.py:72) but dependency-free:
+    returns (precision, recall, thresholds) with the same conventions
+    (appended P=1, R=0 sentinel; thresholds ascending unique scores).
+    """
+    y_true = np.asarray(y_true, bool).ravel()
+    scores = np.asarray(scores, np.float64).ravel()
+    order = np.argsort(-scores, kind="stable")
+    y = y_true[order]
+    s = scores[order]
+    tp = np.cumsum(y)
+    fp = np.cumsum(~y)
+    # threshold boundaries: last occurrence of each distinct score
+    distinct = np.nonzero(np.diff(s))[0]
+    idx = np.concatenate([distinct, [s.size - 1]])
+    tp_t = tp[idx]
+    fp_t = fp[idx]
+    total_pos = tp[-1] if tp.size else 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        precision = np.where(tp_t + fp_t > 0, tp_t / (tp_t + fp_t), 1.0)
+        recall = tp_t / total_pos if total_pos > 0 else np.zeros_like(tp_t, float)
+    # sklearn returns in increasing-threshold order with a (1, 0) sentinel
+    precision = np.concatenate([precision[::-1], [1.0]])
+    recall = np.concatenate([recall[::-1], [0.0]])
+    thresholds = s[idx][::-1]
+    return precision, recall, thresholds
+
+
+def auc(x: np.ndarray, y: np.ndarray) -> float:
+    """Trapezoidal area under the curve (sklearn.metrics.auc equivalent):
+    direction-aware, preserving the order of tied x points."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    if x.size < 2:
+        return 0.0
+    dx = np.diff(x)
+    if np.all(dx <= 0):
+        return float(-np.trapezoid(y, x))
+    if np.all(dx >= 0):
+        return float(np.trapezoid(y, x))
+    order = np.argsort(x, kind="stable")
+    return float(np.trapezoid(y[order], x[order]))
+
+
+class Evaluator:
+    """Accumulates per-image GT + detections; computes pooled PR/AUC at an IoU
+    threshold (/root/reference/waldboost/testing.py:18-81)."""
+
+    def __init__(self):
+        self.clear()
+
+    def clear(self):
+        self.eval_data = dict()
+
+    def add_ground_truth(self, idx, boxes: Boxes, shape):
+        self.eval_data.setdefault(idx, dict()).update(gt=boxes, shape=shape)
+
+    def add_detections(self, idx, boxes: Boxes):
+        self.eval_data.setdefault(idx, dict()).update(dt=boxes)
+
+    def evaluate(self, match_iou_threshold=0.5, dt_iou_threshold=0.5,
+                 min_gt_area=0, min_gt_area_in_image=1, normalize_ar=None):
+        labels, scores, ignored = [], [], []
+        for img_result in self.eval_data.values():
+            gt_boxes = img_result["gt"]
+            h, w = img_result["shape"]
+            img_box = Boxes(np.array([0, 0, w, h], "f"))
+            if len(gt_boxes):
+                gt_ign_field = (np.asarray(gt_boxes.get_field("ignore")).reshape(-1) != 0
+                                if gt_boxes.has_field("ignore")
+                                else np.zeros(len(gt_boxes), bool))
+                gt_ignore = np.logical_or.reduce([
+                    gt_ign_field,
+                    gt_boxes.area() < min_gt_area,
+                    ~bbx.boxes_in_window(gt_boxes, img_box,
+                                         min_overlap=min_gt_area_in_image),
+                ])
+            else:
+                gt_ignore = np.zeros(0, bool)
+
+            dt_boxes = bbx.non_max_suppression(img_result["dt"],
+                                               iou_threshold=dt_iou_threshold)
+            dt_scores = np.asarray(dt_boxes.get_field("scores")).reshape(-1)
+
+            if normalize_ar is not None:
+                dt_boxes = bbx.set_aspect_ratio(dt_boxes, normalize_ar)
+                gt_boxes = bbx.set_aspect_ratio(gt_boxes, normalize_ar)
+
+            iou = bbx.iou(gt_boxes, dt_boxes)
+
+            if iou.shape[0] > 0:
+                assigned_gt = iou.argmax(axis=0)
+                ign = gt_ignore[assigned_gt]
+                tp = (iou.max(axis=0) > match_iou_threshold)[~ign]
+                score = dt_scores[~ign]
+            else:
+                tp = np.zeros(len(dt_boxes), bool)
+                score = dt_scores
+
+            ignored.append(gt_ignore)
+            labels.append(tp)
+            scores.append(score)
+
+        y_true = np.concatenate(labels) if labels else np.zeros(0, bool)
+        scores = np.concatenate(scores) if scores else np.zeros(0)
+        ignored = np.concatenate(ignored) if ignored else np.zeros(0, bool)
+
+        p, r, t = precision_recall(y_true, scores)
+        return dict(
+            precision=p.tolist(), recall=r.tolist(), threshold=t.tolist(),
+            auc=auc(r, p),
+            iou_threshold=match_iou_threshold,
+            n_eval=int((ignored == 0).sum()),
+            n_ign=int((ignored != 0).sum()),
+        )
+
+
+def random_iterator(seq: Sequence[Any], maxlen=None):
+    """Iterate over random elements of an indexable sequence, cycling forever
+    (or up to maxlen) — /root/reference/waldboost/testing.py:84-96 with the
+    missing ``cycle`` import fixed."""
+    if not hasattr(seq, "__len__") or not hasattr(seq, "__getitem__"):
+        raise TypeError("Sequence must be indexable")
+    order = list(range(len(seq)))
+    random.shuffle(order)
+    for i, j in enumerate(cycle(order)):
+        if maxlen is not None and i > maxlen:
+            return
+        yield seq[j]
+
+
+def detect_on_images(images, *model, gt_key="groundtruth_boxes"):
+    """Per-image (gt, dt, shape) generator over a dataset of dicts
+    (/root/reference/waldboost/testing.py:127-133)."""
+    from . import detect
+    empty = Boxes(np.empty((0, 4), "f"), ignore=np.empty(0, "i"))
+    for data_dict in images:
+        image = data_dict.get("image")
+        gt_boxes = data_dict.get(gt_key, empty)
+        dt_boxes = detect(image, *model)
+        yield gt_boxes, dt_boxes, image.shape[:2]
+
+
+def evaluate_model(testing_images, *model, num_images=None, shuffle=False):
+    """Run the model(s) over a test set and return an :class:`Evaluator`
+    (/root/reference/waldboost/testing.py:99-124)."""
+    if num_images is None:
+        if hasattr(testing_images, "__len__"):
+            num_images = len(testing_images)
+        else:
+            raise ValueError("Require num_images with infinite dataset")
+
+    if shuffle:
+        testing_images = random_iterator(testing_images)
+    imgs = islice(testing_images, num_images)
+
+    E = Evaluator()
+    logging.info(f"Running model on {num_images} images")
+    idx = 0
+    for idx, (gt, dt, shape) in enumerate(detect_on_images(imgs, *model), start=1):
+        E.add_ground_truth(idx, gt, shape)
+        E.add_detections(idx, dt)
+        if idx % 20 == 0:
+            logging.info(f"{idx}")
+
+    if num_images != idx:
+        logging.warning(
+            f"Requested test on {num_images} but only {idx} images were given")
+    return E

@@ -82,7 +82,7 @@ class DTree:
     def fit(X0, W0, X1, W1, max_depth: int = 2, min_samples_leaf: int = 1,
             allowed_features=None, backend: str = "hist", n_bins: int = 256,
             clip: Optional[float] = None, quantizer: Optional[int] = None,
-            **sklearn_args) -> "DTree":
+            integer_thresholds: bool = False, **sklearn_args) -> "DTree":
         """Fit a weak tree on weighted negative (X0, W0) / positive (X1, W1)
         sample sets.
 
@@ -95,6 +95,8 @@ class DTree:
         ``clip``/``quantizer``: optional leaf-response clipping and
         quantization (round(q*p)/q), matching
         /root/reference/waldboost/fpga/training.py:164-168.
+        ``integer_thresholds``: floor thresholds to integers (exact for
+        integer-valued channels; FPGA mode).
         """
         if backend == "sklearn":
             tree = DTree._fit_sklearn(X0, W0, X1, W1, max_depth=max_depth,
@@ -105,6 +107,13 @@ class DTree:
                                    min_samples_leaf=min_samples_leaf,
                                    allowed_features=allowed_features,
                                    n_bins=n_bins)
+        if integer_thresholds:
+            # For integer-valued features, flooring a threshold in (k, k+1)
+            # keeps the split identical while making it HW-evaluable with
+            # integer compares (FPGA mode,
+            # /root/reference/waldboost/fpga/training.py:20-35 trains on
+            # integer bin edges directly).
+            tree.threshold = np.floor(tree.threshold)
         if clip is not None:
             tree.prediction = np.clip(tree.prediction, -clip, clip)
         if quantizer is not None:
