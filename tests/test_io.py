@@ -1,0 +1,111 @@
+"""Native C++ IO runtime tests: bbGt parsing, PNM decoding, prefetch loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from waldboost_tpu import groundtruth
+from waldboost_tpu import io as wio
+
+
+BBGT = """% bbGt version=3
+face 10 20 30 40 0 0 0 0 0 0 0
+face 50 60 20 20 0 0 0 0 0 1 0
+"""
+
+
+def write_pgm(path, img):
+    with open(path, "wb") as f:
+        f.write(f"P5\n# comment\n{img.shape[1]} {img.shape[0]}\n255\n".encode())
+        f.write(img.tobytes())
+
+
+@pytest.fixture(scope="module")
+def native():
+    if not wio.native_available():
+        pytest.skip("native loader unavailable")
+    return True
+
+
+def test_bbgt_native_matches_python(tmp_path, native):
+    p = tmp_path / "a.txt"
+    p.write_text(BBGT)
+    b_native = wio.read_bbgt_native(str(p))
+    b_py = groundtruth.read_bbgt(str(p))
+    np.testing.assert_allclose(b_native.get(), b_py.get())
+    np.testing.assert_array_equal(b_native.get_field("ignore"),
+                                  b_py.get_field("ignore"))
+    # XYWH -> XYXY conversion applied
+    np.testing.assert_allclose(b_native.get()[0], [10, 20, 40, 60])
+
+
+def test_bbgt_native_bad_signature(tmp_path, native):
+    p = tmp_path / "bad.txt"
+    p.write_text("nonsense\n")
+    with pytest.raises(ValueError):
+        wio.read_bbgt_native(str(p))
+
+
+def test_pnm_decode(tmp_path, native):
+    img = np.random.RandomState(0).randint(0, 256, (24, 33)).astype(np.uint8)
+    p = tmp_path / "img.pgm"
+    write_pgm(str(p), img)
+    out = wio.load_pnm_gray(str(p))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_prefetch_dataset_roundtrip(tmp_path, native):
+    rng = np.random.RandomState(1)
+    imgs = []
+    img_paths, ann_paths = [], []
+    for i in range(6):
+        img = rng.randint(0, 256, (16 + i, 20)).astype(np.uint8)
+        imgs.append(img)
+        ip = tmp_path / f"im{i}.pgm"
+        write_pgm(str(ip), img)
+        ap = tmp_path / f"im{i}.txt"
+        ap.write_text(BBGT)
+        img_paths.append(str(ip))
+        ann_paths.append(str(ap))
+
+    ds = wio.PrefetchDataset(img_paths, ann_paths, n_threads=3, queue_cap=4)
+    seen = {}
+    for item in ds:
+        seen[item["index"]] = item
+    ds.close()
+    assert sorted(seen) == list(range(6))
+    for i, img in enumerate(imgs):
+        np.testing.assert_array_equal(seen[i]["image"], img)
+        assert len(seen[i]["groundtruth_boxes"]) == 2
+
+
+def test_prefetch_dataset_feeds_training(tmp_path, native):
+    """The loader is a drop-in source for wb.train's data contract."""
+    rng = np.random.RandomState(2)
+    img_paths = []
+    for i in range(3):
+        img = (rng.rand(64, 64) * 255).astype(np.uint8)
+        img[20:40, 20:40] = 230  # a bright square
+        ip = tmp_path / f"t{i}.pgm"
+        write_pgm(str(ip), img)
+        img_paths.append(str(ip))
+    ds = wio.PrefetchDataset(img_paths, None, n_threads=2, loop=True)
+    item = next(ds)
+    assert item["image"].shape == (64, 64)
+    assert "groundtruth_boxes" in item
+    ds.close()
+
+
+def test_bbgt_dataset_paths(tmp_path, native):
+    (tmp_path / "imgs").mkdir()
+    (tmp_path / "anns").mkdir()
+    write_pgm(str(tmp_path / "imgs" / "x.pgm"),
+              np.zeros((8, 8), np.uint8))
+    (tmp_path / "anns" / "x.txt").write_text(BBGT)
+    write_pgm(str(tmp_path / "imgs" / "y.pgm"),
+              np.zeros((8, 8), np.uint8))
+    ip, ap = wio.bbgt_dataset_paths(str(tmp_path / "imgs"),
+                                    str(tmp_path / "anns"))
+    assert len(ip) == 2
+    assert ap[0].endswith("x.txt") and ap[1] == ""

@@ -123,6 +123,21 @@ def test_fit_stage_and_learner_state(tmp_path):
     assert l2.p0 == learner.p0 and l2.p1 == learner.p1
 
 
+def test_fit_stage_with_empty_positive_class():
+    """Background-only training (min_tp=0 pools) must not crash: degenerate
+    but legal — the reference's NOTES list this as a required behaviour."""
+    X0, _ = gaussian_data()
+    X1 = np.empty((0, 4, 4, 2), "f")
+    model = wb.Model((4, 4, 2), dict(shrink=1, n_per_oct=2, smooth=0,
+                                     channels="grad_hist"))
+    learner = tr.Learner(alpha=0.2, max_depth=1)
+    stage_loss, p0, p1 = learner.fit_stage(
+        model, X0, np.zeros(len(X0), "f"), X1, np.zeros(0, "f"))
+    assert len(model) == 1
+    assert np.isfinite(stage_loss)
+    assert model.theta[0] == -np.inf  # no basis for a threshold
+
+
 def test_fit_stage_explicit_zero_theta_not_refit():
     """theta=0.0 must be used as-is (reference bug: falsy check re-fits it,
     SURVEY.md appendix)."""

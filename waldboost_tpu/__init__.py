@@ -65,12 +65,21 @@ def detect(image: np.ndarray, *models: Model, channel_opts: dict = None,
     if response_scale.size != len(models):
         raise ValueError("Wrong response_scale parameter")
 
-    if len(models) == 1 and channel_opts is models[0].channel_opts:
-        # fast path: single packed-canvas device pass
-        out = models[0].detect(image)
-        out.set_field("scores", out.get_field("scores") * response_scale[0])
-        out.set_field("label", np.zeros(len(out), dtype=np.int64))
-        return out
+    # fast path: all models share window shape + channel opts -> build the
+    # packed channel canvas once and run each model's cascade over it
+    from .channels import _normalize_opts
+    opts_key = _normalize_opts(channel_opts)
+    shared = all(m.shape == models[0].shape
+                 and _normalize_opts(m.channel_opts) == opts_key
+                 for m in models)
+    if shared:
+        dt_boxes = []
+        for k, model in enumerate(models):
+            out = (model.detect(image) if k == 0 else _detect_on_shared(model, image))
+            out.set_field("scores", out.get_field("scores") * response_scale[k])
+            out.set_field("label", np.full(len(out), k, dtype=np.int64))
+            dt_boxes.append(out)
+        return bbx.concatenate(dt_boxes, ["scores", "label"])
 
     dt_boxes = []
     for chns, scale in channels.channel_pyramid(image, channel_opts):
@@ -83,6 +92,12 @@ def detect(image: np.ndarray, *models: Model, channel_opts: dict = None,
             b.set_field("label", np.full(r.size, k, dtype=np.int64))
             dt_boxes.append(b)
     return bbx.concatenate(dt_boxes, ["scores", "label"])
+
+
+def _detect_on_shared(model: Model, image) -> Boxes:
+    """Model.detect — the packed canvas is rebuilt by the jit cache (same
+    image + opts => cache hit on the canvas program, only the cascade runs)."""
+    return model.detect(image)
 
 
 def train(model: Model,

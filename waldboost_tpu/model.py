@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import zlib
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -327,11 +328,38 @@ def _canvas_cascade_jit(canvas, casc: Cascade, valid_mask, window, depth):
                                  init_alive=valid_mask)
 
 
+#: cascade engine: "xla" (lockstep masked scan), "pallas" (fused VMEM kernel
+#: with tile-level SPRT early exit), or "auto" (pallas on TPU, xla elsewhere).
+_CASCADE_BACKEND = os.environ.get("WALDBOOST_TPU_CASCADE", "auto")
+
+
+def set_cascade_backend(name: str) -> None:
+    """Select the cascade evaluation engine ("xla" | "pallas" | "auto")."""
+    global _CASCADE_BACKEND
+    if name not in ("xla", "pallas", "auto"):
+        raise ValueError(f"unknown cascade backend {name!r}")
+    _CASCADE_BACKEND = name
+
+
+def _resolve_cascade_backend() -> str:
+    if _CASCADE_BACKEND == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return _CASCADE_BACKEND
+
+
+def _run_cascade(canvas, casc, valid_mask, window, meta):
+    if _resolve_cascade_backend() == "pallas":
+        from .ops.cascade_pallas import cascade_response_grid_pallas
+        interpret = jax.default_backend() != "tpu"
+        return cascade_response_grid_pallas(canvas, casc, valid_mask, window,
+                                            meta, interpret=interpret)
+    return _canvas_cascade_jit(canvas, casc, valid_mask, window, meta)
+
+
 def _run_packed(image, casc, valid_mask, shrink, n_per_oct, smooth, cf,
                 window, depth, packed):
     canvas = _canvas_jit(image, shrink, n_per_oct, smooth, cf, packed)
-    hs, alive, n_weak = _canvas_cascade_jit(canvas, casc, valid_mask, window,
-                                            depth)
+    hs, alive, n_weak = _run_cascade(canvas, casc, valid_mask, window, depth)
     return canvas, hs, alive, n_weak
 
 
@@ -544,6 +572,46 @@ class Model:
         rects *= inv_scales[lid][:, None]
         out = Boxes(rects)
         out.set_field("scores", scores.astype(np.float32))
+        return out
+
+    def detect_topk(self, image, k: int = 1024, nms_iou: Optional[float] = None) -> Boxes:
+        """Detect with fully on-device extraction: the k highest-scoring
+        surviving windows are mapped to image-space boxes on the device
+        (single top_k + lookup, no dense host transfer), optionally followed
+        by on-device NMS.  Use for throughput paths; ``detect`` returns the
+        complete survivor set.
+        """
+        from .ops.nms import nms_device, topk_detections
+
+        image = np.asarray(image)
+        if image.ndim != 2:
+            raise ValueError("Image must have 2 dimensions")
+        m, n, _ = self.shape
+        shrink, n_per_oct, smooth, cf = _normalize_opts(self.channel_opts)
+        packed = _packed_plan_cached(image.shape[0], image.shape[1], shrink,
+                                     n_per_oct, (m, n), halo=cf.halo)
+        if not packed.levels:
+            return bbx.empty_boxes(scores=np.empty(0, np.float32))
+        valid = jnp.asarray(packed.valid_mask((m, n)))
+        casc, depth = self._get_cascade()
+        _, hs, alive, n_weak = _run_packed(
+            jnp.asarray(image), casc, valid, shrink, n_per_oct, smooth, cf,
+            (m, n), depth, packed)
+        level_id_map, inv_scales = packed.level_maps((m, n))
+        self.n_loc += int((level_id_map >= 0).sum())
+        self.n_weak += int(n_weak)
+        offsets = np.array([(pl.y, pl.x) for pl in packed.levels], np.int32)
+        rects, scores, valid_k = topk_detections(
+            hs, alive, jnp.asarray(level_id_map), jnp.asarray(offsets),
+            jnp.asarray(inv_scales), jnp.asarray([m, n]), k=int(k))
+        if nms_iou is not None:
+            keep = nms_device(rects, scores, valid_k, iou_threshold=float(nms_iou))
+            valid_k = jnp.logical_and(valid_k, keep)
+        rects = np.asarray(rects)
+        scores = np.asarray(scores)
+        sel = np.asarray(valid_k)
+        out = Boxes(rects[sel])
+        out.set_field("scores", scores[sel].astype(np.float32))
         return out
 
     # -- serialization -----------------------------------------------------

@@ -47,6 +47,7 @@ class CascadeMeta(NamedTuple):
 
     depth: int       # max routing steps of any stage tree
     n_internal: int  # max count of internal (slicing) nodes per stage
+    complete: bool = False  # node tables are canonical complete heap trees
 
 NEG_INF = np.float32(-np.inf)
 
@@ -89,14 +90,64 @@ def tree_depth(left: np.ndarray, right: np.ndarray) -> int:
     return depth(0)
 
 
-def stack_node_table(stages: Sequence[dict], n_nodes: Optional[int] = None) -> Tuple[dict, int]:
+def _tree_to_complete(feature, thr, left, right, pred, D):
+    """Canonicalize an arbitrary flat tree of depth <= D into a complete
+    heap-ordered depth-D tree with identical response semantics: shallow
+    leaves become pass-through splits whose children replicate the leaf
+    prediction.  Returns heap-layout arrays of size 2^(D+1)-1."""
+    nn = 2 ** (D + 1) - 1
+    cfeat = np.zeros((nn, 3), np.int32)
+    cthr = np.zeros(nn, np.float32)
+    cleft = np.full(nn, -1, np.int32)
+    cright = np.full(nn, -1, np.int32)
+    cpred = np.zeros(nn, np.float32)
+
+    def rec(orig, heap, d):
+        is_leaf = left[orig] < 0
+        if d == D:
+            cpred[heap] = pred[orig]
+            return
+        cleft[heap] = 2 * heap + 1
+        cright[heap] = 2 * heap + 2
+        cpred[heap] = pred[orig]
+        if is_leaf:
+            # pass-through: dummy compare, both children keep the prediction
+            rec(orig, 2 * heap + 1, d + 1)
+            rec(orig, 2 * heap + 2, d + 1)
+        else:
+            cfeat[heap] = feature[orig]
+            cthr[heap] = thr[orig]
+            rec(int(left[orig]), 2 * heap + 1, d + 1)
+            rec(int(right[orig]), 2 * heap + 2, d + 1)
+
+    rec(0, 0, 0)
+    return cfeat, cthr, cleft, cright, cpred
+
+
+#: canonicalize to complete heap trees when the cascade depth is at most this
+#: (2^(D+1)-1 nodes; beyond it the general routing path is used)
+MAX_COMPLETE_DEPTH = 4
+
+
+def stack_node_table(stages: Sequence[dict], n_nodes: Optional[int] = None) -> Tuple[dict, "CascadeMeta"]:
     """Pad per-stage node dicts to a common node count and stack into (T, NN)
     numpy arrays.  Each stage dict has keys feature (K,3) int, threshold (K,),
     left (K,), right (K,), prediction (K,).  Padded nodes are inert leaves.
 
-    Returns (arrays_dict, max_depth).
+    When every stage tree has depth <= MAX_COMPLETE_DEPTH, all stages are
+    canonicalized to complete heap-ordered trees of the cascade's max depth
+    (identical responses; shallow leaves become pass-through splits), which
+    enables the evaluators' fast select-tree routing (2^D - 1 selects instead
+    of a general node-transition loop).
+
+    Returns (arrays_dict, CascadeMeta).
     """
     T = len(stages)
+    depths = [tree_depth(np.asarray(s["left"]), np.asarray(s["right"]))
+              for s in stages]
+    max_depth = max(depths, default=0)
+    if T and 0 < max_depth <= MAX_COMPLETE_DEPTH and n_nodes is None:
+        return _stack_complete(stages, max_depth)
     if n_nodes is None:
         n_nodes = max((len(s["threshold"]) for s in stages), default=1)
     n_nodes = max(int(n_nodes), 1)
@@ -141,7 +192,37 @@ def stack_node_table(stages: Sequence[dict], n_nodes: Optional[int] = None) -> T
         out["right"][t, :k] = right
         out["pred"][t, :k] = pred
         max_depth = max(max_depth, tree_depth(out["left"][t], out["right"][t]))
-    return out, CascadeMeta(depth=max_depth, n_internal=n_internal)
+    return out, CascadeMeta(depth=max_depth, n_internal=n_internal,
+                            complete=False)
+
+
+def _stack_complete(stages: Sequence[dict], D: int) -> Tuple[dict, "CascadeMeta"]:
+    T = len(stages)
+    nn = 2 ** (D + 1) - 1
+    out = {
+        "fr": np.zeros((T, nn), np.int32),
+        "fc": np.zeros((T, nn), np.int32),
+        "fch": np.zeros((T, nn), np.int32),
+        "thr": np.zeros((T, nn), np.float32),
+        "left": np.full((T, nn), -1, np.int32),
+        "right": np.full((T, nn), -1, np.int32),
+        "pred": np.zeros((T, nn), np.float32),
+    }
+    for t, s in enumerate(stages):
+        k = len(s["threshold"])
+        ftr = np.maximum(np.asarray(s["feature"], np.int32).reshape(k, 3), 0)
+        cfeat, cthr, cleft, cright, cpred = _tree_to_complete(
+            ftr, np.asarray(s["threshold"], np.float32),
+            np.asarray(s["left"], np.int32), np.asarray(s["right"], np.int32),
+            np.asarray(s["prediction"], np.float32), D)
+        out["fr"][t] = cfeat[:, 0]
+        out["fc"][t] = cfeat[:, 1]
+        out["fch"][t] = cfeat[:, 2]
+        out["thr"][t] = cthr
+        out["left"][t] = cleft
+        out["right"][t] = cright
+        out["pred"][t] = cpred
+    return out, CascadeMeta(depth=D, n_internal=2 ** D - 1, complete=True)
 
 
 def cascade_from_stages(stages: Sequence[dict], thetas: Sequence[float],
@@ -182,6 +263,17 @@ def cascade_from_stages(stages: Sequence[dict], thetas: Sequence[float],
 # Dense grid evaluation (detection path)
 # ---------------------------------------------------------------------------
 
+def _route_complete(bins, pred, depth):
+    """Fast response for canonical complete heap trees: a balanced select
+    tree (2^depth - 1 selects).  ``bins[h]`` is the comparison map of heap
+    node h; leaf predictions live at pred[2^depth-1 + path]."""
+    def rec(h, d):
+        if d == depth:
+            return pred[h]
+        return jnp.where(bins[h], rec(2 * h + 1, d + 1), rec(2 * h + 2, d + 1))
+    return rec(0, 0)
+
+
 def _route_and_predict(bins, left, right, pred, node0, depth, nn):
     """Route windows through one tree given per-node comparison maps.
 
@@ -221,6 +313,7 @@ def cascade_response_grid(chns: jax.Array, casc: Cascade, window: Tuple[int, int
         meta = CascadeMeta(depth=meta, n_internal=int(casc.n_nodes))
     depth = max(meta.depth, 1)
     n_slice = min(max(meta.n_internal, 1), casc.n_nodes)
+    complete = getattr(meta, "complete", False)
     C, U, V = chns.shape
     m, n = window
     gu, gv = max(U - m, 0), max(V - n, 0)
@@ -247,7 +340,10 @@ def cascade_response_grid(chns: jax.Array, casc: Cascade, window: Tuple[int, int
                 bins.append(patch.astype(jnp.float32) <= thr[j])
             else:
                 bins.append(jnp.zeros((), bool))
-        resp = _route_and_predict(bins, left, right, pred, node0, depth, NN)
+        if complete:
+            resp = _route_complete(bins, pred, depth)
+        else:
+            resp = _route_and_predict(bins, left, right, pred, node0, depth, NN)
         n_weak = n_weak + jnp.sum(alive, dtype=jnp.int32) * active.astype(jnp.int32)
         hs = hs + jnp.where(alive, resp, 0.0)
         alive = jnp.logical_and(alive, hs >= theta)

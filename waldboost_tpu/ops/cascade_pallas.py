@@ -41,7 +41,7 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _make_kernel(T, NN, n_internal, depth, TU, TV, HU, HV, C):
+def _make_kernel(T, NN, n_internal, depth, TU, TV, HU, HV, C, m, n, complete):
     def kernel(fr_ref, fc_ref, fch_ref, thr_ref, left_ref, right_ref,
                pred_ref, theta_ref, active_ref,
                mask_ref, canvas_hbm,
@@ -70,33 +70,50 @@ def _make_kernel(T, NN, n_internal, depth, TU, TV, HU, HV, C):
             for jj in range(NN):
                 if jj < n_internal:
                     # Mosaic requires 8/128-aligned dynamic slice offsets on
-                    # the tiled dims; feature offsets are arbitrary, so shift
-                    # with a dynamic rotate (native tpu op) + static slice.
-                    # The wrap-around rows land beyond [0:TU/TV) since the
-                    # offsets are bounded by the window halo.
+                    # the tiled dims, and its dynamic rotates miscompile on
+                    # multi-register shapes (measured on v5e).  The feature
+                    # offsets are bounded by the window (m x n, static), so
+                    # select among the static shifted slices instead: one
+                    # select chain over rows, one over columns.
                     plane = tile_ref[fch_ref[t, jj]]
-                    plane = pltpu.roll(plane, -fr_ref[t, jj], 0)
-                    plane = pltpu.roll(plane, -fc_ref[t, jj], 1)
-                    patch = plane[:TU, :TV]
+                    fr = fr_ref[t, jj]
+                    fc = fc_ref[t, jj]
+                    rowed = jnp.zeros((TU, TV + HV), jnp.float32)
+                    for rr in range(m):
+                        rowed = jnp.where(fr == rr, plane[rr:rr + TU, :],
+                                          rowed)
+                    patch = jnp.zeros((TU, TV), jnp.float32)
+                    for cc in range(n):
+                        patch = jnp.where(fc == cc, rowed[:, cc:cc + TV],
+                                          patch)
                     bins.append(patch <= thr_ref[t, jj])
                 else:
                     bins.append(None)
 
-            node = jnp.zeros((TU, TV), jnp.int32)
-            for _ in range(depth):
-                new_node = node
+            if complete:
+                # canonical complete heap tree: balanced select tree
+                def rec(h, d):
+                    if d == depth:
+                        return jnp.full((TU, TV), pred_ref[t, h])
+                    return jnp.where(bins[h], rec(2 * h + 1, d + 1),
+                                     rec(2 * h + 2, d + 1))
+                resp = rec(0, 0)
+            else:
+                node = jnp.zeros((TU, TV), jnp.int32)
+                for _ in range(depth):
+                    new_node = node
+                    for jj in range(NN):
+                        lft = left_ref[t, jj]
+                        rgt = right_ref[t, jj]
+                        if bins[jj] is not None:
+                            tgt = jnp.where(bins[jj], lft, rgt)
+                            tgt = jnp.where(lft < 0, jj, tgt)
+                            new_node = jnp.where(node == jj, tgt, new_node)
+                        # leaves route to themselves: node already == jj
+                    node = new_node
+                resp = jnp.zeros((TU, TV), jnp.float32)
                 for jj in range(NN):
-                    lft = left_ref[t, jj]
-                    rgt = right_ref[t, jj]
-                    if bins[jj] is not None:
-                        tgt = jnp.where(bins[jj], lft, rgt)
-                        tgt = jnp.where(lft < 0, jj, tgt)
-                        new_node = jnp.where(node == jj, tgt, new_node)
-                    # leaves route to themselves: node already == jj
-                node = new_node
-            resp = jnp.zeros((TU, TV), jnp.float32)
-            for jj in range(NN):
-                resp = jnp.where(node == jj, pred_ref[t, jj], resp)
+                    resp = jnp.where(node == jj, pred_ref[t, jj], resp)
 
             n_weak = n_weak + (jnp.sum(alive).astype(jnp.int32)
                                * active_ref[t, 0].astype(jnp.int32))
@@ -144,6 +161,7 @@ def cascade_response_grid_pallas(
     TV = min(TV, _round_up(max(gv, 128), 128))
     depth = max(meta.depth, 1)
     n_internal = min(max(meta.n_internal, 1), casc.n_nodes)
+    complete = getattr(meta, "complete", False)
     T, NN = casc.n_stages, casc.n_nodes
 
     gi = max(-(-gu // TU), 1)
@@ -163,7 +181,7 @@ def cascade_response_grid_pallas(
         return pl.BlockSpec(shape, lambda i, j: tuple(0 for _ in shape),
                             memory_space=pltpu.SMEM)
 
-    kernel = _make_kernel(T, NN, n_internal, depth, TU, TV, HU, HV, C)
+    kernel = _make_kernel(T, NN, n_internal, depth, TU, TV, HU, HV, C, m, n, complete)
 
     hs, alive, nweak = pl.pallas_call(
         kernel,

@@ -1,0 +1,99 @@
+"""On-device non-maximum suppression and top-k detection extraction.
+
+The reference leaves NMS to the external bbx package on the host
+(/root/reference/waldboost/testing.py:46); BASELINE.json's north star asks
+for NMS and pyramid-coordinate mapping on device to avoid host round-trips.
+
+Greedy score-descending NMS is inherently sequential, but for a fixed-K
+candidate set it vectorizes as a K-step ``fori_loop`` over an IoU matrix —
+O(K^2) elementwise work that the VPU eats for realistic K (<= a few
+thousand).  Exactly equivalent to the host implementation in
+waldboost_tpu.boxes.non_max_suppression.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["iou_matrix_device", "nms_device", "topk_detections"]
+
+
+def iou_matrix_device(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Pairwise IoU of (N,4) / (M,4) XYXY rects."""
+    x1 = jnp.maximum(a[:, None, 0], b[None, :, 0])
+    y1 = jnp.maximum(a[:, None, 1], b[None, :, 1])
+    x2 = jnp.minimum(a[:, None, 2], b[None, :, 2])
+    y2 = jnp.minimum(a[:, None, 3], b[None, :, 3])
+    inter = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    area_a = jnp.maximum(a[:, 2] - a[:, 0], 0) * jnp.maximum(a[:, 3] - a[:, 1], 0)
+    area_b = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(b[:, 3] - b[:, 1], 0)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold",))
+def nms_device(rects: jax.Array, scores: jax.Array, valid: jax.Array,
+               iou_threshold: float = 0.5) -> jax.Array:
+    """Greedy NMS over a fixed-capacity candidate set.
+
+    rects (K, 4), scores (K,), valid (K,) bool (padding mask).
+    Returns keep (K,) bool.  Equivalent to
+    waldboost_tpu.boxes.non_max_suppression on the valid subset.
+    """
+    K = rects.shape[0]
+    order = jnp.argsort(jnp.where(valid, -scores, jnp.inf), stable=True)
+    r = rects[order]
+    v = valid[order]
+    m = iou_matrix_device(r, r)
+
+    def body(i, state):
+        keep, suppressed = state
+        active = jnp.logical_and(v[i], jnp.logical_not(suppressed[i]))
+        keep = keep.at[i].set(active)
+        sup_row = jnp.logical_and(active, m[i] > iou_threshold)
+        suppressed = jnp.logical_or(suppressed, sup_row)
+        return keep, suppressed
+
+    keep0 = jnp.zeros(K, bool)
+    suppressed0 = jnp.logical_not(v)
+    keep, _ = jax.lax.fori_loop(0, K, body, (keep0, suppressed0))
+    # un-permute
+    inv = jnp.argsort(order)
+    return keep[inv]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def topk_detections(hs: jax.Array, alive: jax.Array, level_id: jax.Array,
+                    offsets: jax.Array, inv_scales: jax.Array,
+                    window: jax.Array, k: int = 1024
+                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fixed-capacity on-device extraction of the top-k surviving windows of
+    a packed-canvas response map as image-space boxes.
+
+    hs/alive: (GU, GV) response map + survivor mask; level_id: (GU, GV)
+    static map (-1 outside levels); offsets: (L, 2) level canvas offsets;
+    inv_scales: (L,) 1/scale per level; window: (2,) [m, n].
+
+    Returns (rects (k, 4) XYXY image space, scores (k,), valid (k,) bool).
+    """
+    gu, gv = hs.shape
+    flat_scores = jnp.where(alive, hs, -jnp.inf).reshape(-1)
+    k = min(k, flat_scores.shape[0])
+    scores, idx = jax.lax.top_k(flat_scores, k)
+    rs = idx // gv
+    cs = idx % gv
+    lid = jnp.maximum(level_id.reshape(-1)[idx], 0)
+    valid = jnp.isfinite(scores)
+    local_r = rs - offsets[lid, 0]
+    local_c = cs - offsets[lid, 1]
+    x1 = local_c.astype(jnp.float32)
+    y1 = local_r.astype(jnp.float32)
+    m = window[0].astype(jnp.float32)
+    n = window[1].astype(jnp.float32)
+    rects = jnp.stack([x1, y1, x1 + n, y1 + m], axis=1)
+    rects = rects * inv_scales[lid][:, None]
+    return rects, scores, valid

@@ -48,8 +48,11 @@ def weights(H: np.ndarray) -> np.ndarray:
 
 
 def as_features(X: np.ndarray) -> np.ndarray:
+    X = np.asarray(X)
     n = X.shape[0]
-    return np.asarray(X).reshape(n, -1)
+    # explicit feature count: reshape(n, -1) cannot infer -1 when n == 0
+    f = int(np.prod(X.shape[1:])) if X.ndim > 1 else 0
+    return X.reshape(n, f)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -248,10 +251,13 @@ class DTree:
 
 
 def loss(H0, H1) -> float:
-    """Exp-loss of current scores (/root/reference/waldboost/training.py:99-102)."""
+    """Exp-loss of current scores (/root/reference/waldboost/training.py:99-102).
+    An empty class contributes 0 (degenerate pools are legal here)."""
     W0 = weights(H0)
     W1 = weights(-np.asarray(H1))
-    return float(W0.mean() + W1.mean())
+    m0 = float(W0.mean()) if W0.size else 0.0
+    m1 = float(W1.mean()) if W1.size else 0.0
+    return m0 + m1
 
 
 class Learner:
@@ -354,6 +360,10 @@ def fit_rejection_threshold(H0, P0, H1, P1, alpha) -> float:
     ``p = P(H < t)``, and return the largest t with ``R > 1/alpha``."""
     H0 = np.asarray(H0, np.float64)
     H1 = np.asarray(H1, np.float64)
+    if H0.size == 0 or H1.size == 0:
+        # degenerate pool (a class is empty): no basis for a threshold
+        logger.log(15, "Empty sample class, theta forced to -inf")
+        return float(-np.inf)
     max0 = np.max(H0)
     min1 = np.min(H1)
     if max0 < min1:
