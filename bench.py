@@ -25,34 +25,60 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_model
-    from waldboost_tpu.parallel.detect import make_batched_detector
+    from waldboost_tpu.channels import _normalize_opts
+    from waldboost_tpu.model import (_channel_canvas_fast, _packed_plan_cached)
+    from waldboost_tpu.ops.cascade_pallas import cascade_response_grid_pallas
 
     h, w = 480, 640
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
-    iters = int(os.environ.get("BENCH_ITERS", "12"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
     warmup = 2
 
+    # calibrated thetas: eval_cost in the 2-6 range of real trained detectors
     model = _flagship_model()
-    # trained-detector-like rejection schedule so SPRT early-exit engages
-    model.theta = [(-2.0 if t < 2 else -0.5 + 0.02 * t) for t in range(len(model))]
-    model._version += 1
+    m, n, _ = model.shape
+    shrink, n_per_oct, smooth, cf = _normalize_opts(model.channel_opts)
+    packed = _packed_plan_cached(h, w, shrink, n_per_oct, (m, n), halo=cf.halo)
+    casc, meta = model._get_cascade()
+    valid = jnp.asarray(packed.valid_mask((m, n)))
+    use_pallas = jax.default_backend() == "tpu"
 
-    fn, packed = make_batched_detector(model, (h, w))
+    canvas_b = jax.vmap(
+        lambda im: _channel_canvas_fast(im, shrink, smooth, cf,
+                                        packed).astype(jnp.float32))
 
+    @jax.jit
+    def detect_batch(images):
+        cvs = canvas_b(images)
+        if use_pallas:
+            outs = [cascade_response_grid_pallas(
+                cvs[i], casc, valid, (m, n), meta, tile=(128, 256))[2]
+                for i in range(batch)]
+        else:
+            from waldboost_tpu.ops.cascade import cascade_response_grid
+            outs = [cascade_response_grid(cvs[i], casc, (m, n), meta,
+                                          init_alive=valid)[2]
+                    for i in range(batch)]
+        return jnp.stack(outs).sum()
+
+    # distinct images every call: the axon runtime dedupes identical
+    # executions; the trailing scalar fetch drains the FIFO (block_until_ready
+    # is unreliable through the tunnel)
     rng = np.random.RandomState(0)
     batches = [
         jnp.asarray(rng.randint(0, 256, (batch, h, w)).astype(np.uint8))
         for _ in range(iters + warmup)
     ]
 
-    out = None
     for i in range(warmup):
-        out = fn(batches[i])
-    jax.block_until_ready(out)
+        out = detect_batch(batches[i])
+    _ = float(out)
 
     t0 = time.perf_counter()
-    outs = [fn(batches[warmup + i]) for i in range(iters)]
-    jax.block_until_ready(outs)
+    last = None
+    for i in range(iters):
+        last = detect_batch(batches[warmup + i])
+    _ = float(last)
     dt = time.perf_counter() - t0
 
     mp = h * w / 1e6 * batch * iters

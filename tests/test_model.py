@@ -99,6 +99,55 @@ def test_predict_shape_validation():
         model.predict(np.zeros((2, 4, 4, 4), "f"))
 
 
+def test_two_phase_detect_matches_dense():
+    """The two-phase (lockstep prefix + compacted suffix) path must return
+    exactly the dense lockstep path's survivor set and scores."""
+    from waldboost_tpu import model as wm
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (96, 112)).astype(np.uint8)
+    # 20 stages (> prefix) with thetas that reject most windows early
+    model = make_model(n_stages=20, shape=(8, 8, 4), seed=12, with_theta=False,
+                       opts=dict(shrink=2, n_per_oct=3, smooth=1,
+                                 channels="grad_hist"))
+    base = model.detect(img)  # calibrate thetas from real score scale
+    q = np.quantile(base.get_field("scores"), 0.7)
+    model.theta = [(-np.inf if t < 2 else float(q)) for t in range(20)]
+    model._version += 1
+
+    two = model.detect(img)  # uses the two-phase path (20 > prefix)
+    old = wm.TWO_PHASE_PREFIX
+    try:
+        wm.TWO_PHASE_PREFIX = 10 ** 9  # force dense path
+        dense = model.detect(img)
+    finally:
+        wm.TWO_PHASE_PREFIX = old
+    assert len(two) == len(dense)
+    def keyset(bx):
+        arr = np.concatenate([bx.get(), bx.get_field("scores").reshape(-1, 1)], 1)
+        return set(map(tuple, np.round(arr, 3).tolist()))
+    assert keyset(two) == keyset(dense)
+
+
+def test_two_phase_overflow_falls_back():
+    """With every window surviving phase 1 (capacity overflow), detect must
+    fall back to the dense path and still return the full survivor set."""
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (64, 72)).astype(np.uint8)
+    model = make_model(n_stages=16, shape=(8, 8, 4), seed=14, with_theta=False,
+                       opts=dict(shrink=2, n_per_oct=2, smooth=0,
+                                 channels="grad_hist"))
+    # thetas -inf: every valid window survives -> way beyond capacity
+    out = model.detect(img)
+    n_valid = 0
+    from waldboost_tpu.model import _packed_plan_cached
+    from waldboost_tpu.channels import _normalize_opts
+    shrink, n_per_oct, smooth, cf = _normalize_opts(model.channel_opts)
+    packed = _packed_plan_cached(64, 72, shrink, n_per_oct, (8, 8),
+                                 halo=cf.halo)
+    n_valid = int(packed.valid_mask((8, 8)).sum())
+    assert len(out) == n_valid  # full survivor set despite overflow
+
+
 def test_multi_model_detect():
     img = np.random.RandomState(4).randint(0, 256, (48, 56)).astype(np.uint8)
     m1 = make_model(n_stages=3, seed=5)

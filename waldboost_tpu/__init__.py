@@ -100,6 +100,45 @@ def _detect_on_shared(model: Model, image) -> Boxes:
     return model.detect(image)
 
 
+def train_softcascade(shape, channel_opts, length, training_images,
+                      callbacks=(), casc_thr: float = -1.0,
+                      pool: SamplePool = None):
+    """Experimental constant-soft-cascade training
+    (/root/reference/waldboost/__init__.py:230-269 — which warns "Do not use
+    this function"; retained for API completeness, reimplemented without the
+    reference's broken pieces).
+
+    Trains ``len(length)`` sub-cascades of ``length[i]`` stages each with no
+    per-stage rejection, then installs a constant rejection threshold.
+    Returns the final model.
+    """
+    logging.warning("train_softcascade is experimental; prefer wb.train")
+    pool = pool or SamplePool(min_tp=4000, min_fp=20000, min_tp_iou=0.75,
+                              max_tp_candidates=5, max_fp_candidates=50)
+    model = Model(shape, channel_opts)
+    pool.update(model, training_images)
+
+    for stage, stage_length in enumerate(length):
+        learner = Learner(max_depth=2)
+        for _ in range(stage_length):
+            pool.update(model, training_images)
+            X0, H0 = pool.get_false_positives()
+            X1, H1 = pool.get_true_positives()
+            learner.fit_stage(model, X0, H0, X1, H1, theta=float(-np.inf))
+        model.theta = [casc_thr] * len(model)
+        model._version += 1
+        for cb in callbacks:
+            cb(model, learner, stage)
+        if stage == len(length) - 1:
+            return model
+        pool.update(model, training_images)
+        if pool.samples is not None and len(pool.samples):
+            scores = pool.samples.get_field("scores")
+            pool.samples.set_field("scores", np.zeros_like(scores))
+        model = Model(shape, channel_opts)
+    return model
+
+
 def train(model: Model,
           training_images,
           learner: Learner = None,

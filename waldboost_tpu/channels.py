@@ -160,7 +160,11 @@ def _grad_mag_canvas_fn(canvas: jax.Array, ctx: CanvasCtx, norm: int = 5,
     halos hold reflected image pixels, so level-edge gradients are exact);
     the magnitude is then halo-reflected before the triangle normalization so
     the norm conv sees reflected *magnitudes*, exactly like the per-level
-    reference (/root/reference/waldboost/channels.py:30-37)."""
+    reference (/root/reference/waldboost/channels.py:30-37).
+
+    Shifted-adds (VPU) throughout: single-input-channel convolutions are an
+    MXU-hostile shape (measured 8x slower than the elementwise form).
+    """
     gx, gy = imops.gradients(canvas.astype(jnp.float32))
     mag = jnp.sqrt(gx * gx + gy * gy)
     if norm is not None and norm > 1:
@@ -173,7 +177,7 @@ def _grad_mag_canvas_fn(canvas: jax.Array, ctx: CanvasCtx, norm: int = 5,
 
 def _grad_hist_canvas_fn(canvas: jax.Array, ctx: CanvasCtx, n_bins: int = 4,
                          full: bool = False, bias: float = 0.0) -> jax.Array:
-    # single gradient pass; level halos make level-edge gradients exact
+    # single gradient pass (shifted adds); level halos make edges exact
     return _grad_hist_fn(canvas, n_bins=n_bins, full=full, bias=bias)
 
 

@@ -225,8 +225,7 @@ def _channel_canvas_fast(image, shrink, smooth, cf, packed: PackedPyramidPlan):
     every level rect are identical to the per-level reference pipeline.
     """
     from .channels import CanvasCtx, _compute_octaves
-    from .ops.warp import (apply_row_permutation, reflection_permutation,
-                           resize_matrices)
+    from .ops.warp import reflect_halos, resize_matrices
 
     n_oct = max(pl.level.octave for pl in packed.levels) + 1
     octaves = _compute_octaves(image, n_oct)
@@ -239,8 +238,11 @@ def _channel_canvas_fast(image, shrink, smooth, cf, packed: PackedPyramidPlan):
         oct_img = octaves[lv.octave].astype(jnp.float32)
         Rh, Rw = resize_matrices(oct_img.shape[0], oct_img.shape[1],
                                  lv.height, lv.width)
+        # HIGHEST precision: the TPU default runs f32 matmuls in bf16, whose
+        # ~0.5-unit error breaks the deterministic trunc-tie convention
         im = jnp.einsum("ah,hw,bw->ab", jnp.asarray(Rh), oct_img,
-                        jnp.asarray(Rw), preferred_element_type=jnp.float32)
+                        jnp.asarray(Rw), preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         if is_int:
             # truncating cast back to the input dtype with the deterministic
             # exact-arithmetic convention (ops.image.resize_bilinear)
@@ -249,10 +251,9 @@ def _channel_canvas_fast(image, shrink, smooth, cf, packed: PackedPyramidPlan):
             img_canvas, im, (pl.y * shrink, pl.x * shrink))
 
     if cf.boundary == "reflect" and cf.halo > 0:
-        perm = reflection_permutation((Hc_img, Wc_img),
-                                      packed.reflect_regions())
-        img_canvas = apply_row_permutation(img_canvas, perm)
-        reflect = lambda x: apply_row_permutation(x, perm)
+        regions = packed.reflect_regions()
+        img_canvas = reflect_halos(img_canvas, regions)
+        reflect = lambda x: reflect_halos(x, regions)
     else:
         reflect = lambda x: x
 
@@ -361,6 +362,48 @@ def _run_packed(image, casc, valid_mask, shrink, n_per_oct, smooth, cf,
     canvas = _canvas_jit(image, shrink, n_per_oct, smooth, cf, packed)
     hs, alive, n_weak = _run_cascade(canvas, casc, valid_mask, window, depth)
     return canvas, hs, alive, n_weak
+
+
+#: lockstep stage-prefix length and survivor capacity of two-phase evaluation
+TWO_PHASE_PREFIX = 12
+TWO_PHASE_CAPACITY = 4096
+
+
+@functools.partial(jax.jit, static_argnames=("window", "meta", "k1", "capacity"))
+def _two_phase_jit(canvas, casc: Cascade, valid_mask, window, meta,
+                   k1: int = TWO_PHASE_PREFIX,
+                   capacity: int = TWO_PHASE_CAPACITY):
+    """Two-phase cascade: lockstep stages [0:k1) over the whole grid, then
+    top-``capacity`` survivor compaction and per-window gather evaluation of
+    stages [k1:T).  Exact (monotone rejection) as long as phase-1 survivors
+    fit in ``capacity`` — the returned count lets callers detect overflow and
+    fall back to the dense path.
+
+    Returns (idx, scores, alive, n_weak, phase1_count): flattened window-grid
+    indices of candidate survivors, their final scores, survivor mask, the
+    exact weak-eval counter, and the phase-1 survivor count.
+    """
+    from .ops.cascade import cascade_suffix_sparse, slice_cascade
+
+    T = casc.n_stages
+    k1 = min(k1, T)
+    pre = slice_cascade(casc, 0, k1)
+    if _resolve_cascade_backend() == "pallas":
+        from .ops.cascade_pallas import cascade_response_grid_pallas
+        interpret = jax.default_backend() != "tpu"
+        hs1, alive1, nw1 = cascade_response_grid_pallas(
+            canvas, pre, valid_mask, window, meta, interpret=interpret)
+    else:
+        hs1, alive1, nw1 = cascade_response_grid(canvas, pre, window, meta,
+                                                 init_alive=valid_mask)
+    flat = jnp.where(alive1, hs1, -jnp.inf).reshape(-1)
+    cap = min(capacity, flat.shape[0])
+    scores, idx = jax.lax.top_k(flat, cap)
+    aliveK = jnp.isfinite(scores)
+    count1 = jnp.sum(alive1, dtype=jnp.int32)
+    H, aliveK, nw2 = cascade_suffix_sparse(canvas, casc, window, meta,
+                                           idx, scores, aliveK, k1)
+    return idx, H, aliveK, nw1 + nw2, count1
 
 
 # ---------------------------------------------------------------------------
@@ -548,21 +591,44 @@ class Model:
             return bbx.empty_boxes(scores=np.empty(0, np.float32))
         valid = jnp.asarray(packed.valid_mask((m, n)))
         casc, depth = self._get_cascade()
+        level_id_map, inv_scales = packed.level_maps((m, n))
+        self.n_loc += int((level_id_map >= 0).sum())
+        gv = packed.canvas_w - n
+
+        # two-phase fast path: lockstep prefix + compacted suffix (exact as
+        # long as phase-1 survivors fit the capacity; the count tells us)
+        if casc.n_stages > TWO_PHASE_PREFIX:
+            canvas = _canvas_jit(jnp.asarray(image), shrink, n_per_oct,
+                                 smooth, cf, packed)
+            idx, H, aliveK, n_weak, count1 = _two_phase_jit(
+                canvas, casc, valid, (m, n), depth)
+            if int(count1) <= min(TWO_PHASE_CAPACITY, valid.size):
+                self.n_weak += int(n_weak)
+                sel = np.asarray(aliveK)
+                idx = np.asarray(idx)[sel]
+                scores = np.asarray(H)[sel]
+                rs, cs = idx // gv, idx % gv
+                return self._boxes_from_canvas_origins(
+                    rs, cs, scores, packed, level_id_map, inv_scales)
+            # overflow: fall through to the dense path (n_weak discarded)
+
         _, hs, alive, n_weak = _run_packed(
             jnp.asarray(image), casc, valid, shrink, n_per_oct, smooth, cf,
             (m, n), depth, packed)
-        # stats: n_loc counts every origin of every level (reference counts
-        # per-level grids, /root/reference/waldboost/model.py:248)
-        level_id_map, inv_scales = packed.level_maps((m, n))
-        self.n_loc += int((level_id_map >= 0).sum())
         self.n_weak += int(n_weak)
         alive_np = np.asarray(alive)
         rs, cs = np.nonzero(alive_np)
-        if rs.size == 0:
+        scores = np.asarray(hs)[rs, cs] if rs.size else np.empty(0, np.float32)
+        return self._boxes_from_canvas_origins(rs, cs, scores, packed,
+                                               level_id_map, inv_scales)
+
+    def _boxes_from_canvas_origins(self, rs, cs, scores, packed,
+                                   level_id_map, inv_scales) -> Boxes:
+        """Canvas window origins -> image-space boxes with scores."""
+        if np.size(rs) == 0:
             return bbx.empty_boxes(scores=np.empty(0, np.float32))
-        scores = np.asarray(hs)[rs, cs]
+        m, n, _ = self.shape
         lid = level_id_map[rs, cs]
-        # canvas origin -> level-local origin -> image-space box
         offs = np.array([(pl.y, pl.x) for pl in packed.levels], np.int64)
         local_r = rs - offs[lid, 0]
         local_c = cs - offs[lid, 1]
@@ -571,7 +637,7 @@ class Model:
         rects = np.stack([x1, y1, x1 + n, y1 + m], axis=1)
         rects *= inv_scales[lid][:, None]
         out = Boxes(rects)
-        out.set_field("scores", scores.astype(np.float32))
+        out.set_field("scores", np.asarray(scores, np.float32))
         return out
 
     def detect_topk(self, image, k: int = 1024, nms_iou: Optional[float] = None) -> Boxes:

@@ -358,6 +358,83 @@ def cascade_response_grid(chns: jax.Array, casc: Cascade, window: Tuple[int, int
 
 
 # ---------------------------------------------------------------------------
+# Two-phase evaluation: lockstep prefix + compacted per-window suffix
+# ---------------------------------------------------------------------------
+
+def slice_cascade(casc: Cascade, start: int, stop: int) -> Cascade:
+    """Static stage-range slice of a cascade (arrays share storage)."""
+    return Cascade(*(a[start:stop] for a in casc))
+
+
+def cascade_suffix_sparse(chns: jax.Array, casc: Cascade, window, meta,
+                          idx: jax.Array, scores: jax.Array,
+                          alive: jax.Array, start: int
+                          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Evaluate stages [start:T) on a compacted set of window origins.
+
+    ``idx``: (S,) flattened window-origin indices into the (GU, GV) grid;
+    ``scores``: their accumulated responses after stage ``start``;
+    ``alive``: (S,) bool.  Per-stage node tests are 3 gathers of S elements —
+    the static-shape revival of the reference's survivor compaction
+    (/root/reference/waldboost/model.py:249-258).
+
+    Returns (scores, alive, n_weak_suffix).
+    """
+    if isinstance(meta, int):
+        meta = CascadeMeta(depth=meta, n_internal=int(casc.n_nodes))
+    depth = max(meta.depth, 1)
+    complete = getattr(meta, "complete", False)
+    C, U, V = chns.shape
+    m, n = window
+    gv = max(V - n, 0)
+    flat = chns.reshape(-1)
+    r = idx // gv
+    c = idx % gv
+    NN = casc.n_nodes
+    sub = slice_cascade(casc, start, casc.n_stages)
+
+    def stage(carry, params):
+        H, alive, n_weak = carry
+        fr, fc, fch, thr, left, right, pred, theta, active = params
+        bins = []
+        for j in range(NN):
+            if j < meta.n_internal or not complete:
+                fi = fch[j] * (U * V) + (r + fr[j]) * V + (c + fc[j])
+                bins.append(jnp.take(flat, fi) <= thr[j])
+            else:
+                bins.append(None)
+        if complete:
+            def rec(h, d):
+                if d == depth:
+                    return pred[h]
+                return jnp.where(bins[h], rec(2 * h + 1, d + 1),
+                                 rec(2 * h + 2, d + 1))
+            resp = rec(0, 0)
+        else:
+            node = jnp.zeros(r.shape, jnp.int32)
+            for _ in range(depth):
+                new_node = node
+                for j in range(NN):
+                    tgt = jnp.where(bins[j], left[j], right[j])
+                    tgt = jnp.where(left[j] < 0, j, tgt)
+                    new_node = jnp.where(node == j, tgt, new_node)
+                node = new_node
+            resp = jnp.zeros(r.shape, jnp.float32)
+            for j in range(NN):
+                resp = jnp.where(node == j, pred[j], resp)
+        n_weak = n_weak + jnp.sum(alive, dtype=jnp.int32) * active.astype(jnp.int32)
+        H = H + jnp.where(alive, resp, 0.0)
+        alive = jnp.logical_and(alive, H >= theta)
+        return (H, alive, n_weak), None
+
+    (H, alive, n_weak), _ = jax.lax.scan(
+        stage, (scores, alive, jnp.zeros((), jnp.int32)),
+        (sub.fr, sub.fc, sub.fch, sub.thr, sub.left, sub.right, sub.pred,
+         sub.theta, sub.active))
+    return H, alive, n_weak
+
+
+# ---------------------------------------------------------------------------
 # Batched sample evaluation (training path)
 # ---------------------------------------------------------------------------
 

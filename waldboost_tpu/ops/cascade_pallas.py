@@ -73,19 +73,15 @@ def _make_kernel(T, NN, n_internal, depth, TU, TV, HU, HV, C, m, n, complete):
                     # the tiled dims, and its dynamic rotates miscompile on
                     # multi-register shapes (measured on v5e).  The feature
                     # offsets are bounded by the window (m x n, static), so
-                    # select among the static shifted slices instead: one
-                    # select chain over rows, one over columns.
+                    # branch to the matching static slice with lax.switch —
+                    # one executed slice per axis.
                     plane = tile_ref[fch_ref[t, jj]]
-                    fr = fr_ref[t, jj]
-                    fc = fc_ref[t, jj]
-                    rowed = jnp.zeros((TU, TV + HV), jnp.float32)
-                    for rr in range(m):
-                        rowed = jnp.where(fr == rr, plane[rr:rr + TU, :],
-                                          rowed)
-                    patch = jnp.zeros((TU, TV), jnp.float32)
-                    for cc in range(n):
-                        patch = jnp.where(fc == cc, rowed[:, cc:cc + TV],
-                                          patch)
+                    rowed = jax.lax.switch(
+                        fr_ref[t, jj],
+                        [lambda p=plane, r=r: p[r:r + TU, :] for r in range(m)])
+                    patch = jax.lax.switch(
+                        fc_ref[t, jj],
+                        [lambda a=rowed, c=c: a[:, c:c + TV] for c in range(n)])
                     bins.append(patch <= thr_ref[t, jj])
                 else:
                     bins.append(None)

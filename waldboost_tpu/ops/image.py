@@ -48,6 +48,14 @@ def _is_integer(dtype) -> bool:
     return jnp.issubdtype(dtype, jnp.integer)
 
 
+def _pool_2(arr: jax.Array, init, op) -> jax.Array:
+    """2x2/stride-2 reduce_window over the last two dims (odd edges dropped).
+    reduce_window is the TPU-optimized pooling path — strided lane slicing is
+    pathologically slow on TPU (measured ~100x slower)."""
+    dims = (1,) * (arr.ndim - 2) + (2, 2)
+    return jax.lax.reduce_window(arr, init, op, dims, dims, "VALID")
+
+
 def avg_pool_2(arr: jax.Array) -> jax.Array:
     """Non-overlapping 2x2 average pool over the last two (H, W) dims.
 
@@ -55,17 +63,9 @@ def avg_pool_2(arr: jax.Array) -> jax.Array:
     (uint8 wraps — reference parity), divided by 4 in float32, then
     truncate-cast back to the input dtype.
     """
-    h, w = arr.shape[-2], arr.shape[-1]
-    hl, wl = h - (h % 2), w - (w % 2)
-    a = arr[..., 0:hl:2, 0:wl:2]
-    b = arr[..., 1:hl:2, 0:wl:2]
-    c = arr[..., 0:hl:2, 1:wl:2]
-    d = arr[..., 1:hl:2, 1:wl:2]
-    s = a + b + c + d  # input dtype: uint8 wraps, float accumulates — parity
+    s = _pool_2(arr, jnp.zeros((), arr.dtype), jax.lax.add)
     out = s.astype(jnp.float32) / 4.0
-    if _is_integer(arr.dtype):
-        return out.astype(arr.dtype)  # XLA converts float->int toward zero
-    return out.astype(arr.dtype)
+    return out.astype(arr.dtype)  # float->int converts toward zero
 
 
 def max_pool_2(arr: jax.Array) -> jax.Array:
@@ -73,11 +73,11 @@ def max_pool_2(arr: jax.Array) -> jax.Array:
 
     Mirrors /root/reference/waldboost/channels.py:67-75.
     """
-    h, w = arr.shape[-2], arr.shape[-1]
-    hl, wl = h - (h % 2), w - (w % 2)
-    m0 = jnp.maximum(arr[..., 0:hl:2, 0:wl:2], arr[..., 1:hl:2, 0:wl:2])
-    m1 = jnp.maximum(arr[..., 0:hl:2, 1:wl:2], arr[..., 1:hl:2, 1:wl:2])
-    return jnp.maximum(m0, m1)
+    if _is_integer(arr.dtype):
+        init = jnp.asarray(jnp.iinfo(arr.dtype).min, arr.dtype)
+    else:
+        init = jnp.asarray(-jnp.inf, arr.dtype)
+    return _pool_2(arr, init, jax.lax.max)
 
 
 def smooth_3x3(arr: jax.Array) -> jax.Array:
@@ -85,18 +85,15 @@ def smooth_3x3(arr: jax.Array) -> jax.Array:
 
     Border pixels (where the 3x3 window leaves the image) are 0, matching the
     numba stencil default of /root/reference/waldboost/channels.py:78-90.
-    Integer inputs compute in int32 and truncate-cast back.
+    Integer inputs compute exactly (values fit f32) and truncate-cast back.
+    Implemented as an XLA convolution — the TPU-optimized stencil path.
     """
     dtype = arr.dtype
-    work = arr.astype(jnp.int32) if _is_integer(dtype) else arr
-    # Row pass [1,2,1] then column pass, valid region only.
+    # shifted adds (VPU): single-channel convs are an MXU-hostile shape
+    work = arr.astype(jnp.float32)
     r = work[..., :-2, :] + 2 * work[..., 1:-1, :] + work[..., 2:, :]
     v = r[..., :, :-2] + 2 * r[..., :, 1:-1] + r[..., :, 2:]
-    v = v.astype(jnp.float32) / 16.0
-    if _is_integer(dtype):
-        v = v.astype(dtype)
-    else:
-        v = v.astype(dtype)
+    v = (v / 16.0).astype(dtype)
     pad = [(0, 0)] * (arr.ndim - 2) + [(1, 1), (1, 1)]
     return jnp.pad(v, pad)
 
@@ -142,6 +139,26 @@ def separable_filter_reflect(x: jax.Array, k0: np.ndarray, k1: np.ndarray | None
     x = _pad_reflect(x, h, axis=-1)
     x = _conv1d_lastdims(x, np.asarray(k1, np.float32), axis=-1)
     return x
+
+
+def conv2d_exact(x: jax.Array, kern: np.ndarray) -> jax.Array:
+    """(H, W) or (B, H, W) input x (O, 3, 3) kernels -> (O, H-2, W-2) /
+    (B, O, H-2, W-2) VALID correlation at HIGHEST precision (the TPU default
+    computes f32 convs in bf16)."""
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    out = jax.lax.conv_general_dilated(
+        x[:, None], jnp.asarray(kern[:, None]), window_strides=(1, 1),
+        padding="VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)
+    return out[0] if squeeze else out
+
+
+# correlation kernels of the reference's smoothed gradients
+# (scipy convolve1d flips [-1,0,1] -> x[i-1]-x[i+1]):
+GRAD_KX = np.array([[1, 0, -1], [2, 0, -2], [1, 0, -1]], np.float32)
+GRAD_KY = GRAD_KX.T.copy()
 
 
 def triangle_kernel(n: int) -> np.ndarray:

