@@ -208,8 +208,8 @@ def _grid_eval_jit(chns_chw, casc: Cascade, window, depth):
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "depth"))
-def _predict_jit(x, casc: Cascade, shape, depth):
-    return cascade_predict_samples(x, casc, depth)
+def _predict_jit(x, casc: Cascade, shape, depth, valid=None):
+    return cascade_predict_samples(x, casc, depth, valid=valid)
 
 
 def _channel_canvas_fast(image, shrink, smooth, cf, packed: PackedPyramidPlan):
@@ -369,6 +369,19 @@ TWO_PHASE_PREFIX = 12
 TWO_PHASE_CAPACITY = 4096
 
 
+@functools.partial(jax.jit, static_argnames=("window",))
+def _gather_windows_jit(canvas, rs, cs, window):
+    """(C, U, V) canvas + (K,) origins -> (K, m, n, C) crops (HWC samples)."""
+    m, n = window
+
+    def crop(r, c):
+        sl = jax.lax.dynamic_slice(canvas, (0, r, c),
+                                   (canvas.shape[0], m, n))
+        return jnp.transpose(sl, (1, 2, 0))
+
+    return jax.vmap(crop)(rs, cs)
+
+
 @functools.partial(jax.jit, static_argnames=("window", "meta", "k1", "capacity"))
 def _two_phase_jit(canvas, casc: Cascade, valid_mask, window, meta,
                    k1: int = TWO_PHASE_PREFIX,
@@ -514,8 +527,15 @@ class Model:
         if n == 0:
             return np.zeros(0, np.float32), np.zeros(0, bool)
         casc, depth = self._get_cascade()
-        H, mask = _predict_jit(jnp.asarray(X), casc, tuple(self.shape), depth)
-        return np.asarray(H), np.asarray(mask)
+        # bucket the batch size (pools grow/shrink every stage — padding
+        # keeps the jit cache to O(log N) entries)
+        pad = _round_up(max(n, 256), 256) - n
+        Xp = np.pad(X, ((0, pad),) + ((0, 0),) * (X.ndim - 1))
+        valid = np.zeros(n + pad, bool)
+        valid[:n] = True
+        H, mask = _predict_jit(jnp.asarray(Xp), casc, tuple(self.shape),
+                               depth, jnp.asarray(valid))
+        return np.asarray(H)[:n], np.asarray(mask)[:n]
 
     def predict_on_image(self, X) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Evaluate the cascade on all window origins of an HWC channel image.
@@ -545,11 +565,12 @@ class Model:
         """Single-pass pyramid scan for sample mining.
 
         Runs the packed-canvas pipeline once and returns
-        ``(canvas_hwc, packed_plan, rs, cs, hs)`` where ``rs``/``cs`` are
-        *canvas* coordinates of surviving window origins and ``canvas_hwc``
-        holds every level's channels (so windows can be cropped directly at
-        canvas coordinates — identical pixels to per-level crops).  Returns
-        ``None`` when the image is too small for any level.  Updates
+        ``(canvas, packed_plan, rs, cs, hs)`` where ``rs``/``cs`` are
+        *canvas* coordinates of surviving window origins and ``canvas`` is
+        the (C, H, W) channel canvas as a DEVICE array holding every level's
+        channels — crop windows with :meth:`gather_windows_device` (device
+        gather + small transfer) instead of pulling the canvas to the host.
+        Returns ``None`` when the image is too small for any level.  Updates
         eval-cost counters like ``predict_on_image`` does.
         """
         image = np.asarray(image)
@@ -572,8 +593,36 @@ class Model:
         alive_np = np.asarray(alive)
         rs, cs = np.nonzero(alive_np)
         scores = np.asarray(hs)[rs, cs] if rs.size else np.empty(0, np.float32)
-        canvas_hwc = np.transpose(np.asarray(canvas), (1, 2, 0))
-        return canvas_hwc, packed, rs, cs, scores
+        return canvas, packed, rs, cs, scores
+
+    def gather_windows_device(self, image_or_canvas, rs, cs,
+                              is_canvas: bool = False) -> np.ndarray:
+        """Crop (m, n, C) windows at canvas origins on device and transfer
+        only the crops (vmapped dynamic_slice) — the training-mining path's
+        replacement for pulling the whole channel canvas to the host."""
+        m, n, _ = self.shape
+        if is_canvas:
+            canvas = image_or_canvas
+        else:
+            shrink, n_per_oct, smooth, cf = _normalize_opts(self.channel_opts)
+            image = np.asarray(image_or_canvas)
+            packed = _packed_plan_cached(image.shape[0], image.shape[1],
+                                         shrink, n_per_oct, (m, n),
+                                         halo=cf.halo)
+            canvas = _canvas_jit(jnp.asarray(image), shrink, n_per_oct,
+                                 smooth, cf, packed)
+        rs = np.asarray(rs, np.int32)
+        cs = np.asarray(cs, np.int32)
+        k = rs.size
+        if k == 0:
+            return np.empty((0, m, n, canvas.shape[0]),
+                            np.dtype(str(canvas.dtype)))
+        # bucket the crop count so jit compiles O(log K) programs, not O(K)
+        pad = max(64, 1 << (k - 1).bit_length()) - k
+        rs_p = jnp.asarray(np.pad(rs, (0, pad)))
+        cs_p = jnp.asarray(np.pad(cs, (0, pad)))
+        crops = _gather_windows_jit(canvas, rs_p, cs_p, (m, n))
+        return np.asarray(crops[:k])
 
     def detect(self, image) -> Boxes:
         """Detect objects: full pyramid + cascade in one packed device pass.

@@ -117,7 +117,7 @@ def get_samples_from_image(model: Model, image, gt_boxes: Optional[Boxes],
     scan = model.scan_packed(image)
     if scan is None:
         return
-    canvas_hwc, packed, rs, cs, hs = scan
+    canvas_dev, packed, rs, cs, hs = scan
     if rs.size == 0:
         return
     m, n, _ = model.shape
@@ -143,10 +143,10 @@ def get_samples_from_image(model: Model, image, gt_boxes: Optional[Boxes],
         dt_boxes = dt_boxes[sample_indices]
         if len(dt_boxes) == 0:
             continue
-        samples = gather_samples(canvas_hwc,
-                                 dt_boxes.get_field("row").flatten(),
-                                 dt_boxes.get_field("col").flatten(),
-                                 model.shape)
+        # device-side crop: transfers only the selected windows
+        samples = model.gather_windows_device(
+            canvas_dev, dt_boxes.get_field("row").flatten(),
+            dt_boxes.get_field("col").flatten(), is_canvas=True)
         dt_boxes.set_field("samples", samples)
         yield dt_boxes
 

@@ -153,13 +153,13 @@ def detect_and_verify(image, model, module, params):
     if scan is None:
         from .boxes import Boxes
         return Boxes(np.empty((0, 4), "f"), scores=np.empty(0, "f"))
-    canvas_hwc, packed, rs, cs, hs = scan
+    canvas_dev, packed, rs, cs, hs = scan
     m, n, _ = model.shape
     level_id_map, inv_scales = packed.level_maps((m, n))
     from .boxes import Boxes
     if rs.size == 0:
         return Boxes(np.empty((0, 4), "f"), scores=np.empty(0, "f"))
-    samples = gather_samples(canvas_hwc, rs, cs, model.shape)
+    samples = model.gather_windows_device(canvas_dev, rs, cs, is_canvas=True)
     verified = verify_scores(module, params, samples, hs)
     lid = level_id_map[rs, cs]
     offs = np.array([(pl.y, pl.x) for pl in packed.levels], np.int64)
