@@ -26,8 +26,9 @@ def main():
 
     from __graft_entry__ import _flagship_model
     from waldboost_tpu.channels import _normalize_opts
-    from waldboost_tpu.model import (_channel_canvas_fast, _packed_plan_cached)
-    from waldboost_tpu.ops.cascade_pallas import cascade_response_grid_pallas
+    from waldboost_tpu.model import (_channel_canvas_batch, _packed_plan_cached)
+    from waldboost_tpu.ops.cascade_static import (cascade_response_grid_static,
+                                                  static_cascade_from_model)
 
     h, w = 480, 640
     batch = int(os.environ.get("BENCH_BATCH", "16"))
@@ -39,27 +40,17 @@ def main():
     m, n, _ = model.shape
     shrink, n_per_oct, smooth, cf = _normalize_opts(model.channel_opts)
     packed = _packed_plan_cached(h, w, shrink, n_per_oct, (m, n), halo=cf.halo)
-    casc, meta = model._get_cascade()
+    sc = static_cascade_from_model(model)
     valid = jnp.asarray(packed.valid_mask((m, n)))
-    use_pallas = jax.default_backend() == "tpu"
-
-    canvas_b = jax.vmap(
-        lambda im: _channel_canvas_fast(im, shrink, smooth, cf,
-                                        packed).astype(jnp.float32))
+    interpret = jax.default_backend() != "tpu"
 
     @jax.jit
     def detect_batch(images):
-        cvs = canvas_b(images)
-        if use_pallas:
-            outs = [cascade_response_grid_pallas(
-                cvs[i], casc, valid, (m, n), meta, tile=(128, 256))[2]
-                for i in range(batch)]
-        else:
-            from waldboost_tpu.ops.cascade import cascade_response_grid
-            outs = [cascade_response_grid(cvs[i], casc, (m, n), meta,
-                                          init_alive=valid)[2]
-                    for i in range(batch)]
-        return jnp.stack(outs).sum()
+        cvs = _channel_canvas_batch(images, shrink, n_per_oct, smooth, cf,
+                                    packed)
+        hs, alive, nw = cascade_response_grid_static(cvs, sc, valid, (m, n),
+                                                     interpret=interpret)
+        return nw.sum()
 
     # distinct images every call: the axon runtime dedupes identical
     # executions; the trailing scalar fetch drains the FIFO (block_until_ready

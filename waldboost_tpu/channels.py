@@ -92,6 +92,17 @@ class ChannelFunction:
     halo: int = 1
     boundary: str = "reflect"  # or "stencil_zero"
     canvas_fn: Optional[Callable[[jax.Array, CanvasCtx], jax.Array]] = None
+    #: polyphase canvas mode (the shrink=2 fast path): takes the 2x2
+    #: polyphase planes (2, 2, Hc, Wc) of the full-res canvas and returns the
+    #: *pooled* (C, Hc, Wc) channel canvas.  Stencils become cross-phase
+    #: shifted adds and the 2x2 average pool becomes elementwise — no strided
+    #: access anywhere, so XLA fuses the whole chain.
+    canvas_fn_poly: Optional[Callable[[jax.Array, CanvasCtx], jax.Array]] = None
+    #: fused Pallas version of the full polyphase chain INCLUDING pool,
+    #: smooth, and interior masking: (planes, interior_mask, smooth,
+    #: interpret) -> (C, Hc, Wc).  Bit-identical to canvas_fn_poly + smooth;
+    #: used on TPU where it avoids materializing intermediates in HBM.
+    poly_kernel: Optional[Callable] = None
 
     def __call__(self, image: jax.Array) -> jax.Array:
         return self.fn(image)
@@ -181,6 +192,71 @@ def _grad_hist_canvas_fn(canvas: jax.Array, ctx: CanvasCtx, n_bins: int = 4,
     return _grad_hist_fn(canvas, n_bins=n_bins, full=full, bias=bias)
 
 
+def _shift(p: jax.Array, dr: int, dc: int) -> jax.Array:
+    """p[i+dr, j+dc] with zero fill (|dr|, |dc| <= 1); static pad+slice.
+    Edge fill only reaches canvas margins/gaps, which valid windows never
+    read (halo-aware packer)."""
+    if dr:
+        pad = [(0, 0)] * (p.ndim - 2) + ([(1, 0), (0, 0)] if dr < 0 else [(0, 1), (0, 0)])
+        p = jnp.pad(p, pad)
+        p = p[..., 1:, :] if dr > 0 else p[..., :-1, :]
+    if dc:
+        pad = [(0, 0)] * (p.ndim - 2) + [(0, 0), (1, 0) if dc < 0 else (0, 1)]
+        p = jnp.pad(p, pad)
+        p = p[..., :, 1:] if dc > 0 else p[..., :, :-1]
+    return p
+
+
+def _gradients_poly(planes: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Full-resolution smoothed gradients of a 2x2-polyphase canvas.
+
+    ``planes``: (2, 2, H, W) with planes[a, b, i, j] = canvas[2i+a, 2j+b].
+    Returns (gx, gy) in the same polyphase layout.  Cross-phase shifted adds
+    replicate ops.image.gradients exactly (integer inputs make f32 sums
+    exact, so the association is irrelevant; the term order still matches).
+    """
+    P = [[planes[0, 0], planes[0, 1]], [planes[1, 0], planes[1, 1]]]
+    # sx[a][b] = x[2i+a, 2j+b-1] + 2 x[2i+a, 2j+b] + x[2i+a, 2j+b+1]
+    sx = [[_shift(P[a][1], 0, -1) + 2.0 * P[a][0] + P[a][1],
+           P[a][0] + 2.0 * P[a][1] + _shift(P[a][0], 0, +1)]
+          for a in (0, 1)]
+    # gy[a][b] = sx[2i+a-1, j] - sx[2i+a+1, j]
+    gy = [[_shift(sx[1][b], -1, 0) - sx[1][b] for b in (0, 1)],
+          [sx[0][b] - _shift(sx[0][b], +1, 0) for b in (0, 1)]]
+    # sy[a][b] = x[2i+a-1, 2j+b] + 2 x[2i+a, 2j+b] + x[2i+a+1, 2j+b]
+    sy = [[_shift(P[1][b], -1, 0) + 2.0 * P[0][b] + P[1][b] for b in (0, 1)],
+          [P[0][b] + 2.0 * P[1][b] + _shift(P[0][b], +1, 0) for b in (0, 1)]]
+    # gx[a][b] = sy[i, 2j+b-1] - sy[i, 2j+b+1]
+    gx = [[_shift(sy[a][1], 0, -1) - sy[a][1],
+           sy[a][0] - _shift(sy[a][0], 0, +1)] for a in (0, 1)]
+    gx = jnp.stack([jnp.stack(r) for r in gx])
+    gy = jnp.stack([jnp.stack(r) for r in gy])
+    return gx, gy
+
+
+def _grad_hist_poly_fn(planes: jax.Array, ctx: CanvasCtx, n_bins: int = 4,
+                       full: bool = False, bias: float = 0.0) -> jax.Array:
+    """Polyphase grad_hist + 2x2 average pool, fused and stride-free.
+
+    The pooled channel value is ((v00 + v10) + (v01 + v11)) / 4 — the same
+    association as ops.image.avg_pool_2's two-pass (rows, then cols) sum.
+    """
+    gx, gy = _gradients_poly(planes.astype(jnp.float32))  # (2,2,H,W) each
+    max_theta = 2 * np.pi if full else np.pi
+    theta = np.linspace(0, max_theta, n_bins + 1)[:-1]
+    cs = np.cos(theta).astype(np.float32)
+    sn = np.sin(theta).astype(np.float32)
+    # (C, 2, 2, H, W) projections
+    chns = gx[None] * cs[:, None, None, None, None] \
+        - gy[None] * sn[:, None, None, None, None]
+    value = jnp.maximum(jnp.abs(chns) - bias, 0.0)
+    if full:
+        value = jnp.sign(chns) * value
+    pooled = ((value[:, 0, 0] + value[:, 1, 0])
+              + (value[:, 0, 1] + value[:, 1, 1])) * 0.25
+    return pooled
+
+
 grad_mag = register_channel_function(
     ChannelFunction(
         name="waldboost_tpu.channels.grad_mag",
@@ -200,6 +276,11 @@ grad_hist = register_channel_function(
         aliases=("grad_hist", "waldboost.channels.grad_hist", "waldboost.nb_channels.grad_hist"),
         halo=1,  # gradient radius only
         canvas_fn=_grad_hist_canvas_fn,
+        canvas_fn_poly=_grad_hist_poly_fn,
+        poly_kernel=lambda planes, mask, smooth, interpret: __import__(
+            "waldboost_tpu.ops.channels_pallas", fromlist=["x"]
+        ).grad_hist_poly_pallas(planes, mask, smooth, n_bins=4, full=False,
+                                bias=0.0, interpret=interpret),
     )
 )
 

@@ -227,6 +227,9 @@ def _channel_canvas_fast(image, shrink, smooth, cf, packed: PackedPyramidPlan):
     from .channels import CanvasCtx, _compute_octaves
     from .ops.warp import reflect_halos, resize_matrices
 
+    if shrink == 2 and cf.canvas_fn_poly is not None:
+        return _channel_canvas_poly(image, smooth, cf, packed)
+
     n_oct = max(pl.level.octave for pl in packed.levels) + 1
     octaves = _compute_octaves(image, n_oct)
     is_int = jnp.issubdtype(image.dtype, jnp.integer)
@@ -273,6 +276,112 @@ def _channel_canvas_fast(image, shrink, smooth, cf, packed: PackedPyramidPlan):
         zero = jnp.zeros((), chns.dtype)
         chns = jnp.where(interior[None], chns, zero)
     return chns
+
+
+def _channel_canvas_poly(image, smooth, cf, packed: PackedPyramidPlan):
+    """Polyphase canvas pipeline (shrink=2 fast path), single image."""
+    planes = _poly_planes(image, cf, packed)
+    return _poly_channels(planes, smooth, cf, packed)
+
+
+def _channel_canvas_batch(images, shrink, n_per_oct, smooth, cf,
+                          packed: PackedPyramidPlan):
+    """(B, H, W) images -> (B, C, Hc, Wc) channel canvases.
+
+    The polyphase fast path runs the fused channel kernel ONCE over the whole
+    batch (batch grid dimension) — a Pallas call cannot be vmapped, so
+    batched callers must come through here rather than vmapping the
+    single-image canvas."""
+    if shrink == 2 and cf.canvas_fn_poly is not None:
+        planes = jax.vmap(lambda im: _poly_planes(im, cf, packed))(images)
+        return _poly_channels(planes, smooth, cf, packed)
+    if cf.canvas_fn is not None:
+        return jax.vmap(
+            lambda im: _channel_canvas_fast(im, shrink, smooth, cf, packed)
+            .astype(jnp.float32))(images)
+    return jax.vmap(
+        lambda im: _channel_canvas_per_level(im, shrink, n_per_oct, smooth,
+                                             cf, packed))(images)
+
+
+def _poly_planes(image, cf, packed: PackedPyramidPlan):
+    """Resize every pyramid level into the 2x2-polyphase canvas planes.
+
+    The full-resolution image canvas is materialized directly as its 2x2
+    polyphase decomposition (2, 2, Hc, Wc): each level's resize matmul emits
+    the four (row-phase, col-phase) planes in ONE einsum (the resize matrices'
+    rows are just regrouped phase-major).  Downstream, stencils become
+    cross-phase shifted adds and the shrink-2 average pool becomes
+    elementwise — there is no strided access anywhere.  Level-edge reflect
+    halos are applied cross-phase (ops.warp.reflect_halos_poly) with
+    identical semantics.
+    """
+    from .channels import _compute_octaves
+    from .ops.warp import reflect_halos_poly, resize_matrices
+
+    n_oct = max(pl.level.octave for pl in packed.levels) + 1
+    octaves = _compute_octaves(image, n_oct)
+    is_int = jnp.issubdtype(image.dtype, jnp.integer)
+
+    Hc, Wc = packed.canvas_h, packed.canvas_w
+    planes = jnp.zeros((2, 2, Hc, Wc), jnp.float32)
+    for pl in packed.levels:
+        lv = pl.level
+        oct_img = octaves[lv.octave].astype(jnp.float32)
+        Rh, Rw = resize_matrices(oct_img.shape[0], oct_img.shape[1],
+                                 lv.height, lv.width)
+        # phase-major row permutation on the host: the einsum stays a plain
+        # 2D matmul (no device transposes) and the output's four quadrants
+        # are the four polyphase planes
+        Rh_pm = np.concatenate([Rh[0::2], Rh[1::2]])
+        Rw_pm = np.concatenate([Rw[0::2], Rw[1::2]])
+        # HIGHEST precision: the TPU default runs f32 matmuls in bf16, whose
+        # ~0.5-unit error breaks the deterministic trunc-tie convention
+        blk = jnp.einsum("ah,hw,bw->ab", jnp.asarray(Rh_pm), oct_img,
+                         jnp.asarray(Rw_pm),
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        if is_int:
+            blk = jnp.floor(blk + 1e-4)
+        h2, w2 = lv.height // 2, lv.width // 2
+        for a in (0, 1):
+            for b in (0, 1):
+                planes = jax.lax.dynamic_update_slice(
+                    planes, blk[None, None, a * h2:(a + 1) * h2,
+                                b * w2:(b + 1) * w2],
+                    (a, b, pl.y, pl.x))
+
+    if cf.boundary == "reflect" and cf.halo > 0:
+        regions = packed.reflect_regions()
+        planes = reflect_halos_poly(planes, regions)
+    return planes
+
+
+def _poly_channels(planes, smooth, cf, packed: PackedPyramidPlan):
+    """Polyphase planes (B?, 2, 2, Hc, Wc) -> pooled channel canvas
+    (B?, C, Hc, Wc): fused Pallas kernel on TPU, XLA chain elsewhere."""
+    from .channels import CanvasCtx
+
+    interior = jnp.asarray(packed.smooth_interior_mask()) if smooth == 1 \
+        else None
+    if cf.poly_kernel is not None and _use_channel_kernel():
+        # fused Pallas chain (channels + pool + smooth + mask in one pass);
+        # handles the batch as a grid dimension
+        interpret = jax.default_backend() != "tpu"
+        return cf.poly_kernel(planes, interior, smooth, interpret)
+
+    ctx = CanvasCtx(reflect=lambda x: x)
+
+    def one(p):
+        chns = cf.canvas_fn_poly(p, ctx)  # pooled (C, Hc, Wc)
+        if smooth == 1:
+            from .ops.image import smooth_3x3
+            chns = smooth_3x3(chns)
+            zero = jnp.zeros((), chns.dtype)
+            chns = jnp.where(interior[None], chns, zero)
+        return chns
+
+    return jax.vmap(one)(planes) if planes.ndim == 5 else one(planes)
 
 
 def _channel_canvas_per_level(image, shrink, n_per_oct, smooth, cf,
@@ -329,27 +438,57 @@ def _canvas_cascade_jit(canvas, casc: Cascade, valid_mask, window, depth):
                                  init_alive=valid_mask)
 
 
-#: cascade engine: "xla" (lockstep masked scan), "pallas" (fused VMEM kernel
-#: with tile-level SPRT early exit), or "auto" (pallas on TPU, xla elsewhere).
+#: channel-pipeline engine: "pallas" (fused polyphase kernel), "xla", or
+#: "auto" (pallas on TPU — on CPU the kernel would run in interpret mode,
+#: which is slower than XLA's native fusion)
+_CHANNEL_BACKEND = os.environ.get("WALDBOOST_TPU_CHANNELS", "auto")
+
+
+def set_channel_backend(name: str) -> None:
+    global _CHANNEL_BACKEND
+    if name not in ("xla", "pallas", "auto"):
+        raise ValueError(f"unknown channel backend {name!r}")
+    _CHANNEL_BACKEND = name
+
+
+def _use_channel_kernel() -> bool:
+    if _CHANNEL_BACKEND == "auto":
+        return jax.default_backend() == "tpu"
+    return _CHANNEL_BACKEND == "pallas"
+
+
+#: cascade engine: "xla" (lockstep masked scan), "pallas" (generic fused VMEM
+#: kernel with tile-level SPRT exit; node tables are runtime arrays, so a
+#: growing training cascade does not recompile), "static" (cascade-specialized
+#: kernel — the whole frozen cascade is baked into the compiled program; the
+#: fastest serving path), or "auto" (static/pallas on TPU, xla elsewhere).
 _CASCADE_BACKEND = os.environ.get("WALDBOOST_TPU_CASCADE", "auto")
 
 
 def set_cascade_backend(name: str) -> None:
-    """Select the cascade evaluation engine ("xla" | "pallas" | "auto")."""
+    """Select the cascade evaluation engine
+    ("xla" | "pallas" | "static" | "auto")."""
     global _CASCADE_BACKEND
-    if name not in ("xla", "pallas", "auto"):
+    if name not in ("xla", "pallas", "static", "auto"):
         raise ValueError(f"unknown cascade backend {name!r}")
     _CASCADE_BACKEND = name
 
 
-def _resolve_cascade_backend() -> str:
+def _resolve_cascade_backend(serving: bool = False) -> str:
+    """Backend for the mutable-cascade (training) path, or — with
+    ``serving=True`` — for frozen-cascade detection, where the
+    cascade-specialized kernel wins (recompiles per cascade content, which a
+    per-stage-growing training model cannot afford)."""
     if _CASCADE_BACKEND == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
+        if jax.default_backend() == "tpu":
+            return "static" if serving else "pallas"
+        return "static" if serving else "xla"
     return _CASCADE_BACKEND
 
 
 def _run_cascade(canvas, casc, valid_mask, window, meta):
-    if _resolve_cascade_backend() == "pallas":
+    backend = _resolve_cascade_backend()
+    if backend == "pallas":
         from .ops.cascade_pallas import cascade_response_grid_pallas
         interpret = jax.default_backend() != "tpu"
         return cascade_response_grid_pallas(canvas, casc, valid_mask, window,
@@ -357,10 +496,37 @@ def _run_cascade(canvas, casc, valid_mask, window, meta):
     return _canvas_cascade_jit(canvas, casc, valid_mask, window, meta)
 
 
+def _run_cascade_serving(canvas, model: "Model", valid_mask, window):
+    """Frozen-cascade detection dispatch (single image or batch canvas)."""
+    backend = _resolve_cascade_backend(serving=True)
+    if backend == "static":
+        from .ops.cascade_static import cascade_response_grid_static
+        sc = model._get_static_cascade()
+        interpret = jax.default_backend() != "tpu"
+        return cascade_response_grid_static(canvas, sc, valid_mask, window,
+                                            interpret=interpret)
+    casc, meta = model._get_cascade()
+    if canvas.ndim == 4:
+        f = lambda cv: _run_cascade(cv, casc, valid_mask, window, meta)
+        hs, alive, nw = jax.vmap(f)(canvas) if backend == "xla" else \
+            tuple(jnp.stack(x) for x in zip(*[
+                _run_cascade(canvas[i], casc, valid_mask, window, meta)
+                for i in range(canvas.shape[0])]))
+        return hs, alive, nw
+    return _run_cascade(canvas, casc, valid_mask, window, meta)
+
+
 def _run_packed(image, casc, valid_mask, shrink, n_per_oct, smooth, cf,
                 window, depth, packed):
     canvas = _canvas_jit(image, shrink, n_per_oct, smooth, cf, packed)
     hs, alive, n_weak = _run_cascade(canvas, casc, valid_mask, window, depth)
+    return canvas, hs, alive, n_weak
+
+
+def _run_packed_serving(image, model: "Model", valid_mask, shrink, n_per_oct,
+                        smooth, cf, window, packed):
+    canvas = _canvas_jit(image, shrink, n_per_oct, smooth, cf, packed)
+    hs, alive, n_weak = _run_cascade_serving(canvas, model, valid_mask, window)
     return canvas, hs, alive, n_weak
 
 
@@ -382,10 +548,11 @@ def _gather_windows_jit(canvas, rs, cs, window):
     return jax.vmap(crop)(rs, cs)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "meta", "k1", "capacity"))
+@functools.partial(jax.jit, static_argnames=("window", "meta", "k1",
+                                             "capacity", "sc"))
 def _two_phase_jit(canvas, casc: Cascade, valid_mask, window, meta,
                    k1: int = TWO_PHASE_PREFIX,
-                   capacity: int = TWO_PHASE_CAPACITY):
+                   capacity: int = TWO_PHASE_CAPACITY, sc=None):
     """Two-phase cascade: lockstep stages [0:k1) over the whole grid, then
     top-``capacity`` survivor compaction and per-window gather evaluation of
     stages [k1:T).  Exact (monotone rejection) as long as phase-1 survivors
@@ -401,7 +568,14 @@ def _two_phase_jit(canvas, casc: Cascade, valid_mask, window, meta,
     T = casc.n_stages
     k1 = min(k1, T)
     pre = slice_cascade(casc, 0, k1)
-    if _resolve_cascade_backend() == "pallas":
+    backend = _resolve_cascade_backend(serving=True)
+    if sc is not None and backend == "static":
+        from .ops.cascade_static import cascade_response_grid_static
+        interpret = jax.default_backend() != "tpu"
+        hs1, alive1, nw1 = cascade_response_grid_static(
+            canvas, sc, valid_mask, window, interpret=interpret,
+            n_stages_cap=k1)
+    elif backend in ("pallas", "static"):
         from .ops.cascade_pallas import cascade_response_grid_pallas
         interpret = jax.default_backend() != "tpu"
         hs1, alive1, nw1 = cascade_response_grid_pallas(
@@ -445,6 +619,8 @@ class Model:
         self._cascade: Optional[Cascade] = None
         self._cascade_depth = 0
         self._cascade_version = -1
+        self._static_cascade = None
+        self._static_version = -1
         self._version = 0
         self.reset()
 
@@ -487,6 +663,15 @@ class Model:
             self._cascade_depth = meta  # CascadeMeta (hashable, jit-static)
             self._cascade_version = self._version
         return self._cascade, self._cascade_depth
+
+    def _get_static_cascade(self):
+        """Host-side hashable cascade for the cascade-specialized kernel
+        (content-keyed, so identical cascades share one compiled kernel)."""
+        if self._static_cascade is None or self._static_version != self._version:
+            from .ops.cascade_static import static_cascade_from_model
+            self._static_cascade = static_cascade_from_model(self)
+            self._static_version = self._version
+        return self._static_cascade
 
     # -- channels ---------------------------------------------------------
     def channels(self, image):
@@ -650,7 +835,8 @@ class Model:
             canvas = _canvas_jit(jnp.asarray(image), shrink, n_per_oct,
                                  smooth, cf, packed)
             idx, H, aliveK, n_weak, count1 = _two_phase_jit(
-                canvas, casc, valid, (m, n), depth)
+                canvas, casc, valid, (m, n), depth,
+                sc=self._get_static_cascade())
             if int(count1) <= min(TWO_PHASE_CAPACITY, valid.size):
                 self.n_weak += int(n_weak)
                 sel = np.asarray(aliveK)
@@ -661,9 +847,9 @@ class Model:
                     rs, cs, scores, packed, level_id_map, inv_scales)
             # overflow: fall through to the dense path (n_weak discarded)
 
-        _, hs, alive, n_weak = _run_packed(
-            jnp.asarray(image), casc, valid, shrink, n_per_oct, smooth, cf,
-            (m, n), depth, packed)
+        _, hs, alive, n_weak = _run_packed_serving(
+            jnp.asarray(image), self, valid, shrink, n_per_oct, smooth, cf,
+            (m, n), packed)
         self.n_weak += int(n_weak)
         alive_np = np.asarray(alive)
         rs, cs = np.nonzero(alive_np)
@@ -708,10 +894,9 @@ class Model:
         if not packed.levels:
             return bbx.empty_boxes(scores=np.empty(0, np.float32))
         valid = jnp.asarray(packed.valid_mask((m, n)))
-        casc, depth = self._get_cascade()
-        _, hs, alive, n_weak = _run_packed(
-            jnp.asarray(image), casc, valid, shrink, n_per_oct, smooth, cf,
-            (m, n), depth, packed)
+        _, hs, alive, n_weak = _run_packed_serving(
+            jnp.asarray(image), self, valid, shrink, n_per_oct, smooth, cf,
+            (m, n), packed)
         level_id_map, inv_scales = packed.level_maps((m, n))
         self.n_loc += int((level_id_map >= 0).sum())
         self.n_weak += int(n_weak)

@@ -1,0 +1,274 @@
+"""Cascade-specialized Pallas TPU kernel: the cascade IS the program.
+
+A WaldBoost cascade is frozen at serving time, so instead of routing node
+tables through SMEM and branching over dynamic feature offsets (the generic
+kernel in :mod:`.cascade_pallas`), this kernel *bakes the whole cascade into
+the compiled program*: every stage is unrolled, every node test is a static
+VMEM slice at the node's (row, col, channel) offset compared against an
+immediate constant, and every response is a constant-leaf select tree.  The
+per-stage cost drops to pure vector work — no SMEM loads, no switch chains,
+no routing loops.
+
+Early exit stays tile-granular (monotone SPRT rejection makes it exact):
+stages are grouped into blocks of ``BLOCK`` and each block is wrapped in a
+``lax.cond`` on "any window in this tile still alive".  Stages whose theta is
+-inf statically skip the rejection compare.
+
+The batch is a leading grid dimension — one kernel launch evaluates the whole
+image batch (vs. the generic kernel's per-image launches).
+
+Reference semantics anchor: /root/reference/waldboost/model.py:216-259 (dense
+grid scan with per-stage SPRT rejection); the survivor set and scores are
+identical because rejection is monotone per window.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["StaticCascade", "static_cascade_from_model",
+           "cascade_response_grid_static"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+#: stages per early-exit block (each block is one lax.cond region)
+BLOCK = 8
+
+
+class StaticCascade:
+    """Host-side (hashable) cascade description for kernel specialization.
+
+    Node tables are plain numpy; ``key`` is a content digest used as the jit
+    cache key, so two models with identical cascades share one compiled
+    kernel.
+    """
+
+    def __init__(self, fr, fc, fch, thr, left, right, pred, theta):
+        self.fr = np.asarray(fr, np.int32)
+        self.fc = np.asarray(fc, np.int32)
+        self.fch = np.asarray(fch, np.int32)
+        self.thr = np.asarray(thr, np.float32)
+        self.left = np.asarray(left, np.int32)
+        self.right = np.asarray(right, np.int32)
+        self.pred = np.asarray(pred, np.float32)
+        self.theta = np.asarray(theta, np.float32)
+        import hashlib
+        h = hashlib.sha256()
+        for a in (self.fr, self.fc, self.fch, self.thr, self.left,
+                  self.right, self.pred, self.theta):
+            h.update(a.tobytes())
+            h.update(str(a.shape).encode())
+        self.key = h.hexdigest()
+
+    @property
+    def n_stages(self) -> int:
+        return self.fr.shape[0]
+
+    def __hash__(self):
+        return hash(self.key)
+
+    def __eq__(self, other):
+        return isinstance(other, StaticCascade) and self.key == other.key
+
+
+def static_cascade_from_model(model) -> StaticCascade:
+    """Build a :class:`StaticCascade` from a Model's weak-classifier list
+    (unpadded — the static kernel needs no stage padding)."""
+    stages = [w.to_stage_dict() for w in model.classifier]
+    nn = max((len(s["threshold"]) for s in stages), default=1)
+    T = len(stages)
+    fr = np.zeros((T, nn), np.int32)
+    fc = np.zeros((T, nn), np.int32)
+    fch = np.zeros((T, nn), np.int32)
+    thr = np.zeros((T, nn), np.float32)
+    left = np.full((T, nn), -1, np.int32)
+    right = np.full((T, nn), -1, np.int32)
+    pred = np.zeros((T, nn), np.float32)
+    for t, s in enumerate(stages):
+        k = len(s["threshold"])
+        ftr = np.maximum(np.asarray(s["feature"], np.int32).reshape(k, 3), 0)
+        fr[t, :k] = ftr[:, 0]
+        fc[t, :k] = ftr[:, 1]
+        fch[t, :k] = ftr[:, 2]
+        thr[t, :k] = np.asarray(s["threshold"], np.float32)
+        left[t, :k] = np.asarray(s["left"], np.int32)
+        right[t, :k] = np.asarray(s["right"], np.int32)
+        pred[t, :k] = np.asarray(s["prediction"], np.float32)
+    theta = np.asarray(model.theta, np.float32) if T else np.zeros(0, np.float32)
+    return StaticCascade(fr, fc, fch, thr, left, right, pred, theta)
+
+
+def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
+                        n_stages_cap=None):
+    """Generate the specialized kernel body: unrolled stages, static slices,
+    immediate-constant thresholds/predictions, blockwise tile early exit."""
+    T = sc.n_stages if n_stages_cap is None else min(sc.n_stages, n_stages_cap)
+
+    def kernel(mask_ref, canvas_hbm, hs_ref, alive_ref, nweak_ref,
+               tile_ref, dma_sem):
+        if canvas_hbm.ndim == 4:
+            b = pl.program_id(0)
+            i = pl.program_id(1)
+            j = pl.program_id(2)
+            src = canvas_hbm.at[b, :, pl.ds(i * TU, TU + HU),
+                                pl.ds(j * TV, TV + HV)]
+        else:
+            i = pl.program_id(0)
+            j = pl.program_id(1)
+            src = canvas_hbm.at[:, pl.ds(i * TU, TU + HU),
+                                pl.ds(j * TV, TV + HV)]
+        copy = pltpu.make_async_copy(src, tile_ref, dma_sem)
+        copy.start()
+        copy.wait()
+
+        # alive carried as f32 {0,1}: Mosaic's i1 vector relayouts are
+        # fragile in cond/while carries (see cascade_pallas.py)
+        alive0 = mask_ref[...]
+
+        def make_block(ts):
+            def block(carry):
+                hs, alive, nweak_acc = carry
+                for t in ts:
+                    # static recursive select tree over the actual node
+                    # structure; each internal node is one static VMEM slice
+                    # against an immediate constant
+                    def resp_of(node):
+                        if sc.left[t, node] < 0:
+                            return float(sc.pred[t, node])
+                        r = int(sc.fr[t, node])
+                        c = int(sc.fc[t, node])
+                        ch = int(sc.fch[t, node])
+                        bin_ = (tile_ref[ch, r:r + TU, c:c + TV]
+                                <= float(sc.thr[t, node]))
+                        lo = resp_of(int(sc.left[t, node]))
+                        hi = resp_of(int(sc.right[t, node]))
+                        if isinstance(lo, float) and isinstance(hi, float) \
+                                and lo == hi:
+                            return lo
+                        return jnp.where(bin_, lo, hi)
+                    resp = resp_of(0)
+                    nweak_acc = nweak_acc + alive
+                    hs = hs + alive * resp
+                    th = float(sc.theta[t])
+                    if np.isfinite(th):
+                        alive = alive * (hs >= th).astype(jnp.float32)
+                return hs, alive, nweak_acc
+            return block
+
+        carry = (jnp.zeros((TU, TV), jnp.float32), alive0,
+                 jnp.zeros((TU, TV), jnp.float32))
+        for s0 in range(0, T, BLOCK):
+            ts = range(s0, min(s0 + BLOCK, T))
+            block = make_block(ts)
+            if s0 == 0:
+                carry = block(carry)
+            else:
+                carry = jax.lax.cond(jnp.sum(carry[1]) > 0.0, block,
+                                     lambda c: c, carry)
+        hs, alive, nweak_acc = carry
+
+        hs_ref[...] = hs
+        alive_ref[...] = alive  # f32 {0,1}; Mosaic lacks f32->u8 casts
+        rid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        cid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        nweak = jnp.sum(nweak_acc).astype(jnp.int32)
+        nweak_ref[...] = jnp.where((rid == 0) & (cid == 0), nweak, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sc", "window", "tile", "interpret", "n_stages_cap"),
+)
+def cascade_response_grid_static(
+    canvas: jax.Array, sc: StaticCascade, valid_mask: jax.Array,
+    window: Tuple[int, int], tile: Tuple[int, int] = (128, 256),
+    interpret: bool = False, n_stages_cap=None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Evaluate a frozen cascade on every window origin of a channel canvas.
+
+    ``canvas``: (C, U, V) single image or (B, C, U, V) batch.  Returns
+    ``(hs, alive, n_weak)`` on the (U-m, V-n) window-origin grid (leading B
+    for batched input; ``n_weak`` is per-image for batches).  Drop-in
+    equivalent of ops.cascade.cascade_response_grid(init_alive=...) — same
+    survivor set and scores (monotone SPRT rejection; tile exit is exact).
+    """
+    batched = canvas.ndim == 4
+    if not batched:
+        canvas = canvas[None]
+    B, C, U, V = canvas.shape
+    m, n = window
+    gu, gv = max(U - m, 0), max(V - n, 0)
+    TU, TV = tile
+    TU = min(TU, _round_up(max(gu, 8), 8))
+    TV = min(TV, _round_up(max(gv, 128), 128))
+
+    gi = max(-(-gu // TU), 1)
+    gj = max(-(-gv // TV), 1)
+    HU = _round_up(m, 8)
+    HV = _round_up(n, 128)
+    U_pad = gi * TU + HU
+    V_pad = gj * TV + HV
+    canvas_p = jnp.pad(canvas.astype(jnp.float32),
+                       ((0, 0), (0, 0), (0, U_pad - U), (0, V_pad - V)))
+    mask_p = jnp.pad(valid_mask.astype(jnp.float32),
+                     ((0, gi * TU - gu), (0, gj * TV - gv)))
+
+    kernel = _make_static_kernel(sc, TU, TV, HU, HV, C, m, n,
+                                 n_stages_cap=n_stages_cap)
+
+    grid = (B, gi, gj)
+    mask_spec = pl.BlockSpec((TU, TV), lambda b, i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((1, TU, TV), lambda b, i, j: (b, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TU, TV), lambda b, i, j: (b, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, 128), lambda b, i, j: (b, i, j),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    def kernel3(mask_ref, canvas_hbm, hs_ref, alive_ref, nweak_ref,
+                tile_ref, dma_sem):
+        # outputs carry a leading length-1 batch block dim
+        kernel(mask_ref, canvas_hbm, hs_ref.at[0], alive_ref.at[0],
+               nweak_ref.at[0], tile_ref, dma_sem)
+
+    hs, alive, nweak = pl.pallas_call(
+        kernel3,
+        grid=grid,
+        in_specs=[
+            mask_spec,
+            pl.BlockSpec(memory_space=pltpu.ANY),  # canvas (manual DMA)
+        ],
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, gi * TU, gj * TV), jnp.float32),
+            jax.ShapeDtypeStruct((B, gi * TU, gj * TV), jnp.float32),
+            jax.ShapeDtypeStruct((B, gi * 8, gj * 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((C, TU + HU, TV + HV), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(mask_p, canvas_p)
+
+    hs = hs[:, :gu, :gv]
+    alive = alive[:, :gu, :gv] > 0
+    nweak = jnp.sum(nweak.reshape(B, -1), axis=1)
+    if not batched:
+        return hs[0], alive[0], nweak[0]
+    return hs, alive, nweak

@@ -1,0 +1,191 @@
+"""Fused Pallas TPU kernel: polyphase grad_hist channels + pool + smooth.
+
+One pass over the 2x2-polyphase image canvas produces the pooled (and
+optionally smoothed + interior-masked) channel canvas: gradients, oriented
+projections, the 2x2 average pool (elementwise in polyphase form), and the
+3x3 binomial smooth all happen in VMEM.  The XLA version of this chain
+(channels._grad_hist_poly_fn + image.smooth_3x3) materializes every
+intermediate plane in HBM (~0.5 ms/VGA image); this kernel reads the canvas
+once and writes the channels once (~10x less HBM traffic).
+
+Bit-exactness: every expression replicates the XLA path's term order
+(integer-valued gradients are exact in f32 anyway; the projection multiply,
+pool association ((v00+v10)+(v01+v11))*0.25, and smooth association match
+term for term), so outputs are identical to channels._grad_hist_poly_fn —
+pinned by tests/test_polyphase.py.
+
+Reference semantics: /root/reference/waldboost/channels.py:16-52 (gradients,
+grad_hist), :55-64 (avg pool), :78-90 (3x3/16 smooth, zero borders).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["grad_hist_poly_pallas"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask):
+    HR, HC = 8, 128  # fetched halo (alignment); compute uses 2 plane px
+
+    def kernel(*refs):
+        if with_mask:
+            mask_ref, planes_hbm, out_ref, tile_ref, dma_sem = refs
+        else:
+            planes_hbm, out_ref, tile_ref, dma_sem = refs
+        nd = planes_hbm.ndim
+        if nd == 5:
+            bb = pl.program_id(0)
+            i = pl.program_id(1)
+            j = pl.program_id(2)
+            src = planes_hbm.at[bb, :, :, pl.ds(i * TU, TU + 2 * HR),
+                                pl.ds(j * TV, TV + 2 * HC)]
+        else:
+            i = pl.program_id(0)
+            j = pl.program_id(1)
+            src = planes_hbm.at[:, :, pl.ds(i * TU, TU + 2 * HR),
+                                pl.ds(j * TV, TV + 2 * HC)]
+        copy = pltpu.make_async_copy(src, tile_ref, dma_sem)
+        copy.start()
+        copy.wait()
+
+        # plane px (I0 + dr, J0 + dc) lives at tile_ref[a, b, HR+dr, HC+dc]
+        s = 2  # compute halo in plane px
+
+        def at1(a, b, dr, dc):
+            """(TU+4, TV+4) view of plane (a,b) at offset (dr, dc), covering
+            plane px [I0-2+dr, I0+TU+2+dr) x [J0-2+dc, ...)."""
+            return tile_ref[a, b,
+                            HR - s + dr:HR - s + dr + TU + 2 * s,
+                            HC - s + dc:HC - s + dc + TV + 2 * s]
+
+        # smoothed-gradient prefilters (term order = channels._gradients_poly)
+        sx = [[at1(a, 1, 0, -1) + 2.0 * at1(a, 0, 0, 0) + at1(a, 1, 0, 0),
+               at1(a, 0, 0, 0) + 2.0 * at1(a, 1, 0, 0) + at1(a, 0, 0, 1)]
+              for a in (0, 1)]
+        sy = [[at1(1, b, -1, 0) + 2.0 * at1(0, b, 0, 0) + at1(1, b, 0, 0)
+               for b in (0, 1)],
+              [at1(0, b, 0, 0) + 2.0 * at1(1, b, 0, 0) + at1(0, b, 1, 0)
+               for b in (0, 1)]]
+
+        def sl2(x, dr, dc):
+            """(TU+2, TV+2) view of a (TU+4, TV+4) array at offset (dr, dc)."""
+            return x[1 + dr:1 + dr + TU + 2, 1 + dc:1 + dc + TV + 2]
+
+        gy = [[sl2(sx[1][b], -1, 0) - sl2(sx[1][b], 0, 0) for b in (0, 1)],
+              [sl2(sx[0][b], 0, 0) - sl2(sx[0][b], 1, 0) for b in (0, 1)]]
+        gx = [[sl2(sy[a][1], 0, -1) - sl2(sy[a][1], 0, 0),
+               sl2(sy[a][0], 0, 0) - sl2(sy[a][0], 0, 1)] for a in (0, 1)]
+
+        max_theta = 2 * np.pi if full else np.pi
+        theta = np.linspace(0, max_theta, n_bins + 1)[:-1]
+        css = np.cos(theta).astype(np.float32)
+        sns = np.sin(theta).astype(np.float32)
+
+        if with_mask:
+            mask = mask_ref[...]
+        for k in range(n_bins):
+            c = float(css[k])
+            sn = float(sns[k])
+            vs = [[None, None], [None, None]]
+            for a in (0, 1):
+                for b in (0, 1):
+                    ch = gx[a][b] * c - gy[a][b] * sn
+                    v = jnp.maximum(jnp.abs(ch) - bias, 0.0) if bias \
+                        else jnp.abs(ch)
+                    if full:
+                        v = jnp.sign(ch) * v
+                    vs[a][b] = v
+            pooled = ((vs[0][0] + vs[1][0]) + (vs[0][1] + vs[1][1])) * 0.25
+            if smooth == 1:
+                r = pooled[:-2, :] + 2.0 * pooled[1:-1, :] + pooled[2:, :]
+                v = r[:, :-2] + 2.0 * r[:, 1:-1] + r[:, 2:]
+                outk = v * jnp.float32(1.0 / 16.0)
+                if with_mask:
+                    outk = outk * mask
+            else:
+                outk = pooled[1:TU + 1, 1:TV + 1]
+            out_ref[k] = outk
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("smooth", "n_bins", "full", "bias", "tile", "interpret"),
+)
+def grad_hist_poly_pallas(
+    planes: jax.Array, interior_mask: Optional[jax.Array],
+    smooth: int, n_bins: int = 4, full: bool = False, bias: float = 0.0,
+    tile: Tuple[int, int] = (128, 256), interpret: bool = False,
+) -> jax.Array:
+    """Pooled grad_hist channel canvas from polyphase planes, fused.
+
+    ``planes``: (2, 2, Hc, Wc) or (B, 2, 2, Hc, Wc) float32 (halo-reflected).
+    ``interior_mask``: (Hc, Wc) bool/float32 smooth interior mask (required
+    when ``smooth == 1``).  Returns (B?, n_bins, Hc, Wc) float32.
+    """
+    batched = planes.ndim == 5
+    if not batched:
+        planes = planes[None]
+    B = planes.shape[0]
+    Hc, Wc = planes.shape[-2], planes.shape[-1]
+    TU, TV = tile
+    TU = min(TU, _round_up(max(Hc, 8), 8))
+    TV = min(TV, _round_up(max(Wc, 128), 128))
+    gi = max(-(-Hc // TU), 1)
+    gj = max(-(-Wc // TV), 1)
+    HR, HC = 8, 128
+    planes_p = jnp.pad(planes.astype(jnp.float32),
+                       ((0, 0), (0, 0), (0, 0),
+                        (HR, gi * TU + HR - Hc),
+                        (HC, gj * TV + HC - Wc)))
+    with_mask = smooth == 1 and interior_mask is not None
+    kernel = _make_kernel(TU, TV, smooth, n_bins, full, float(bias), with_mask)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    args = [planes_p]
+    if with_mask:
+        mask_p = jnp.pad(interior_mask.astype(jnp.float32),
+                         ((0, gi * TU - Hc), (0, gj * TV - Wc)))
+        in_specs.insert(0, pl.BlockSpec((TU, TV), lambda b, i, j: (i, j),
+                                        memory_space=pltpu.VMEM))
+        args.insert(0, mask_p)
+
+    def kernel_b(*refs):
+        if with_mask:
+            mask_ref, planes_hbm, out_ref, tile_ref, dma_sem = refs
+            kernel(mask_ref, planes_hbm, out_ref.at[0], tile_ref, dma_sem)
+        else:
+            planes_hbm, out_ref, tile_ref, dma_sem = refs
+            kernel(planes_hbm, out_ref.at[0], tile_ref, dma_sem)
+
+    out = pl.pallas_call(
+        kernel_b,
+        grid=(B, gi, gj),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, n_bins, TU, TV),
+                               lambda b, i, j: (b, 0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_bins, gi * TU, gj * TV),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, TU + 2 * HR, TV + 2 * HC), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(*args)
+
+    out = out[:, :, :Hc, :Wc]
+    return out if batched else out[0]

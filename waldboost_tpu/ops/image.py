@@ -62,8 +62,16 @@ def avg_pool_2(arr: jax.Array) -> jax.Array:
     Odd trailing rows/cols are dropped.  Sums are computed in the input dtype
     (uint8 wraps — reference parity), divided by 4 in float32, then
     truncate-cast back to the input dtype.
+
+    Two reduce_window passes (rows, then cols) pin the f32 association to
+    ``(x00 + x10) + (x01 + x11)`` — the same order the polyphase canvas path
+    uses (channels._grad_hist_poly_fn), so both pipelines agree to the ULP.
     """
-    s = _pool_2(arr, jnp.zeros((), arr.dtype), jax.lax.add)
+    zero = jnp.zeros((), arr.dtype)
+    dims_r = (1,) * (arr.ndim - 2) + (2, 1)
+    dims_c = (1,) * (arr.ndim - 2) + (1, 2)
+    s = jax.lax.reduce_window(arr, zero, jax.lax.add, dims_r, dims_r, "VALID")
+    s = jax.lax.reduce_window(s, zero, jax.lax.add, dims_c, dims_c, "VALID")
     out = s.astype(jnp.float32) / 4.0
     return out.astype(arr.dtype)  # float->int converts toward zero
 

@@ -96,6 +96,66 @@ def apply_row_permutation(canvas: jax.Array, perm: np.ndarray) -> jax.Array:
     return out.reshape(canvas.shape)
 
 
+def reflect_halos_poly(planes: jax.Array,
+                       regions: Sequence[Tuple[int, int, int, int, int]]
+                       ) -> jax.Array:
+    """Symmetric halo reflection on a 2x2-polyphase decomposition.
+
+    ``planes``: (..., 2, 2, Hp, Wp) where ``planes[..., a, b, i, j]`` is the
+    full-resolution canvas pixel ``(2i+a, 2j+b)``.  ``regions`` are
+    full-resolution ``(y, x, h, w, halo)`` rectangles with even ``y, x, h, w``
+    (guaranteed: level offsets and sizes are shrink-snapped).  Semantically
+    identical to :func:`reflect_halos` on the interleaved canvas; reflection
+    of row ``y - k`` to ``y + k - 1`` always crosses phase parity
+    (``(y-k) + (y+k-1)`` is odd), so each band copy is a cross-phase
+    slice + flip — no strided access.
+    """
+    def rows_of_phase(r0: int, r1: int, a: int) -> Tuple[int, int]:
+        """Plane-row range [i0, i1) of phase ``a`` rows within full-res rows
+        [r0, r1)."""
+        i0 = -(-(r0 - a) // 2)
+        i1 = -(-(r1 - a) // 2)
+        return i0, i1
+
+    for (y, x, h, w, halo) in regions:
+        if halo <= 0:
+            continue
+        b = min(halo, h, w)
+        xs = slice(x // 2, (x + w) // 2)  # level cols, both col phases
+        # vertical: full-res dest rows [y-b, y) reflect rows [y, y+b) about y
+        # (dest r -> src 2y-1-r, opposite parity); bottom about y+h
+        for a in (0, 1):
+            i0, i1 = rows_of_phase(y - b, y, a)
+            if i1 > i0:
+                # src plane rows (phase 1-a): j = y - 1 - i, descending
+                src = planes[..., 1 - a, :, y - i1:y - i0, xs]
+                planes = planes.at[..., a, :, i0:i1, xs].set(
+                    jnp.flip(src, axis=-2))
+            i0, i1 = rows_of_phase(y + h, y + h + b, a)
+            if i1 > i0:
+                src = planes[..., 1 - a, :, y + h - i1:y + h - i0, xs]
+                planes = planes.at[..., a, :, i0:i1, xs].set(
+                    jnp.flip(src, axis=-2))
+        # horizontal over the vertically-extended band (corners included)
+        for a in (0, 1):
+            r0, r1 = rows_of_phase(y - b, y + h + b, a)
+            if r1 <= r0:
+                continue
+            rs = slice(r0, r1)
+            for bb in (0, 1):
+                j0, j1 = rows_of_phase(x - b, x, bb)
+                if j1 > j0:
+                    src = planes[..., a, 1 - bb, rs, x - j1:x - j0]
+                    planes = planes.at[..., a, bb, rs, j0:j1].set(
+                        jnp.flip(src, axis=-1))
+                j0, j1 = rows_of_phase(x + w, x + w + b, bb)
+                if j1 > j0:
+                    src = planes[..., a, 1 - bb, rs, x + w - j1:x + w - j0]
+                    planes = planes.at[..., a, bb, rs, j0:j1].set(
+                        jnp.flip(src, axis=-1))
+    return planes
+
+
 def reflect_halos(canvas: jax.Array,
                   regions: Sequence[Tuple[int, int, int, int, int]]) -> jax.Array:
     """Fill each region's halo band with the symmetric reflection of its

@@ -17,8 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..channels import _normalize_opts
-from ..model import (Model, _channel_canvas_fast, _channel_canvas_per_level,
-                     _packed_plan_cached)
+from ..model import (Model, _channel_canvas_batch, _packed_plan_cached)
 from ..ops.cascade import cascade_response_grid
 from .mesh import data_sharding, replicated
 
@@ -41,28 +40,36 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
     valid = jnp.asarray(packed.valid_mask((m, n)))
     casc, depth = model._get_cascade()
 
-    def canvas_one(image):
-        if cf.canvas_fn is not None:
-            return _channel_canvas_fast(image, shrink, smooth, cf,
-                                        packed).astype(jnp.float32)
-        return _channel_canvas_per_level(image, shrink, n_per_oct, smooth, cf,
-                                         packed)
+    def canvas_b(images):
+        return _channel_canvas_batch(images, shrink, n_per_oct, smooth, cf,
+                                     packed)
 
     def cascade_one(canvas):
         return cascade_response_grid(canvas, casc, (m, n), depth,
                                      init_alive=valid)
 
     from ..model import _resolve_cascade_backend
+    backend = _resolve_cascade_backend(serving=True)
+    if backend == "static":
+        # cascade-specialized kernel with the batch as a grid dimension:
+        # one launch evaluates the whole (per-shard) batch
+        from ..ops.cascade_static import (cascade_response_grid_static,
+                                          static_cascade_from_model)
+        sc = static_cascade_from_model(model)
+        interpret = jax.default_backend() != "tpu"
 
-    canvas_b = jax.vmap(canvas_one)
-    if _resolve_cascade_backend() == "pallas" and mesh is None:
-        # the fused kernel cannot be vmapped (unblocked ANY-space operand);
-        # loop the per-image kernel calls inside one jitted program instead
+        def cascade_b(cvs):
+            return cascade_response_grid_static(cvs, sc, valid, (m, n),
+                                                interpret=interpret)
+    elif backend == "pallas":
+        # the generic fused kernel cannot be vmapped (unblocked ANY-space
+        # operand); loop per-image kernel calls inside one jitted program
         from ..ops.cascade_pallas import cascade_response_grid_pallas
+        interpret = jax.default_backend() != "tpu"
 
         def cascade_b(cvs):
             outs = [cascade_response_grid_pallas(cvs[i], casc, valid, (m, n),
-                                                 depth)
+                                                 depth, interpret=interpret)
                     for i in range(cvs.shape[0])]
             hs = jnp.stack([o[0] for o in outs])
             alive = jnp.stack([o[1] for o in outs])
@@ -77,13 +84,32 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
         canvas_jit = jax.jit(canvas_b)
         cascade_jit = jax.jit(cascade_b)
     else:
+        # keep the fast kernel under the mesh: shard_map runs the per-shard
+        # kernel on every chip's local batch slice (data parallelism over
+        # images; no collectives needed — detection is independent per image)
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from .mesh import DATA_AXIS
+
         in_sh = data_sharding(mesh, 3)
         cv_sh = data_sharding(mesh, 4)
         out_sh = (data_sharding(mesh, 3), data_sharding(mesh, 3),
                   data_sharding(mesh, 1))
-        canvas_jit = jax.jit(canvas_b, in_shardings=(in_sh,),
+        canvas_sharded = shard_map(
+            canvas_b, mesh=mesh,
+            in_specs=(P(DATA_AXIS, None, None),),
+            out_specs=P(DATA_AXIS, None, None, None),
+            check_rep=False)
+        canvas_jit = jax.jit(canvas_sharded, in_shardings=(in_sh,),
                              out_shardings=cv_sh)
-        cascade_jit = jax.jit(cascade_b, in_shardings=(cv_sh,),
+        cascade_sharded = shard_map(
+            cascade_b, mesh=mesh,
+            in_specs=(P(DATA_AXIS, None, None, None),),
+            out_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None, None),
+                       P(DATA_AXIS)),
+            check_rep=False)
+        cascade_jit = jax.jit(cascade_sharded, in_shardings=(cv_sh,),
                               out_shardings=out_sh)
 
     def fn(images):
