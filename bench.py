@@ -1,86 +1,187 @@
-"""Benchmark: full-pyramid WaldBoost detection throughput on one chip.
+"""Benchmarks for the five BASELINE.json configs on one chip.
 
-Measures the BASELINE.json headline config — VGA (640x480) grayscale images,
-full channel pyramid (grad_hist, shrink=2, n_per_oct=8, smooth=1), 64-stage
-depth-2 soft cascade with SPRT rejection — end to end on device (channels +
-packed-canvas cascade), batched.
+Prints one JSON line per config ({"metric", "value", "unit", "vs_baseline"});
+the HEADLINE config — VGA full-pyramid detection (BASELINE.json config 2) —
+prints LAST so the driver parses it.  vs_baseline is relative to the
+driver-set north star of 1000 MP/s/chip (BASELINE.json:5; the CPU reference
+publishes no numbers, BASELINE.md).
 
-Every iteration uses a distinct input image: the axon TPU runtime dedupes
-identical executions, so same-input loops measure nothing.
+Configs (BASELINE.json:6-12):
+  1. vga_single_scale — 12x12x4 grad_hist stump model, 640x480, one scale
+  2. vga_full_pyramid — shrink=2/n_per_oct=8/smooth=1 pyramid, 64-stage
+     depth-2 cascade, on-device box extraction + NMS  [HEADLINE]
+  3. fhd_stream_depth2 — depth-2 trees, batched 1920x1080 stream
+  4. train_loop — SamplePool + Learner.fit_stage (alpha=0.2), synthetic data
+  5. fpga_4k — quantized integer channels (grad_hist_4_u1), 3840x2160
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"} where the
-baseline is the driver-set north star of 1000 MP/s/chip (BASELINE.json:5;
-the CPU reference publishes no numbers, BASELINE.md).
+Every iteration uses distinct inputs (the axon runtime dedupes identical
+executions); timing drains the FIFO by fetching a scalar from the last
+result (block_until_ready is unreliable through the tunnel).
 """
 
 import json
 import os
 import time
+import traceback
 
 import numpy as np
 
+NORTH_STAR = 1000.0  # MP/s/chip (BASELINE.json:5)
 
-def main():
-    import jax
+
+def _timeit(fn, batches, iters, warmup):
+    out = fn(batches[0])
+    _ = float(out)
+    for i in range(1, warmup):
+        out = fn(batches[i])
+    _ = float(out)
+    t0 = time.perf_counter()
+    last = None
+    for i in range(iters):
+        last = fn(batches[warmup + i])
+    _ = float(last)
+    return time.perf_counter() - t0
+
+
+def _detect_mps(model, h, w, batch, iters, warmup, nms_iou=None, k=256,
+                k_row=16):
+    """End-to-end batched detection throughput: channels + cascade +
+    on-device box extraction (+ optional on-device NMS)."""
     import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship_model
-    from waldboost_tpu.channels import _normalize_opts
-    from waldboost_tpu.model import (_channel_canvas_batch, _packed_plan_cached)
-    from waldboost_tpu.ops.cascade_static import (cascade_response_grid_static,
-                                                  static_cascade_from_model)
+    from waldboost_tpu.parallel.detect import make_batched_detector_boxes
 
-    h, w = 480, 640
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
-    warmup = 2
+    fn, _ = make_batched_detector_boxes(model, (h, w), k=k, k_row=k_row,
+                                        nms_iou=nms_iou)
 
-    # calibrated thetas: eval_cost in the 2-6 range of real trained detectors
-    model = _flagship_model()
-    m, n, _ = model.shape
-    shrink, n_per_oct, smooth, cf = _normalize_opts(model.channel_opts)
-    packed = _packed_plan_cached(h, w, shrink, n_per_oct, (m, n), halo=cf.halo)
-    sc = static_cascade_from_model(model)
-    valid = jnp.asarray(packed.valid_mask((m, n)))
-    interpret = jax.default_backend() != "tpu"
+    def run(images):
+        rects, scores, valid, count, n_weak = fn(images)
+        return (valid.sum().astype(jnp.float32) + rects.sum()
+                + n_weak.sum().astype(jnp.float32))
 
-    @jax.jit
-    def detect_batch(images):
-        cvs = _channel_canvas_batch(images, shrink, n_per_oct, smooth, cf,
-                                    packed)
-        hs, alive, nw = cascade_response_grid_static(cvs, sc, valid, (m, n),
-                                                     interpret=interpret)
-        return nw.sum()
-
-    # distinct images every call: the axon runtime dedupes identical
-    # executions; the trailing scalar fetch drains the FIFO (block_until_ready
-    # is unreliable through the tunnel)
     rng = np.random.RandomState(0)
     batches = [
         jnp.asarray(rng.randint(0, 256, (batch, h, w)).astype(np.uint8))
         for _ in range(iters + warmup)
     ]
+    dt = _timeit(run, batches, iters, warmup)
+    return h * w / 1e6 * batch * iters / dt
 
-    for i in range(warmup):
-        out = detect_batch(batches[i])
-    _ = float(out)
 
+def bench_vga_single_scale(batch, iters, warmup):
+    """Config 1: stump model, single 640x480 image, ONE pyramid scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_model
+    from waldboost_tpu.channels import _normalize_opts
+    from waldboost_tpu.ops.cascade_static import (
+        cascade_response_grid_static, static_cascade_from_model)
+    from waldboost_tpu.ops.image import avg_pool_2, smooth_3x3
+
+    h, w = 480, 640
+    model = _flagship_model(n_stages=64, depth=1)
+    m, n, _ = model.shape
+    shrink, n_per_oct, smooth, cf = _normalize_opts(model.channel_opts)
+    sc = static_cascade_from_model(model)
+
+    @jax.jit
+    def run(images):
+        def chan_one(im):
+            chns = cf(im.astype(jnp.float32))
+            if shrink == 2:
+                chns = avg_pool_2(chns)
+            if smooth == 1:
+                chns = smooth_3x3(chns)
+            return chns
+        cvs = jax.vmap(chan_one)(images)
+        gu, gv = cvs.shape[-2] - m, cvs.shape[-1] - n
+        valid = jnp.ones((gu, gv), bool)
+        return cascade_response_grid_static(cvs, sc, valid, (m, n))[2].sum()
+
+    rng = np.random.RandomState(0)
+    batches = [
+        jnp.asarray(rng.randint(0, 256, (batch, h, w)).astype(np.uint8))
+        for _ in range(iters + warmup)
+    ]
+    dt = _timeit(run, batches, iters, warmup)
+    return h * w / 1e6 * batch * iters / dt
+
+
+def bench_vga_full_pyramid(batch, iters, warmup):
+    """Config 2 (HEADLINE): full pyramid + 64-stage depth-2 cascade +
+    on-device extraction + NMS."""
+    from __graft_entry__ import _flagship_model
+    model = _flagship_model()
+    return _detect_mps(model, 480, 640, batch, iters, warmup, nms_iou=0.5)
+
+
+def bench_fhd_stream_depth2(batch, iters, warmup):
+    """Config 3: depth-2 trees over 1080p image streams."""
+    from __graft_entry__ import _flagship_model
+    model = _flagship_model(image_hw=(540, 960))
+    return _detect_mps(model, 1080, 1920, batch, iters, warmup, nms_iou=0.5)
+
+
+def bench_fpga_4k(batch, iters, warmup):
+    """Config 5: FPGA quantized integer channels on 4K frames."""
+    from __graft_entry__ import _flagship_model
+    opts = dict(shrink=2, n_per_oct=4, smooth=0, channels="grad_hist_4_u1")
+    model = _flagship_model(channel_opts=opts, image_hw=(540, 960))
+    return _detect_mps(model, 2160, 3840, batch, iters, warmup)
+
+
+def bench_train_loop(n_stages=6):
+    """Config 4: WaldBoost training-loop throughput (stages/min) on the
+    synthetic dataset — pool mining + device histogram tree fit + SPRT."""
+    import waldboost_tpu as wb
+    from waldboost_tpu.utils import fake_data_generator
+
+    gen = fake_data_generator(seed=11)
+    model = wb.Model((12, 12, 4), dict(shrink=2, n_per_oct=4, smooth=1,
+                                       channels="grad_hist"))
+    pool = wb.SamplePool(min_tp=1000, min_fp=1000, seed=0)
+    learner = wb.Learner(alpha=0.2, max_depth=2)
+    # stage 0 pays all compilation; time the steady-state stages
+    wb.train(model, gen, pool=pool, learner=learner, length=2)
     t0 = time.perf_counter()
-    last = None
-    for i in range(iters):
-        last = detect_batch(batches[warmup + i])
-    _ = float(last)
+    wb.train(model, gen, pool=pool, learner=learner, length=2 + n_stages)
     dt = time.perf_counter() - t0
+    return n_stages / dt * 60.0
 
-    mp = h * w / 1e6 * batch * iters
-    mps = mp / dt
-    baseline = 1000.0  # MP/s/chip north-star target (BASELINE.json:5)
-    print(json.dumps({
-        "metric": "full_pyramid_detection_throughput",
-        "value": round(mps, 2),
-        "unit": "MP/s/chip",
-        "vs_baseline": round(mps / baseline, 4),
-    }))
+
+def main():
+    only = os.environ.get("BENCH_CONFIGS", "all")
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    warmup = 2
+
+    def add(name, fn, unit="MP/s/chip", baseline=NORTH_STAR):
+        if only != "all" and name not in only:
+            return
+        try:
+            value = fn()
+            # print immediately (a crashing later config must not lose
+            # earlier results); the headline runs last so the driver's
+            # last-JSON-line parse still lands on it
+            print(json.dumps({"metric": name, "value": round(value, 2),
+                              "unit": unit,
+                              "vs_baseline": round(value / baseline, 4)}),
+                  flush=True)
+        except Exception:
+            traceback.print_exc()
+
+    add("single_scale_detection_throughput",
+        lambda: bench_vga_single_scale(batch, iters, warmup))
+    add("fhd_depth2_stream_throughput",
+        lambda: bench_fhd_stream_depth2(max(batch // 4, 2), iters, warmup))
+    add("fpga_4k_quantized_throughput",
+        lambda: bench_fpga_4k(max(batch // 8, 2), max(iters // 2, 2), warmup))
+    add("training_loop_throughput", bench_train_loop, unit="stages/min",
+        baseline=NORTH_STAR)
+    # headline LAST (the driver parses the final JSON line)
+    add("full_pyramid_detection_throughput",
+        lambda: bench_vga_full_pyramid(batch, iters, warmup))
 
 
 if __name__ == "__main__":

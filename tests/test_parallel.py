@@ -36,6 +36,67 @@ def test_batched_detect_matches_single():
                                        rtol=1e-5)
 
 
+def test_batched_detector_boxes_matches_detect():
+    """On-device extraction (rowwise top-k) returns the exact survivor set."""
+    from waldboost_tpu.parallel.detect import make_batched_detector_boxes
+
+    model = make_model(n_stages=4, shape=(8, 8, 4),
+                       opts=dict(shrink=2, n_per_oct=2, smooth=1,
+                                 channels="grad_hist"))
+    rng = np.random.RandomState(3)
+    images = rng.randint(0, 256, (3, 48, 64)).astype(np.uint8)
+    fn, _ = make_batched_detector_boxes(model, (48, 64), k=2048, k_row=64)
+    rects, scores, valid, count, n_weak = fn(jnp.asarray(images))
+    rects, scores = np.asarray(rects), np.asarray(scores)
+    valid, count = np.asarray(valid), np.asarray(count)
+    for b, img in enumerate(images):
+        single = model.detect(img)
+        assert count[b] == len(single)
+        sel = valid[b]
+        assert sel.sum() == len(single)
+        got = np.concatenate([rects[b][sel], scores[b][sel, None]], axis=1)
+        ref = np.concatenate([single.get(),
+                              single.get_field("scores")[:, None]], axis=1)
+        got = got[np.lexsort(got.T)]
+        ref = ref[np.lexsort(ref.T)]
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_batched_detector_boxes_nms_matches_host():
+    from waldboost_tpu.parallel.detect import make_batched_detector_boxes
+
+    model = make_model(n_stages=4, shape=(8, 8, 4),
+                       opts=dict(shrink=2, n_per_oct=2, smooth=1,
+                                 channels="grad_hist"))
+    rng = np.random.RandomState(4)
+    images = rng.randint(0, 256, (2, 48, 64)).astype(np.uint8)
+    fn, _ = make_batched_detector_boxes(model, (48, 64), k=2048, k_row=64,
+                                        nms_iou=0.4)
+    rects, scores, valid, count, _ = fn(jnp.asarray(images))
+    for b, img in enumerate(images):
+        single = model.detect(img)
+        kept = wb.bbx.non_max_suppression(single, iou_threshold=0.4)
+        sel = np.asarray(valid[b])
+        got = np.asarray(scores[b])[sel]
+        np.testing.assert_allclose(np.sort(got),
+                                   np.sort(kept.get_field("scores")),
+                                   rtol=1e-6)
+
+
+def test_detect_batch_overflow_fallback():
+    """Images whose survivor set overflows the extraction capacity fall back
+    to the exact dense path."""
+    model = make_model(n_stages=4, shape=(8, 8, 4),
+                       opts=dict(shrink=2, n_per_oct=2, smooth=1,
+                                 channels="grad_hist"))
+    rng = np.random.RandomState(5)
+    images = rng.randint(0, 256, (2, 48, 64)).astype(np.uint8)
+    batched = detect_batch(model, images, k=16, k_row=1)  # force overflow
+    for b, img in zip(batched, images):
+        single = model.detect(img)
+        assert len(b) == len(single)
+
+
 def test_sharded_detect_matches_unsharded():
     mesh = _mesh_or_skip(4)
     model = make_model(n_stages=3, shape=(8, 8, 4),

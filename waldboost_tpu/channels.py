@@ -107,6 +107,18 @@ class ChannelFunction:
     def __call__(self, image: jax.Array) -> jax.Array:
         return self.fn(image)
 
+    def __post_init__(self):
+        # the reference persists channel funcs as dotted symbol paths via
+        # __module__ + __qualname__ (/root/reference/waldboost/model.py:23);
+        # exposing the registry name as instance attributes lets reference
+        # code save models whose channel function is one of ours
+        if "." in self.name:
+            mod, qual = self.name.rsplit(".", 1)
+        else:
+            mod, qual = "waldboost_tpu.channels", self.name
+        object.__setattr__(self, "__qualname__", qual)
+        object.__setattr__(self, "__module__", mod)
+
 
 _REGISTRY: Dict[str, ChannelFunction] = {}
 
@@ -277,10 +289,12 @@ grad_hist = register_channel_function(
         halo=1,  # gradient radius only
         canvas_fn=_grad_hist_canvas_fn,
         canvas_fn_poly=_grad_hist_poly_fn,
-        poly_kernel=lambda planes, mask, smooth, interpret: __import__(
+        poly_kernel=lambda planes, mask, smooth, interpret, content_hw=None:
+        __import__(
             "waldboost_tpu.ops.channels_pallas", fromlist=["x"]
         ).grad_hist_poly_pallas(planes, mask, smooth, n_bins=4, full=False,
-                                bias=0.0, interpret=interpret),
+                                bias=0.0, interpret=interpret,
+                                content_hw=content_hw),
     )
 )
 
@@ -347,7 +361,12 @@ def pyramid_plan(h: int, w: int, shrink: int, n_per_oct: int) -> Tuple[Level, ..
 def _compute_octaves(image: jax.Array, n_octaves: int) -> List[jax.Array]:
     octaves = [image]
     for _ in range(n_octaves - 1):
-        octaves.append(imops.avg_pool_2(octaves[-1]))
+        prev = octaves[-1]
+        if prev.dtype == jnp.uint8 and prev.ndim == 2:
+            # bit-identical MXU form of avg_pool_2 (uint8 is bf16-exact)
+            octaves.append(imops.avg_pool_2_u8_matmul(prev))
+        else:
+            octaves.append(imops.avg_pool_2(prev))
     return octaves
 
 

@@ -278,10 +278,19 @@ def _channel_canvas_fast(image, shrink, smooth, cf, packed: PackedPyramidPlan):
     return chns
 
 
+def _poly_pad_geometry(cf, packed: PackedPyramidPlan):
+    """Pre-pad geometry for the fused channel kernel (or None for XLA)."""
+    if cf.poly_kernel is not None and _use_channel_kernel():
+        from .ops.channels_pallas import plane_pad_geometry
+        return plane_pad_geometry(packed.canvas_h, packed.canvas_w)
+    return None
+
+
 def _channel_canvas_poly(image, smooth, cf, packed: PackedPyramidPlan):
     """Polyphase canvas pipeline (shrink=2 fast path), single image."""
-    planes = _poly_planes(image, cf, packed)
-    return _poly_channels(planes, smooth, cf, packed)
+    geom = _poly_pad_geometry(cf, packed)
+    planes = _poly_planes(image, cf, packed, geom=geom)
+    return _poly_channels(planes, smooth, cf, packed, padded=geom is not None)
 
 
 def _channel_canvas_batch(images, shrink, n_per_oct, smooth, cf,
@@ -293,8 +302,11 @@ def _channel_canvas_batch(images, shrink, n_per_oct, smooth, cf,
     batched callers must come through here rather than vmapping the
     single-image canvas."""
     if shrink == 2 and cf.canvas_fn_poly is not None:
-        planes = jax.vmap(lambda im: _poly_planes(im, cf, packed))(images)
-        return _poly_channels(planes, smooth, cf, packed)
+        geom = _poly_pad_geometry(cf, packed)
+        planes = jax.vmap(
+            lambda im: _poly_planes(im, cf, packed, geom=geom))(images)
+        return _poly_channels(planes, smooth, cf, packed,
+                              padded=geom is not None)
     if cf.canvas_fn is not None:
         return jax.vmap(
             lambda im: _channel_canvas_fast(im, shrink, smooth, cf, packed)
@@ -304,8 +316,12 @@ def _channel_canvas_batch(images, shrink, n_per_oct, smooth, cf,
                                              cf, packed))(images)
 
 
-def _poly_planes(image, cf, packed: PackedPyramidPlan):
+def _poly_planes(image, cf, packed: PackedPyramidPlan, geom=None):
     """Resize every pyramid level into the 2x2-polyphase canvas planes.
+
+    With ``geom = (pr, pc, PH, PW)`` the planes are allocated pre-padded for
+    the fused channel kernel (content at offset (pr, pc)), which removes the
+    kernel's runtime pad copy.
 
     The full-resolution image canvas is materialized directly as its 2x2
     polyphase decomposition (2, 2, Hc, Wc): each level's resize matmul emits
@@ -324,17 +340,33 @@ def _poly_planes(image, cf, packed: PackedPyramidPlan):
     is_int = jnp.issubdtype(image.dtype, jnp.integer)
 
     Hc, Wc = packed.canvas_h, packed.canvas_w
-    planes = jnp.zeros((2, 2, Hc, Wc), jnp.float32)
+    # Reflect halos ride the resize matrices: a level's reflected halo band
+    # is a copy of its own resized boundary rows/cols, so duplicating those
+    # rows in R (host-side, _ext_pm below) emits the halo directly from the
+    # einsum — zero extra device ops, bit-identical to a post-hoc
+    # reflect_halos_poly pass (the separable two-pass corner semantics are
+    # exactly the outer product of duplicated rows and columns).
+    halo = cf.halo if (cf.boundary == "reflect" and cf.halo > 0) else 0
+
+    def _ext_pm(R, size):
+        if halo:
+            R = np.concatenate([R[halo - 1::-1], R,
+                                R[size - 1:size - halo - 1:-1]])
+        # phase-major row permutation by ABSOLUTE image parity (the ext
+        # block starts at image row/col y-halo): the einsum stays a plain 2D
+        # matmul and the output's four quadrants are the polyphase planes
+        return np.concatenate([R[halo % 2::2], R[(1 + halo) % 2::2]])
+
+    pr, pc = (geom[0], geom[1]) if geom is not None else (0, 0)
+    PH, PW = (geom[2], geom[3]) if geom is not None else (Hc, Wc)
+    planes = jnp.zeros((2, 2, PH, PW), jnp.float32)
     for pl in packed.levels:
         lv = pl.level
         oct_img = octaves[lv.octave].astype(jnp.float32)
         Rh, Rw = resize_matrices(oct_img.shape[0], oct_img.shape[1],
                                  lv.height, lv.width)
-        # phase-major row permutation on the host: the einsum stays a plain
-        # 2D matmul (no device transposes) and the output's four quadrants
-        # are the four polyphase planes
-        Rh_pm = np.concatenate([Rh[0::2], Rh[1::2]])
-        Rw_pm = np.concatenate([Rw[0::2], Rw[1::2]])
+        Rh_pm = _ext_pm(Rh, lv.height)
+        Rw_pm = _ext_pm(Rw, lv.width)
         # HIGHEST precision: the TPU default runs f32 matmuls in bf16, whose
         # ~0.5-unit error breaks the deterministic trunc-tie convention
         blk = jnp.einsum("ah,hw,bw->ab", jnp.asarray(Rh_pm), oct_img,
@@ -343,21 +375,23 @@ def _poly_planes(image, cf, packed: PackedPyramidPlan):
                          precision=jax.lax.Precision.HIGHEST)
         if is_int:
             blk = jnp.floor(blk + 1e-4)
-        h2, w2 = lv.height // 2, lv.width // 2
+        hq = lv.height // 2 + halo  # rows per phase quadrant (incl. halo)
+        wq = lv.width // 2 + halo
         for a in (0, 1):
             for b in (0, 1):
+                # first image row of phase a within [y-halo, y+h+halo)
+                r0 = (lv.height * 0 + 2 * pl.y - halo
+                      + ((a + halo) % 2) - a) // 2
+                c0 = (2 * pl.x - halo + ((b + halo) % 2) - b) // 2
                 planes = jax.lax.dynamic_update_slice(
-                    planes, blk[None, None, a * h2:(a + 1) * h2,
-                                b * w2:(b + 1) * w2],
-                    (a, b, pl.y, pl.x))
-
-    if cf.boundary == "reflect" and cf.halo > 0:
-        regions = packed.reflect_regions()
-        planes = reflect_halos_poly(planes, regions)
+                    planes, blk[None, None, a * hq:(a + 1) * hq,
+                                b * wq:(b + 1) * wq],
+                    (a, b, r0 + pr, c0 + pc))
     return planes
 
 
-def _poly_channels(planes, smooth, cf, packed: PackedPyramidPlan):
+def _poly_channels(planes, smooth, cf, packed: PackedPyramidPlan,
+                   padded: bool = False):
     """Polyphase planes (B?, 2, 2, Hc, Wc) -> pooled channel canvas
     (B?, C, Hc, Wc): fused Pallas kernel on TPU, XLA chain elsewhere."""
     from .channels import CanvasCtx
@@ -368,7 +402,9 @@ def _poly_channels(planes, smooth, cf, packed: PackedPyramidPlan):
         # fused Pallas chain (channels + pool + smooth + mask in one pass);
         # handles the batch as a grid dimension
         interpret = jax.default_backend() != "tpu"
-        return cf.poly_kernel(planes, interior, smooth, interpret)
+        content_hw = (packed.canvas_h, packed.canvas_w) if padded else None
+        return cf.poly_kernel(planes, interior, smooth, interpret,
+                              content_hw=content_hw)
 
     ctx = CanvasCtx(reflect=lambda x: x)
 

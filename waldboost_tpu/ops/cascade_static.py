@@ -170,11 +170,10 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
         for s0 in range(0, T, BLOCK):
             ts = range(s0, min(s0 + BLOCK, T))
             block = make_block(ts)
-            if s0 == 0:
-                carry = block(carry)
-            else:
-                carry = jax.lax.cond(jnp.sum(carry[1]) > 0.0, block,
-                                     lambda c: c, carry)
+            # every block is conditional (incl. the first): tiles that are
+            # entirely gap/padding skip the whole cascade
+            carry = jax.lax.cond(jnp.sum(carry[1]) > 0.0, block,
+                                 lambda c: c, carry)
         hs, alive, nweak_acc = carry
 
         hs_ref[...] = hs

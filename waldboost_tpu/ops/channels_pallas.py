@@ -29,11 +29,30 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["grad_hist_poly_pallas"]
+__all__ = ["grad_hist_poly_pallas", "TILE", "PAD_R", "PAD_C", "plane_pad_geometry"]
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+#: default channel-space tile and the fetch halo padding the kernel needs
+TILE = (128, 256)
+PAD_R = 8
+PAD_C = 128
+
+
+def plane_pad_geometry(Hc: int, Wc: int, tile: Tuple[int, int] = TILE):
+    """(pr, pc, PH, PW): content offset + padded plane dims such that every
+    tile's halo DMA is in bounds with aligned offsets.  Producers that
+    allocate planes at (PH, PW) with content at (pr, pc) let the kernel skip
+    its runtime jnp.pad (an ~11 MB copy per VGA canvas)."""
+    TU, TV = tile
+    TU = min(TU, _round_up(max(Hc, 8), 8))
+    TV = min(TV, _round_up(max(Wc, 128), 128))
+    gi = max(-(-Hc // TU), 1)
+    gj = max(-(-Wc // TV), 1)
+    return PAD_R, PAD_C, gi * TU + 2 * PAD_R, gj * TV + 2 * PAD_C
 
 
 def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask):
@@ -123,34 +142,46 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("smooth", "n_bins", "full", "bias", "tile", "interpret"),
+    static_argnames=("smooth", "n_bins", "full", "bias", "tile", "interpret",
+                     "content_hw"),
 )
 def grad_hist_poly_pallas(
     planes: jax.Array, interior_mask: Optional[jax.Array],
     smooth: int, n_bins: int = 4, full: bool = False, bias: float = 0.0,
-    tile: Tuple[int, int] = (128, 256), interpret: bool = False,
+    tile: Tuple[int, int] = TILE, interpret: bool = False,
+    content_hw: Optional[Tuple[int, int]] = None,
 ) -> jax.Array:
     """Pooled grad_hist channel canvas from polyphase planes, fused.
 
     ``planes``: (2, 2, Hc, Wc) or (B, 2, 2, Hc, Wc) float32 (halo-reflected).
     ``interior_mask``: (Hc, Wc) bool/float32 smooth interior mask (required
-    when ``smooth == 1``).  Returns (B?, n_bins, Hc, Wc) float32.
+    when ``smooth == 1``).  With ``content_hw`` given, planes are expected
+    PRE-PADDED per :func:`plane_pad_geometry` (no runtime pad copy).
+    Returns (B?, n_bins, Hc, Wc) float32.
     """
     batched = planes.ndim == 5
     if not batched:
         planes = planes[None]
     B = planes.shape[0]
-    Hc, Wc = planes.shape[-2], planes.shape[-1]
+    HR, HC = PAD_R, PAD_C
+    if content_hw is not None:
+        Hc, Wc = content_hw
+    else:
+        Hc, Wc = planes.shape[-2], planes.shape[-1]
     TU, TV = tile
     TU = min(TU, _round_up(max(Hc, 8), 8))
     TV = min(TV, _round_up(max(Wc, 128), 128))
     gi = max(-(-Hc // TU), 1)
     gj = max(-(-Wc // TV), 1)
-    HR, HC = 8, 128
-    planes_p = jnp.pad(planes.astype(jnp.float32),
-                       ((0, 0), (0, 0), (0, 0),
-                        (HR, gi * TU + HR - Hc),
-                        (HC, gj * TV + HC - Wc)))
+    if content_hw is not None:
+        assert planes.shape[-2:] == (gi * TU + 2 * HR, gj * TV + 2 * HC), \
+            (planes.shape, gi * TU + 2 * HR, gj * TV + 2 * HC)
+        planes_p = planes.astype(jnp.float32)
+    else:
+        planes_p = jnp.pad(planes.astype(jnp.float32),
+                           ((0, 0), (0, 0), (0, 0),
+                            (HR, gi * TU + HR - Hc),
+                            (HC, gj * TV + HC - Wc)))
     with_mask = smooth == 1 and interior_mask is not None
     kernel = _make_kernel(TU, TV, smooth, n_bins, full, float(bias), with_mask)
 

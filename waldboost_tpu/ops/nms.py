@@ -19,7 +19,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["iou_matrix_device", "nms_device", "topk_detections"]
+__all__ = ["iou_matrix_device", "nms_device", "topk_detections",
+           "extract_detections_rowwise"]
 
 
 def iou_matrix_device(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -64,6 +65,51 @@ def nms_device(rects: jax.Array, scores: jax.Array, valid: jax.Array,
     # un-permute
     inv = jnp.argsort(order)
     return keep[inv]
+
+
+@functools.partial(jax.jit, static_argnames=("k_row", "k"))
+def extract_detections_rowwise(hs: jax.Array, alive: jax.Array,
+                               level_id: jax.Array, offsets: jax.Array,
+                               inv_scales: jax.Array, window: jax.Array,
+                               k_row: int = 16, k: int = 1024
+                               ) -> Tuple[jax.Array, jax.Array, jax.Array,
+                                          jax.Array]:
+    """Fixed-capacity survivor extraction, hierarchical: per-row top-``k_row``
+    then global top-``k`` over the (GU * k_row) candidates.
+
+    A flat ``top_k`` over the whole window grid costs ~3 ms at VGA canvas
+    size on TPU; batched row-wise top-k over the 628-wide rows plus a global
+    top-k over ~17k candidates is ~10x cheaper.  Exact (returns ALL
+    survivors) when no grid row holds more than ``k_row`` survivors and the
+    total count fits ``k`` — the returned ``count`` lets callers detect
+    overflow and fall back (monotone with Model.detect's two-phase pattern).
+
+    Returns (rects (k, 4) image-space XYXY, scores (k,), valid (k,), count).
+    """
+    gu, gv = hs.shape
+    masked = jnp.where(alive, hs, -jnp.inf)
+    count = jnp.sum(alive, dtype=jnp.int32)
+    row_over = jnp.max(jnp.sum(alive, axis=1, dtype=jnp.int32))
+    # overflow sentinel: count > k or some row > k_row -> report count = -1
+    count = jnp.where((row_over <= k_row) & (count <= k), count, -1)
+    cand_scores, cand_cols = jax.lax.top_k(masked, min(k_row, gv))  # (GU, kr)
+    flat = cand_scores.reshape(-1)
+    k_eff = min(k, flat.shape[0])
+    scores, sel = jax.lax.top_k(flat, k_eff)
+    rs = sel // cand_scores.shape[1]
+    cs = cand_cols.reshape(-1)[sel]
+    lid = jnp.maximum(level_id[rs, cs], 0)
+    valid = jnp.isfinite(scores)
+    local_r = rs - offsets[lid, 0]
+    local_c = cs - offsets[lid, 1]
+    x1 = local_c.astype(jnp.float32)
+    y1 = local_r.astype(jnp.float32)
+    m = window[0].astype(jnp.float32)
+    n = window[1].astype(jnp.float32)
+    rects = jnp.stack([x1, y1, x1 + n, y1 + m], axis=1)
+    rects = rects * inv_scales[lid][:, None]
+    rects = jnp.where(valid[:, None], rects, 0.0)
+    return rects, scores, valid, count
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -21,7 +21,8 @@ from ..model import (Model, _channel_canvas_batch, _packed_plan_cached)
 from ..ops.cascade import cascade_response_grid
 from .mesh import data_sharding, replicated
 
-__all__ = ["make_batched_detector", "detect_batch"]
+__all__ = ["make_batched_detector", "make_batched_detector_boxes",
+           "detect_batch"]
 
 
 def make_batched_detector(model: Model, image_shape: Tuple[int, int],
@@ -118,36 +119,79 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
     return fn, packed
 
 
-def detect_batch(model: Model, images: np.ndarray, mesh=None):
-    """Convenience wrapper: run batched detection and extract per-image boxes
-    on the host.  Returns a list of Boxes (pre-NMS), matching
-    ``Model.detect`` output per image."""
+def make_batched_detector_boxes(model: Model, image_shape: Tuple[int, int],
+                                mesh=None, k: int = 1024, k_row: int = 16,
+                                nms_iou: Optional[float] = None):
+    """Batched detection with fully on-device extraction.
+
+    Returns ``fn(images) -> (rects, scores, valid, count, n_weak)`` — per
+    image a fixed-capacity (k, 4) box set in image space (optionally NMS'd on
+    device), with ``count`` the exact survivor count (-1 flags capacity
+    overflow; see ops.nms.extract_detections_rowwise).  No dense response map
+    ever leaves the device.
+    """
+    from ..ops.nms import extract_detections_rowwise, nms_device
+
+    m, n, _ = model.shape
+    base_fn, packed = make_batched_detector(model, image_shape, mesh=mesh)
+    level_id_map, inv_scales = packed.level_maps((m, n))
+    offsets = np.array([(pl.y, pl.x) for pl in packed.levels], np.int32) \
+        if packed.levels else np.zeros((0, 2), np.int32)
+    lid = jnp.asarray(level_id_map)
+    offs = jnp.asarray(offsets)
+    iscales = jnp.asarray(inv_scales)
+    wnd = jnp.asarray([m, n], jnp.int32)
+
+    def extract_one(hs, alive):
+        rects, scores, valid, count = extract_detections_rowwise(
+            hs, alive, lid, offs, iscales, wnd, k_row=k_row, k=k)
+        if nms_iou is not None:
+            keep = nms_device(rects, scores, valid,
+                              iou_threshold=float(nms_iou))
+            valid = jnp.logical_and(valid, keep)
+        return rects, scores, valid, count
+
+    extract_b = jax.jit(jax.vmap(extract_one))
+
+    def fn(images):
+        hs, alive, n_weak = base_fn(images)
+        rects, scores, valid, count = extract_b(hs, alive)
+        return rects, scores, valid, count, n_weak
+
+    return fn, packed
+
+
+def detect_batch(model: Model, images: np.ndarray, mesh=None,
+                 k: int = 4096, k_row: int = 64):
+    """Convenience wrapper: batched detection with on-device box extraction.
+    Returns a list of Boxes (pre-NMS), the same survivor set per image as
+    ``Model.detect``.  Falls back to a dense transfer for any image whose
+    survivor count overflows the fixed extraction capacity."""
     from .. import boxes as bbx
     from ..boxes import Boxes
 
     images = np.asarray(images)
-    fn, packed = make_batched_detector(model, images.shape[1:], mesh=mesh)
-    hs, alive, n_weak = fn(jnp.asarray(images))
-    hs = np.asarray(hs)
-    alive = np.asarray(alive)
+    fn, packed = make_batched_detector_boxes(model, images.shape[1:],
+                                             mesh=mesh, k=k, k_row=k_row)
+    rects_b, scores_b, valid_b, count_b, _ = fn(jnp.asarray(images))
+    rects_b = np.asarray(rects_b)
+    scores_b = np.asarray(scores_b)
+    valid_b = np.asarray(valid_b)
+    count_b = np.asarray(count_b)
     m, n, _ = model.shape
-    level_id_map, inv_scales = packed.level_maps((m, n))
-    offs = np.array([(pl.y, pl.x) for pl in packed.levels], np.int64) \
-        if packed.levels else np.zeros((0, 2), np.int64)
     out = []
+    dense_idx = [b for b in range(images.shape[0]) if count_b[b] < 0]
+    dense = {}
+    if dense_idx:
+        # rare overflow: dense per-image fallback (exactness guarantee)
+        for b in dense_idx:
+            dense[b] = model.detect(images[b])
     for b in range(images.shape[0]):
-        rs, cs = np.nonzero(alive[b])
-        if rs.size == 0:
-            out.append(bbx.empty_boxes(scores=np.empty(0, np.float32)))
+        if b in dense:
+            out.append(dense[b])
             continue
-        lid = level_id_map[rs, cs]
-        local_r = rs - offs[lid, 0]
-        local_c = cs - offs[lid, 1]
-        x1 = local_c.astype(np.float32)
-        y1 = local_r.astype(np.float32)
-        rects = np.stack([x1, y1, x1 + n, y1 + m], axis=1)
-        rects *= inv_scales[lid][:, None]
-        bx = Boxes(rects)
-        bx.set_field("scores", hs[b][rs, cs].astype(np.float32))
+        sel = valid_b[b]
+        bx = Boxes(rects_b[b][sel])
+        bx.set_field("scores", scores_b[b][sel].astype(np.float32))
         out.append(bx)
     return out
