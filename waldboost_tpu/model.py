@@ -225,7 +225,7 @@ def _channel_canvas_fast(image, shrink, smooth, cf, packed: PackedPyramidPlan):
     every level rect are identical to the per-level reference pipeline.
     """
     from .channels import CanvasCtx, _compute_octaves
-    from .ops.warp import reflect_halos, resize_matrices
+    from .ops.warp import build_resize_matrix, reflect_halos, resize_taps
 
     if shrink == 2 and cf.canvas_fn_poly is not None:
         return _channel_canvas_poly(image, smooth, cf, packed)
@@ -239,12 +239,13 @@ def _channel_canvas_fast(image, shrink, smooth, cf, packed: PackedPyramidPlan):
     for pl in packed.levels:
         lv = pl.level
         oct_img = octaves[lv.octave].astype(jnp.float32)
-        Rh, Rw = resize_matrices(oct_img.shape[0], oct_img.shape[1],
-                                 lv.height, lv.width)
+        oh, ow = oct_img.shape
+        Rh = build_resize_matrix(*resize_taps(oh, lv.height), oh)
+        Rw = build_resize_matrix(*resize_taps(ow, lv.width), ow)
         # HIGHEST precision: the TPU default runs f32 matmuls in bf16, whose
         # ~0.5-unit error breaks the deterministic trunc-tie convention
-        im = jnp.einsum("ah,hw,bw->ab", jnp.asarray(Rh), oct_img,
-                        jnp.asarray(Rw), preferred_element_type=jnp.float32,
+        im = jnp.einsum("ah,hw,bw->ab", Rh, oct_img, Rw,
+                        preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
         if is_int:
             # truncating cast back to the input dtype with the deterministic
@@ -333,7 +334,7 @@ def _poly_planes(image, cf, packed: PackedPyramidPlan, geom=None):
     identical semantics.
     """
     from .channels import _compute_octaves
-    from .ops.warp import reflect_halos_poly, resize_matrices
+    from .ops.warp import build_resize_matrix, resize_taps
 
     n_oct = max(pl.level.octave for pl in packed.levels) + 1
     octaves = _compute_octaves(image, n_oct)
@@ -363,14 +364,20 @@ def _poly_planes(image, cf, packed: PackedPyramidPlan, geom=None):
     for pl in packed.levels:
         lv = pl.level
         oct_img = octaves[lv.octave].astype(jnp.float32)
-        Rh, Rw = resize_matrices(oct_img.shape[0], oct_img.shape[1],
-                                 lv.height, lv.width)
-        Rh_pm = _ext_pm(Rh, lv.height)
-        Rw_pm = _ext_pm(Rw, lv.width)
+        oh, ow = oct_img.shape
+        # matrices built on device from tiny tap vectors (embedding the
+        # dense matrices as HLO constants makes the compile payload
+        # O(sum of n_out*n_in) — 100+ MB for 4K pyramids); the _ext_pm
+        # row transforms apply to the tap vectors directly
+        i0h, frh = (
+            _ext_pm(t, lv.height) for t in resize_taps(oh, lv.height))
+        i0w, frw = (
+            _ext_pm(t, lv.width) for t in resize_taps(ow, lv.width))
+        Rh_pm = build_resize_matrix(i0h, frh, oh)
+        Rw_pm = build_resize_matrix(i0w, frw, ow)
         # HIGHEST precision: the TPU default runs f32 matmuls in bf16, whose
         # ~0.5-unit error breaks the deterministic trunc-tie convention
-        blk = jnp.einsum("ah,hw,bw->ab", jnp.asarray(Rh_pm), oct_img,
-                         jnp.asarray(Rw_pm),
+        blk = jnp.einsum("ah,hw,bw->ab", Rh_pm, oct_img, Rw_pm,
                          preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST)
         if is_int:

@@ -47,6 +47,34 @@ def resize_matrices(h: int, w: int, nh: int, nw: int) -> Tuple[np.ndarray, np.nd
     return _axis_matrix(h, nh), _axis_matrix(w, nw)
 
 
+@functools.lru_cache(maxsize=None)
+def resize_taps(n_in: int, n_out: int) -> Tuple[np.ndarray, np.ndarray]:
+    """The 2-tap structure of :func:`_axis_matrix` as small vectors:
+    ``(i0 int32 (n_out,), frac f32 (n_out,))`` with row r of the matrix =
+    ``(1-frac[r])`` at col ``i0[r]`` plus ``frac[r]`` at ``min(i0[r]+1, n_in-1)``."""
+    coords = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    coords = np.clip(coords, 0.0, n_in - 1.0)
+    i0 = np.floor(coords).astype(np.int64)
+    i0 = np.minimum(i0, max(n_in - 2, 0))
+    frac = (coords - i0).astype(np.float32)
+    return i0.astype(np.int32), frac
+
+
+def build_resize_matrix(i0: np.ndarray, frac: np.ndarray, n_in: int) -> jax.Array:
+    """Materialize the (n_out, n_in) 2-tap resize matrix ON DEVICE from its
+    tap vectors — bitwise equal to the host matrix of :func:`_axis_matrix`
+    but without embedding an O(n_out * n_in) constant into the compiled
+    program (large-image pyramids would otherwise ship 100+ MB of matrix
+    constants to the compiler)."""
+    i0 = jnp.asarray(i0, jnp.int32)
+    frac = jnp.asarray(frac, jnp.float32)
+    cols = jnp.arange(n_in, dtype=jnp.int32)[None, :]
+    t0 = jnp.where(cols == i0[:, None], 1.0 - frac[:, None], 0.0)
+    i1 = jnp.minimum(i0 + 1, n_in - 1)
+    t1 = jnp.where(cols == i1[:, None], frac[:, None], 0.0)
+    return t0 + t1
+
+
 def _reflect_index(q: int, lo: int, hi: int) -> int:
     """Symmetric reflection of coordinate q into [lo, hi): d c b a | a b c d."""
     n = hi - lo
