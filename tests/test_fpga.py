@@ -61,6 +61,27 @@ def test_banks_pattern_and_scheduler():
     assert s.schedule(2) == [[0], [1]]  # round-robin
 
 
+def test_banks_match_reference_tiling_definition():
+    """Property: the modulo bank map equals the reference's tile-pattern
+    definition (np.tile of an arange block over the window,
+    /root/reference/waldboost/fpga/banks.py:6-15) for odd/even windows."""
+    rng = np.random.RandomState(0)
+    for shape, block in [((12, 12, 4), (2, 2)), ((7, 9, 1), (2, 2)),
+                         ((5, 5), (3, 2)), ((8, 6, 2), (4, 4))]:
+        bh, bw = block
+        tile = np.arange(bh * bw).reshape(block)
+        H, W = shape[:2]
+        reps = (-(-H // bh), -(-W // bw))
+        want2d = np.tile(tile, reps)[:H, :W]
+        C = shape[2] if len(shape) == 3 else 1
+        want = np.repeat(want2d[:, :, None], C, axis=2)
+        got = fpga.PixelBanks(shape, block).pattern
+        np.testing.assert_array_equal(got, want)
+        # bank_pixels covers every pixel exactly once across all banks
+        px = fpga.PixelBanks(shape, block).bank_pixels(range(bh * bw))
+        assert sorted(px.tolist()) == list(range(H * W * C))
+
+
 def test_fpga_dtree_quantized():
     rng = np.random.RandomState(2)
     X0 = rng.randint(0, 256, (300, 4, 4, 1)).astype(np.uint8)

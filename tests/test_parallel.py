@@ -149,6 +149,59 @@ def test_sharded_train_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(r1.H0), np.asarray(rN.H0), rtol=1e-5)
 
 
+def test_train_sharded_matches_unsharded():
+    """wb.train with the device pool: an 8-stage run produces the same model
+    sharded over the mesh as on one device (same mining rng; the global
+    histogram/threshold statistics ride collectives under the mesh)."""
+    from waldboost_tpu.utils import fake_data_generator
+
+    mesh = _mesh_or_skip(8)
+
+    def run(mesh_arg):
+        gen = fake_data_generator(seed=13)
+        model = wb.Model((12, 12, 4), dict(shrink=2, n_per_oct=2, smooth=1,
+                                           channels="grad_hist"))
+        pool = wb.SamplePool(min_tp=120, min_fp=120, seed=3)
+        learner = wb.train(model, gen, pool=pool, length=8, mesh=mesh_arg,
+                           learner=wb.Learner(alpha=0.2, max_depth=2))
+        return model, learner
+
+    from waldboost_tpu.parallel.mesh import make_mesh
+    m1, l1 = run(make_mesh(1))
+    mN, lN = run(mesh)
+    assert len(m1) == len(mN) == 8
+    def feats(w):
+        return [(-1, -1, -1) if f is None else tuple(int(x) for x in f)
+                for f in w.feature]
+
+    for (w1, t1), (w2, t2) in zip(m1, mN):
+        assert feats(w1) == feats(w2)
+        np.testing.assert_allclose(w1.threshold, w2.threshold, rtol=1e-5)
+        np.testing.assert_allclose(w1.prediction, w2.prediction, rtol=1e-4)
+        assert t1 == pytest.approx(t2, rel=1e-4, abs=1e-5)
+    np.testing.assert_allclose(l1.get_stats()["loss"],
+                               lN.get_stats()["loss"], rtol=1e-4)
+
+
+def test_train_sharded_resume_and_stats():
+    from waldboost_tpu.utils import fake_data_generator
+
+    mesh = _mesh_or_skip(4)
+    gen = fake_data_generator(seed=21)
+    model = wb.Model((12, 12, 4), dict(shrink=2, n_per_oct=2, smooth=1,
+                                       channels="grad_hist"))
+    pool = wb.SamplePool(min_tp=100, min_fp=100, seed=1)
+    learner = wb.train(model, gen, pool=pool, length=3, mesh=mesh,
+                       learner=wb.Learner(alpha=0.2, max_depth=2))
+    assert len(model) == len(learner) == 3
+    stats = learner.get_stats()
+    assert stats["false_positive_rate"][-1] < 1.0
+    # detection with the trained model works and rejection fires
+    d = next(gen)
+    model.detect(d["image"])
+    assert model.eval_cost < len(model)
+
+
 def test_train_step_improves_loss():
     rng = np.random.RandomState(3)
     N, F = 128, 16

@@ -1,0 +1,76 @@
+"""CNN verifier: training reduces loss; detect_and_verify returns sane boxes.
+
+Covers verification.py (VERDICT r1 weak #5: zero tests for the verifier).
+"""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("flax")
+
+from waldboost_tpu import verification as V
+from test_model import make_model
+
+
+def _toy_pools(rng, n=128, shape=(8, 8, 4)):
+    """Separable synthetic pools: positives have a bright center block."""
+    X0 = rng.rand(n, *shape).astype(np.float32)
+    X1 = rng.rand(n, *shape).astype(np.float32)
+    X1[:, 2:6, 2:6, :] += 2.0
+    H0 = rng.randn(n).astype(np.float32) * 0.1
+    H1 = rng.randn(n).astype(np.float32) * 0.1
+    return X0, H0, X1, H1
+
+
+def test_train_reduces_loss_and_separates():
+    rng = np.random.RandomState(0)
+    X0, H0, X1, H1 = _toy_pools(rng)
+    module, params = V.init_verifier((8, 8, 4), seed=0)
+    s0_before = V.verify_scores(module, params, X0, H0)
+    s1_before = V.verify_scores(module, params, X1, H1)
+    gap_before = np.mean(s1_before) - np.mean(s0_before)
+    params = V.train(module, params, X0, H0, X1, H1, epochs=2, steps=40,
+                     batch_size=32, lr=3e-4, verbose=False)
+    s0 = V.verify_scores(module, params, X0, H0)
+    s1 = V.verify_scores(module, params, X1, H1)
+    gap = np.mean(s1) - np.mean(s0)
+    assert gap > gap_before and gap > 0.5, (gap_before, gap)
+
+
+def test_exploss_clamped():
+    import jax.numpy as jnp
+    y = jnp.asarray([1.0, -1.0, 1.0])
+    yp = jnp.asarray([100.0, 100.0, -100.0])
+    out = np.asarray(V.exploss(y, yp))
+    np.testing.assert_allclose(out, [1e-6, 1e3, 1e3])
+
+
+def test_detect_and_verify_fields():
+    rng = np.random.RandomState(1)
+    model = make_model(n_stages=3, shape=(8, 8, 4),
+                       opts=dict(shrink=2, n_per_oct=2, smooth=1,
+                                 channels="grad_hist"))
+    module, params = V.init_verifier((8, 8, 4), seed=1)
+    img = rng.randint(0, 256, (48, 64)).astype(np.uint8)
+    boxes = V.detect_and_verify(img, model, module, params)
+    raw = model.detect(img)
+    assert len(boxes) == len(raw)
+    assert boxes.has_field("scores") and boxes.has_field("cascade_scores")
+    # cascade_scores must equal the raw detector scores (set-wise)
+    np.testing.assert_allclose(
+        np.sort(boxes.get_field("cascade_scores")),
+        np.sort(raw.get_field("scores")), rtol=1e-6)
+    # verified scores = cnn(X) + H, so they differ from the cascade scores
+    if len(boxes):
+        assert not np.allclose(boxes.get_field("scores"),
+                               boxes.get_field("cascade_scores"))
+
+
+def test_detect_and_verify_empty_image():
+    model = make_model(n_stages=2, shape=(8, 8, 4),
+                       opts=dict(shrink=2, n_per_oct=2, smooth=0,
+                                 channels="grad_hist"))
+    module, params = V.init_verifier((8, 8, 4), seed=2)
+    tiny = np.zeros((8, 8), np.uint8)  # too small for any level
+    boxes = V.detect_and_verify(tiny, model, module, params)
+    assert len(boxes) == 0

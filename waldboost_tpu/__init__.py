@@ -146,7 +146,8 @@ def train(model: Model,
           length: int = 64,
           theta_schedule=None,
           callbacks=(),
-          logger: logging.Logger = None):
+          logger: logging.Logger = None,
+          mesh=None):
     """Train or continue training a detection model.
 
     Baseline pipeline with parity to /root/reference/waldboost/__init__.py:133-227:
@@ -156,8 +157,29 @@ def train(model: Model,
     ``training_images`` is an iterable/generator of dicts with keys
     ``"image"`` (H, W uint8/float ndarray) and ``"groundtruth_boxes"``
     (:class:`Boxes`, optional 'ignore' field).
+
+    With ``mesh`` (a jax.sharding.Mesh), training runs the TPU-native path:
+    a fixed-capacity device-resident sample pool sharded over the mesh's
+    data axis, with the whole per-stage numeric step (weights, histogram
+    tree fit, SPRT threshold, pruning) as one sharded device program —
+    see waldboost_tpu.parallel.trainer.train_sharded.
     """
     logger = logger or logging.getLogger("Training")
+
+    if mesh is not None:
+        from .parallel.trainer import train_sharded
+        pool_kwargs = {}
+        if pool is not None:
+            pool_kwargs = dict(min_tp=pool.min_tp, min_fp=pool.min_fp,
+                               seed=pool.seed, **pool.label_boxes_args)
+        learner = learner or Learner(alpha=0.2, max_depth=2)
+        wh_args = dict(learner.wh_args)
+        return train_sharded(model, training_images, mesh=mesh,
+                             learner=learner, length=length,
+                             theta_schedule=theta_schedule,
+                             max_depth=int(wh_args.get("max_depth", 2)),
+                             callbacks=callbacks, logger=logger,
+                             **pool_kwargs)
 
     if len(model) >= length:
         return learner

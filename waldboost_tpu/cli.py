@@ -17,6 +17,11 @@ import numpy as np
 
 
 def _load_gray(path: str) -> np.ndarray:
+    if path.endswith(".npy"):
+        img = np.load(path)
+        if img.ndim == 3:
+            img = img.mean(axis=2).astype(img.dtype)
+        return img
     try:
         import cv2
         img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)

@@ -34,6 +34,8 @@ class StageResult(NamedTuple):
     p0: jax.Array      # ()
     p1: jax.Array      # ()
     loss: jax.Array    # ()
+    v0: jax.Array = None  # post-stage validity masks (SPRT-pruned pools)
+    v1: jax.Array = None
 
 
 def tree_predict_device(tree: TreeFitResult, xf: jax.Array, max_depth: int) -> jax.Array:
@@ -85,8 +87,12 @@ def _stage_body(x0, H0, v0, x1, H1, v1, P0, P1, theta_in, use_sprt,
     p1 = jnp.sum(jnp.logical_and(H1n >= theta, v1)) / n1
     loss = (jnp.sum(jnp.where(v0, jnp.exp(H0n), 0.0)) / n0
             + jnp.sum(jnp.where(v1, jnp.exp(-H1n), 0.0)) / n1) / 2
+    # SPRT pruning: rejected samples leave the pool (the reference rescores
+    # then drops -inf samples, /root/reference/waldboost/samples.py:287-299)
+    v0n = jnp.logical_and(v0, H0n >= theta)
+    v1n = jnp.logical_and(v1, H1n >= theta)
     return StageResult(tree=tree, theta=theta, H0=H0n, H1=H1n, p0=p0, p1=p1,
-                       loss=loss)
+                       loss=loss, v0=v0n, v1=v1n)
 
 
 def make_train_step(alpha: float = 0.1, max_depth: int = 2, n_bins: int = 256,
@@ -110,5 +116,6 @@ def make_train_step(alpha: float = 0.1, max_depth: int = 2, n_bins: int = 256,
     out_sh = StageResult(
         tree=TreeFitResult(feature=rep, threshold=rep, left=rep, right=rep,
                            pred=rep),
-        theta=rep, H0=sh1(1), H1=sh1(1), p0=rep, p1=rep, loss=rep)
+        theta=rep, H0=sh1(1), H1=sh1(1), p0=rep, p1=rep, loss=rep,
+        v0=sh1(1), v1=sh1(1))
     return jax.jit(body, in_shardings=in_sh, out_shardings=out_sh)

@@ -1,0 +1,216 @@
+"""Sharded training loop with a fixed-capacity device-resident sample pool.
+
+The TPU-native form of ``wb.train`` (SURVEY.md §7 step 6): the sample pool
+lives on device as fixed-capacity ring buffers with validity masks, sharded
+over the mesh's data axis.  Per stage, ONE jitted program (parallel/
+train_step.py) does everything numeric — exp-loss weights, the weighted
+histogram tree fit, score updates, the SPRT threshold, and pool pruning —
+with XLA inserting psum/all-gather collectives for the global statistics.
+The host stays the *producer*: it decodes/labels training images (the same
+mining path the host pool uses, samples.get_samples_from_image) and inserts
+new crops into free device slots; only two scalars (per-class survivor
+counts) cross back per stage.
+
+Reference anchor: the train-loop contract at
+/root/reference/waldboost/__init__.py:133-227 and the pool bootstrap at
+/root/reference/waldboost/samples.py:248-299.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..samples import SampleLabel, get_samples_from_image
+from ..training import DTree, Learner
+from .mesh import data_sharding
+from .train_step import make_train_step
+
+__all__ = ["DevicePool", "train_sharded"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _insert_jit(x, H, v, xn, Hn, kn):
+    """Fill up to ``kn`` new samples into invalid slots of the pool.
+
+    ``xn``/``Hn`` are fixed-capacity staging buffers (entries beyond kn are
+    ignored).  Free slots are located with one argsort over the validity
+    mask (False sorts first); occupied slots are never overwritten.
+    """
+    K = min(xn.shape[0], x.shape[0])
+    xn = xn[:K]
+    Hn = Hn[:K]
+    order = jnp.argsort(v, stable=True)          # free slots first
+    slots = order[:K]
+    free = jnp.logical_not(v[slots])
+    take = jnp.logical_and(jnp.arange(K) < kn, free)
+    x = x.at[slots].set(jnp.where(take[:, None], xn, x[slots]))
+    H = H.at[slots].set(jnp.where(take, Hn, H[slots]))
+    v = v.at[slots].set(jnp.logical_or(v[slots], take))
+    return x, H, v
+
+
+class DevicePool:
+    """One class (tp or fp) of the device-resident sample pool."""
+
+    #: staging-buffer bucket (jit cache: one insert program per pool)
+    INSERT_CHUNK = 1024
+
+    def __init__(self, capacity: int, feat_dim: int, mesh=None):
+        n_dev = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+        # mesh-independent rounding (256 divides by any realistic mesh), so
+        # the pool contents — and therefore the trained model — are identical
+        # across mesh sizes
+        self.capacity = _round_up(capacity, max(256, n_dev * 8))
+        self.mesh = mesh
+        x = jnp.zeros((self.capacity, feat_dim), jnp.float32)
+        H = jnp.zeros(self.capacity, jnp.float32)
+        v = jnp.zeros(self.capacity, bool)
+        if mesh is not None:
+            x = jax.device_put(x, data_sharding(mesh, 2))
+            H = jax.device_put(H, data_sharding(mesh, 1))
+            v = jax.device_put(v, data_sharding(mesh, 1))
+        self.x, self.H, self.v = x, H, v
+        self.count = 0  # host mirror of sum(v)
+
+    def insert(self, X_new: np.ndarray, H_new: np.ndarray) -> int:
+        """Insert host-mined crops; returns how many were accepted."""
+        k = int(len(X_new))
+        if k == 0:
+            return 0
+        accept = min(k, self.capacity - self.count)
+        if accept <= 0:
+            return 0
+        F = self.x.shape[1]
+        X_new = np.asarray(X_new, np.float32).reshape(k, F)[:accept]
+        H_new = np.asarray(H_new, np.float32).ravel()[:accept]
+        for i in range(0, accept, self.INSERT_CHUNK):
+            xa = X_new[i:i + self.INSERT_CHUNK]
+            ha = H_new[i:i + self.INSERT_CHUNK]
+            kn = len(xa)
+            pad = self.INSERT_CHUNK - kn
+            xa = np.pad(xa, ((0, pad), (0, 0)))
+            ha = np.pad(ha, (0, pad))
+            self.x, self.H, self.v = _insert_jit(
+                self.x, self.H, self.v, jnp.asarray(xa), jnp.asarray(ha),
+                jnp.int32(kn))
+        self.count += accept
+        return accept
+
+    def apply_stage(self, H, v) -> None:
+        """Adopt the post-stage scores and pruned validity mask."""
+        self.x = self.x  # unchanged
+        self.H = H
+        self.v = v
+        self.count = int(jnp.sum(v))  # one scalar device->host per stage
+
+
+def train_sharded(model, training_images, mesh=None, learner: Learner = None,
+                  length: int = 64, min_tp: int = 1000, min_fp: int = 1000,
+                  capacity: Optional[int] = None, theta_schedule=None,
+                  max_depth: int = 2, n_bins: int = 256, seed=None,
+                  callbacks=(), logger: Optional[logging.Logger] = None,
+                  **label_kwargs):
+    """Train ``model`` to ``length`` stages with the device-resident pool.
+
+    Semantics mirror ``wb.train`` (pool bootstrap, exp-loss boosting, SPRT
+    thresholds, rejection schedule, Learner statistics); the weak-classifier
+    fit is the histogram tree (DTree hist backend) evaluated entirely on
+    device, sharded over ``mesh``'s data axis when given.  Returns the
+    Learner (stats/pickle-compatible with the host path).
+    """
+    from ..training import BasicRejectionSchedule
+
+    logger = logger or logging.getLogger("Training")
+    if len(model) >= length:
+        return learner
+    learner = learner or Learner(alpha=0.2, max_depth=max_depth)
+    if len(model) != len(learner):
+        raise RuntimeError("Model length and learner length are not consistent")
+    if theta_schedule is None:
+        theta_schedule = BasicRejectionSchedule()
+
+    m, n, C = model.shape
+    F = m * n * C
+    capacity = capacity or 2 * max(min_tp, min_fp)
+    pool_fp = DevicePool(capacity, F, mesh=mesh)
+    pool_tp = DevicePool(capacity, F, mesh=mesh)
+    rng = np.random.default_rng(seed)
+    step = make_train_step(alpha=learner.alpha, max_depth=max_depth,
+                           n_bins=n_bins, mesh=mesh)
+    it = iter(training_images)
+
+    def refill():
+        need_tp = pool_tp.count < min_tp
+        need_fp = pool_fp.count < min_fp
+        mined = 0
+        while (need_tp or need_fp) and mined < 10000:
+            try:
+                gt_dict = next(it)
+            except StopIteration:
+                logger.warning("training images exhausted during mining")
+                break
+            image = gt_dict["image"]
+            gt = gt_dict.get("groundtruth_boxes")
+            for boxes in get_samples_from_image(model, image, gt,
+                                                tp=need_tp, fp=need_fp,
+                                                rng=rng, **label_kwargs):
+                label = boxes.get_field("tp_label")
+                samples = boxes.get_field("samples")
+                scores = boxes.get_field("scores")
+                tp_sel = label == SampleLabel.TRUE_POSITIVE
+                fp_sel = label == SampleLabel.FALSE_POSITIVE
+                if need_tp and tp_sel.any():
+                    pool_tp.insert(samples[tp_sel], scores[tp_sel])
+                if need_fp and fp_sel.any():
+                    pool_fp.insert(samples[fp_sel], scores[fp_sel])
+            mined += 1
+            need_tp = pool_tp.count < min_tp
+            need_fp = pool_fp.count < min_fp
+
+    for stage in range(len(model), length):
+        refill()
+        logger.log(15, f"Stage {stage}: pool tp={pool_tp.count} "
+                       f"fp={pool_fp.count}")
+        theta_in = theta_schedule(stage, learner.false_positive_rate)
+        use_sprt = theta_in is None
+        res = step(pool_fp.x, pool_fp.H, pool_fp.v,
+                   pool_tp.x, pool_tp.H, pool_tp.v,
+                   jnp.float32(learner.false_positive_rate),
+                   jnp.float32(learner.true_positive_rate),
+                   jnp.float32(-np.inf if use_sprt else theta_in),
+                   jnp.asarray(bool(use_sprt)))
+        theta = float(res.theta)
+        weak = _dtree_from_fit(res.tree, (m, n, C))
+        model.append(weak, theta)
+        learner.p0.append(float(res.p0))
+        learner.p1.append(float(res.p1))
+        learner.losses.append(float(res.loss))
+        pool_fp.apply_stage(res.H0, res.v0)
+        pool_tp.apply_stage(res.H1, res.v1)
+        logger.log(15, f"Stage {stage}: loss {float(res.loss):g} "
+                       f"p0 {float(res.p0):g} p1 {float(res.p1):g} "
+                       f"theta {theta:g}")
+        for cb in callbacks:
+            cb(model, learner, stage)
+    return learner
+
+
+def _dtree_from_fit(tree, shape) -> DTree:
+    """TreeFitResult (heap layout) -> host DTree (pruned flat arrays)."""
+    from ..ops.fit import prune_heap_tree
+
+    feat, thr, left, right, pred = prune_heap_tree(
+        np.asarray(tree.feature), np.asarray(tree.threshold),
+        np.asarray(tree.left), np.asarray(tree.right), np.asarray(tree.pred))
+    feature = [np.unravel_index(f, shape) if f >= 0 else None for f in feat]
+    return DTree(feature, thr, left, right, pred)

@@ -167,6 +167,7 @@ class SamplePool:
         self.min_fp = min_fp
         self.label_boxes_args = kwargs
         self.logger = logger_ or logging.getLogger("SamplePool")
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
 
     def update(self, model: Model, iterable: Iterable[dict]) -> None:

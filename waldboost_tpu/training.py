@@ -425,7 +425,9 @@ def fit_rejection_threshold_device(H0, H1, P0, P1, alpha, v0=None, v1=None):
     min1 = jnp.min(jnp.where(v1, H1, jnp.inf))
     theta = jnp.where(max0 < min1, min1,
                       jnp.where(n_unique < 3, -jnp.inf, theta_sprt))
-    return theta
+    # empty class: no basis for a threshold (host scan returns -inf)
+    empty = jnp.logical_or(jnp.sum(v0) == 0, jnp.sum(v1) == 0)
+    return jnp.where(empty, -jnp.inf, theta)
 
 
 class BasicRejectionSchedule:
