@@ -202,6 +202,30 @@ def test_train_sharded_resume_and_stats():
     assert model.eval_cost < len(model)
 
 
+def test_tile_sharded_single_image_exact():
+    """One image's window grid sharded across chips: identical survivor set,
+    scores, and n_weak to the unsharded evaluator (the SURVEY §5 'long axis'
+    sharding analog)."""
+    from waldboost_tpu.parallel.detect import (make_batched_detector,
+                                               make_tile_sharded_detector)
+
+    mesh = _mesh_or_skip(4)
+    model = make_model(n_stages=4, shape=(8, 8, 4),
+                       opts=dict(shrink=2, n_per_oct=2, smooth=1,
+                                 channels="grad_hist"))
+    rng = np.random.RandomState(9)
+    image = rng.randint(0, 256, (96, 128)).astype(np.uint8)
+    fn_t, _ = make_tile_sharded_detector(model, image.shape, mesh=mesh)
+    hs_t, al_t, nw_t = fn_t(image)
+    fn_u, _ = make_batched_detector(model, image.shape)
+    hs_u, al_u, nw_u = fn_u(jnp.asarray(image[None]))
+    al_t, al_u = np.asarray(al_t), np.asarray(al_u[0])
+    np.testing.assert_array_equal(al_t, al_u)
+    np.testing.assert_array_equal(np.asarray(hs_t)[al_t],
+                                  np.asarray(hs_u[0])[al_u])
+    assert int(nw_t) == int(np.asarray(nw_u)[0])
+
+
 def test_train_step_improves_loss():
     rng = np.random.RandomState(3)
     N, F = 128, 16

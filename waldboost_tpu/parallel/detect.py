@@ -161,6 +161,97 @@ def make_batched_detector_boxes(model: Model, image_shape: Tuple[int, int],
     return fn, packed
 
 
+def make_tile_sharded_detector(model: Model, image_shape: Tuple[int, int],
+                               mesh=None):
+    """Shard ONE image's window grid across the mesh (single-image latency).
+
+    The packed canvas is built once (replicated); each chip evaluates the
+    cascade over its horizontal band of window-origin rows — every chip
+    slices its band (+ window halo) from the replicated canvas inside
+    shard_map, so no halo exchange is needed.  This is the "long axis"
+    (scale x window grid) sharding analog of SURVEY.md §5: detection over a
+    single large frame scales with chips, not just over image batches.
+
+    Returns ``fn(image) -> (hs, alive, n_weak)`` on the full (GU, GV) grid,
+    identical to the unsharded evaluator's output.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..model import _resolve_cascade_backend
+    from .mesh import DATA_AXIS
+
+    m, n, _ = model.shape
+    shrink, n_per_oct, smooth, cf = _normalize_opts(model.channel_opts)
+    packed = _packed_plan_cached(image_shape[0], image_shape[1], shrink,
+                                 n_per_oct, (m, n), halo=cf.halo)
+    valid_np = packed.valid_mask((m, n))
+    gu, gv = valid_np.shape
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    rows_per = -(-gu // n_dev)
+    gu_pad = rows_per * n_dev
+    # pad the valid mask (dead rows) so bands divide evenly; the canvas gets
+    # the same padding plus the window halo every band needs below itself
+    valid_pad = np.zeros((gu_pad, gv), bool)
+    valid_pad[:gu] = valid_np
+    valid_dev = jnp.asarray(valid_pad)
+
+    backend = _resolve_cascade_backend(serving=True)
+    if backend == "static":
+        from ..ops.cascade_static import (cascade_response_grid_static,
+                                          static_cascade_from_model)
+        sc = static_cascade_from_model(model)
+        interpret = jax.default_backend() != "tpu"
+
+        def band_eval(canvas_band, valid_band):
+            return cascade_response_grid_static(
+                canvas_band, sc, valid_band, (m, n), interpret=interpret)
+    else:
+        casc, meta = model._get_cascade()
+
+        def band_eval(canvas_band, valid_band):
+            return cascade_response_grid(canvas_band, casc, (m, n), meta,
+                                         init_alive=valid_band)
+
+    def shard_body(canvas, valid):
+        # canvas/valid arrive replicated; each chip takes its band + halo
+        idx = jax.lax.axis_index(DATA_AXIS)
+        start = idx * rows_per
+        band = jax.lax.dynamic_slice(
+            canvas, (0, start, 0),
+            (canvas.shape[0], rows_per + m, canvas.shape[2]))
+        vband = jax.lax.dynamic_slice(valid, (start, 0), (rows_per, gv))
+        hs, alive, nw = band_eval(band, vband)
+        return hs, alive, nw[None]
+
+    sharded = shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS)),
+        check_rep=False)
+
+    def canvas_one(image):
+        return _channel_canvas_batch(image[None], shrink, n_per_oct, smooth,
+                                     cf, packed)[0]
+
+    canvas_jit = jax.jit(canvas_one)
+
+    @jax.jit
+    def cascade_jit(canvas):
+        # rows: every band slices rows [start, start+rows_per+m) — pad so
+        # the last band's halo read is in bounds
+        need = gu_pad + m
+        pad_r = max(need - canvas.shape[1], 0)
+        canvas_p = jnp.pad(canvas, ((0, 0), (0, pad_r), (0, 0)))
+        hs, alive, nw = sharded(canvas_p, valid_dev)
+        return hs[:gu], alive[:gu], nw.sum()
+
+    def fn(image):
+        return cascade_jit(canvas_jit(jnp.asarray(image)))
+
+    return fn, packed
+
+
 def detect_batch(model: Model, images: np.ndarray, mesh=None,
                  k: int = 4096, k_row: int = 64):
     """Convenience wrapper: batched detection with on-device box extraction.
