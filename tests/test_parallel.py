@@ -202,6 +202,34 @@ def test_train_sharded_resume_and_stats():
     assert model.eval_cost < len(model)
 
 
+def test_fused_kernel_geometry_detector_exact():
+    """The geometry-coupled channel+cascade kernel pair (static backend +
+    pallas channels, zero inter-kernel copies) matches Model.detect."""
+    from waldboost_tpu import model as M
+    from waldboost_tpu.parallel.detect import make_batched_detector
+
+    model = make_model(n_stages=4, shape=(8, 8, 4),
+                       opts=dict(shrink=2, n_per_oct=2, smooth=1,
+                                 channels="grad_hist"))
+    rng = np.random.RandomState(12)
+    images = rng.randint(0, 256, (2, 48, 64)).astype(np.uint8)
+    refs = [model.detect(img) for img in images]
+    old_cb, old_chb = M._CASCADE_BACKEND, M._CHANNEL_BACKEND
+    try:
+        M.set_cascade_backend("static")
+        M.set_channel_backend("pallas")  # interpret mode on CPU
+        fn, _ = make_batched_detector(model, (48, 64))
+        hs, alive, nw = fn(jnp.asarray(images))
+    finally:
+        M._CASCADE_BACKEND, M._CHANNEL_BACKEND = old_cb, old_chb
+    for b, ref in enumerate(refs):
+        al = np.asarray(alive[b])
+        assert al.sum() == len(ref)
+        got = np.sort(np.asarray(hs[b])[al])
+        np.testing.assert_allclose(got, np.sort(ref.get_field("scores")),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_tile_sharded_single_image_exact():
     """One image's window grid sharded across chips: identical survivor set,
     scores, and n_weak to the unsharded evaluator (the SURVEY §5 'long axis'

@@ -71,6 +71,7 @@ class PackedPyramidPlan:
     canvas_w: int
     shrink: int = 1
     halo: int = 0     # image-space halo the layout was built for
+    window: Tuple[int, int] = (0, 0)  # detector window the plan was built for
 
     @staticmethod
     def build(plan: Sequence[Level], window: Tuple[int, int],
@@ -87,7 +88,7 @@ class PackedPyramidPlan:
         if not usable:
             return PackedPyramidPlan(levels=(), canvas_h=max(m + 1, 8),
                                      canvas_w=max(n + 1, lane_align),
-                                     shrink=shrink, halo=halo)
+                                     shrink=shrink, halo=halo, window=(m, n))
         order = sorted(range(len(usable)), key=lambda i: -usable[i][1].out_height)
 
         def shelf_pack(canvas_w: int):
@@ -124,7 +125,8 @@ class PackedPyramidPlan:
         _, canvas_w, canvas_h, placed = best
         ordered = tuple(placed[i] for i in range(len(usable)))
         return PackedPyramidPlan(levels=ordered, canvas_h=canvas_h,
-                                 canvas_w=canvas_w, shrink=shrink, halo=halo)
+                                 canvas_w=canvas_w, shrink=shrink, halo=halo,
+                                 window=(m, n))
 
     # -- static canvas masks / permutations (image space = channel space
     #    scaled by shrink) ------------------------------------------------

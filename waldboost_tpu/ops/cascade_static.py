@@ -25,7 +25,7 @@ identical because rejection is monotone per window.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -186,14 +186,34 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
     return kernel
 
 
+def cascade_grid(content_hw: Tuple[int, int], window: Tuple[int, int],
+                 tile: Tuple[int, int] = (128, 256)):
+    """(TU, TV, gi, gj, HU, HV) tiling + minimum canvas allocation
+    (gi*TU+HU, gj*TV+HV) of the static cascade kernel for a canvas with
+    ``content_hw`` content and an (m, n) window."""
+    U, V = content_hw
+    m, n = window
+    gu, gv = max(U - m, 0), max(V - n, 0)
+    TU, TV = tile
+    TU = min(TU, _round_up(max(gu, 8), 8))
+    TV = min(TV, _round_up(max(gv, 128), 128))
+    gi = max(-(-gu // TU), 1)
+    gj = max(-(-gv // TV), 1)
+    HU = _round_up(m, 8)
+    HV = _round_up(n, 128)
+    return TU, TV, gi, gj, HU, HV
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("sc", "window", "tile", "interpret", "n_stages_cap"),
+    static_argnames=("sc", "window", "tile", "interpret", "n_stages_cap",
+                     "content_hw"),
 )
 def cascade_response_grid_static(
     canvas: jax.Array, sc: StaticCascade, valid_mask: jax.Array,
     window: Tuple[int, int], tile: Tuple[int, int] = (128, 256),
     interpret: bool = False, n_stages_cap=None,
+    content_hw: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Evaluate a frozen cascade on every window origin of a channel canvas.
 
@@ -202,25 +222,32 @@ def cascade_response_grid_static(
     for batched input; ``n_weak`` is per-image for batches).  Drop-in
     equivalent of ops.cascade.cascade_response_grid(init_alive=...) — same
     survivor set and scores (monotone SPRT rejection; tile exit is exact).
+
+    With ``content_hw`` given, the canvas is treated as (U, V) content inside
+    a larger allocation that already covers the kernel's halo fetch
+    (cascade_grid) — no pad copy; the extra area must be dead in
+    ``valid_mask`` (it is: window origins beyond content are invalid).
     """
     batched = canvas.ndim == 4
     if not batched:
         canvas = canvas[None]
-    B, C, U, V = canvas.shape
+    B, C = canvas.shape[0], canvas.shape[1]
+    if content_hw is not None:
+        U, V = content_hw
+    else:
+        U, V = canvas.shape[2], canvas.shape[3]
     m, n = window
     gu, gv = max(U - m, 0), max(V - n, 0)
-    TU, TV = tile
-    TU = min(TU, _round_up(max(gu, 8), 8))
-    TV = min(TV, _round_up(max(gv, 128), 128))
-
-    gi = max(-(-gu // TU), 1)
-    gj = max(-(-gv // TV), 1)
-    HU = _round_up(m, 8)
-    HV = _round_up(n, 128)
+    TU, TV, gi, gj, HU, HV = cascade_grid((U, V), window, tile)
     U_pad = gi * TU + HU
     V_pad = gj * TV + HV
-    canvas_p = jnp.pad(canvas.astype(jnp.float32),
-                       ((0, 0), (0, 0), (0, U_pad - U), (0, V_pad - V)))
+    if content_hw is not None:
+        assert canvas.shape[2] >= U_pad and canvas.shape[3] >= V_pad, \
+            (canvas.shape, U_pad, V_pad)
+        canvas_p = canvas.astype(jnp.float32)
+    else:
+        canvas_p = jnp.pad(canvas.astype(jnp.float32),
+                           ((0, 0), (0, 0), (0, U_pad - U), (0, V_pad - V)))
     mask_p = jnp.pad(valid_mask.astype(jnp.float32),
                      ((0, gi * TU - gu), (0, gj * TV - gv)))
 

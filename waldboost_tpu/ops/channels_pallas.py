@@ -42,20 +42,35 @@ PAD_R = 8
 PAD_C = 128
 
 
-def plane_pad_geometry(Hc: int, Wc: int, tile: Tuple[int, int] = TILE):
-    """(pr, pc, PH, PW): content offset + padded plane dims such that every
-    tile's halo DMA is in bounds with aligned offsets.  Producers that
-    allocate planes at (PH, PW) with content at (pr, pc) let the kernel skip
-    its runtime jnp.pad (an ~11 MB copy per VGA canvas)."""
+def channel_grid(Hc: int, Wc: int, tile: Tuple[int, int] = TILE,
+                 out_grid: Optional[Tuple[int, int]] = None):
+    """(TU, TV, gi, gj) tiling of the channel kernel for content (Hc, Wc);
+    ``out_grid`` enlarges the grid (extra tiles emit dead padding — used to
+    size the output for the cascade kernel's halo fetch, removing the
+    inter-kernel pad copy)."""
     TU, TV = tile
     TU = min(TU, _round_up(max(Hc, 8), 8))
     TV = min(TV, _round_up(max(Wc, 128), 128))
     gi = max(-(-Hc // TU), 1)
     gj = max(-(-Wc // TV), 1)
+    if out_grid is not None:
+        gi = max(gi, out_grid[0])
+        gj = max(gj, out_grid[1])
+    return TU, TV, gi, gj
+
+
+def plane_pad_geometry(Hc: int, Wc: int, tile: Tuple[int, int] = TILE,
+                       out_grid: Optional[Tuple[int, int]] = None):
+    """(pr, pc, PH, PW): content offset + padded plane dims such that every
+    tile's halo DMA is in bounds with aligned offsets.  Producers that
+    allocate planes at (PH, PW) with content at (pr, pc) let the kernel skip
+    its runtime jnp.pad (an ~11 MB copy per VGA canvas)."""
+    TU, TV, gi, gj = channel_grid(Hc, Wc, tile, out_grid)
     return PAD_R, PAD_C, gi * TU + 2 * PAD_R, gj * TV + 2 * PAD_C
 
 
-def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask):
+def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
+                 content_grid=None):
     HR, HC = 8, 128  # fetched halo (alignment); compute uses 2 plane px
 
     def kernel(*refs):
@@ -63,79 +78,95 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask):
             mask_ref, planes_hbm, out_ref, tile_ref, dma_sem = refs
         else:
             planes_hbm, out_ref, tile_ref, dma_sem = refs
-        nd = planes_hbm.ndim
-        if nd == 5:
-            bb = pl.program_id(0)
-            i = pl.program_id(1)
-            j = pl.program_id(2)
-            src = planes_hbm.at[bb, :, :, pl.ds(i * TU, TU + 2 * HR),
-                                pl.ds(j * TV, TV + 2 * HC)]
-        else:
-            i = pl.program_id(0)
-            j = pl.program_id(1)
-            src = planes_hbm.at[:, :, pl.ds(i * TU, TU + 2 * HR),
-                                pl.ds(j * TV, TV + 2 * HC)]
-        copy = pltpu.make_async_copy(src, tile_ref, dma_sem)
-        copy.start()
-        copy.wait()
+            mask_ref = None
+        bb = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        src = planes_hbm.at[bb, :, :, pl.ds(i * TU, TU + 2 * HR),
+                            pl.ds(j * TV, TV + 2 * HC)]
 
-        # plane px (I0 + dr, J0 + dc) lives at tile_ref[a, b, HR+dr, HC+dc]
-        s = 2  # compute halo in plane px
+        def compute():
+            copy = pltpu.make_async_copy(src, tile_ref, dma_sem)
+            copy.start()
+            copy.wait()
 
-        def at1(a, b, dr, dc):
-            """(TU+4, TV+4) view of plane (a,b) at offset (dr, dc), covering
-            plane px [I0-2+dr, I0+TU+2+dr) x [J0-2+dc, ...)."""
-            return tile_ref[a, b,
-                            HR - s + dr:HR - s + dr + TU + 2 * s,
-                            HC - s + dc:HC - s + dc + TV + 2 * s]
+            # plane px (I0+dr, J0+dc) lives at tile_ref[a, b, HR+dr, HC+dc]
+            s = 2  # compute halo in plane px
 
-        # smoothed-gradient prefilters (term order = channels._gradients_poly)
-        sx = [[at1(a, 1, 0, -1) + 2.0 * at1(a, 0, 0, 0) + at1(a, 1, 0, 0),
-               at1(a, 0, 0, 0) + 2.0 * at1(a, 1, 0, 0) + at1(a, 0, 0, 1)]
-              for a in (0, 1)]
-        sy = [[at1(1, b, -1, 0) + 2.0 * at1(0, b, 0, 0) + at1(1, b, 0, 0)
-               for b in (0, 1)],
-              [at1(0, b, 0, 0) + 2.0 * at1(1, b, 0, 0) + at1(0, b, 1, 0)
-               for b in (0, 1)]]
+            def at1(a, b, dr, dc):
+                """(TU+4, TV+4) view of plane (a,b) at offset (dr, dc),
+                covering plane px [I0-2+dr, I0+TU+2+dr) x [J0-2+dc, ...)."""
+                return tile_ref[a, b,
+                                HR - s + dr:HR - s + dr + TU + 2 * s,
+                                HC - s + dc:HC - s + dc + TV + 2 * s]
 
-        def sl2(x, dr, dc):
-            """(TU+2, TV+2) view of a (TU+4, TV+4) array at offset (dr, dc)."""
-            return x[1 + dr:1 + dr + TU + 2, 1 + dc:1 + dc + TV + 2]
+            # smoothed-gradient prefilters (term order =
+            # channels._gradients_poly)
+            sx = [[at1(a, 1, 0, -1) + 2.0 * at1(a, 0, 0, 0) + at1(a, 1, 0, 0),
+                   at1(a, 0, 0, 0) + 2.0 * at1(a, 1, 0, 0) + at1(a, 0, 0, 1)]
+                  for a in (0, 1)]
+            sy = [[at1(1, b, -1, 0) + 2.0 * at1(0, b, 0, 0) + at1(1, b, 0, 0)
+                   for b in (0, 1)],
+                  [at1(0, b, 0, 0) + 2.0 * at1(1, b, 0, 0) + at1(0, b, 1, 0)
+                   for b in (0, 1)]]
 
-        gy = [[sl2(sx[1][b], -1, 0) - sl2(sx[1][b], 0, 0) for b in (0, 1)],
-              [sl2(sx[0][b], 0, 0) - sl2(sx[0][b], 1, 0) for b in (0, 1)]]
-        gx = [[sl2(sy[a][1], 0, -1) - sl2(sy[a][1], 0, 0),
-               sl2(sy[a][0], 0, 0) - sl2(sy[a][0], 0, 1)] for a in (0, 1)]
+            def sl2(x, dr, dc):
+                """(TU+2, TV+2) view of (TU+4, TV+4) at offset (dr, dc)."""
+                return x[1 + dr:1 + dr + TU + 2, 1 + dc:1 + dc + TV + 2]
 
-        max_theta = 2 * np.pi if full else np.pi
-        theta = np.linspace(0, max_theta, n_bins + 1)[:-1]
-        css = np.cos(theta).astype(np.float32)
-        sns = np.sin(theta).astype(np.float32)
+            gy = [[sl2(sx[1][b], -1, 0) - sl2(sx[1][b], 0, 0) for b in (0, 1)],
+                  [sl2(sx[0][b], 0, 0) - sl2(sx[0][b], 1, 0) for b in (0, 1)]]
+            gx = [[sl2(sy[a][1], 0, -1) - sl2(sy[a][1], 0, 0),
+                   sl2(sy[a][0], 0, 0) - sl2(sy[a][0], 0, 1)] for a in (0, 1)]
 
-        if with_mask:
-            mask = mask_ref[...]
-        for k in range(n_bins):
-            c = float(css[k])
-            sn = float(sns[k])
-            vs = [[None, None], [None, None]]
-            for a in (0, 1):
-                for b in (0, 1):
-                    ch = gx[a][b] * c - gy[a][b] * sn
-                    v = jnp.maximum(jnp.abs(ch) - bias, 0.0) if bias \
-                        else jnp.abs(ch)
-                    if full:
-                        v = jnp.sign(ch) * v
-                    vs[a][b] = v
-            pooled = ((vs[0][0] + vs[1][0]) + (vs[0][1] + vs[1][1])) * 0.25
-            if smooth == 1:
-                r = pooled[:-2, :] + 2.0 * pooled[1:-1, :] + pooled[2:, :]
-                v = r[:, :-2] + 2.0 * r[:, 1:-1] + r[:, 2:]
-                outk = v * jnp.float32(1.0 / 16.0)
-                if with_mask:
-                    outk = outk * mask
-            else:
-                outk = pooled[1:TU + 1, 1:TV + 1]
-            out_ref[k] = outk
+            max_theta = 2 * np.pi if full else np.pi
+            theta = np.linspace(0, max_theta, n_bins + 1)[:-1]
+            css = np.cos(theta).astype(np.float32)
+            sns = np.sin(theta).astype(np.float32)
+
+            if with_mask:
+                mask = mask_ref[...]
+            for k in range(n_bins):
+                c = float(css[k])
+                sn = float(sns[k])
+                vs = [[None, None], [None, None]]
+                for a in (0, 1):
+                    for b in (0, 1):
+                        ch = gx[a][b] * c - gy[a][b] * sn
+                        v = jnp.maximum(jnp.abs(ch) - bias, 0.0) if bias \
+                            else jnp.abs(ch)
+                        if full:
+                            v = jnp.sign(ch) * v
+                        vs[a][b] = v
+                pooled = ((vs[0][0] + vs[1][0])
+                          + (vs[0][1] + vs[1][1])) * 0.25
+                if smooth == 1:
+                    r = pooled[:-2, :] + 2.0 * pooled[1:-1, :] + pooled[2:, :]
+                    v = r[:, :-2] + 2.0 * r[:, 1:-1] + r[:, 2:]
+                    outk = v * jnp.float32(1.0 / 16.0)
+                    if with_mask:
+                        outk = outk * mask
+                else:
+                    outk = pooled[1:TU + 1, 1:TV + 1]
+                out_ref[k] = outk
+
+        if content_grid is None:
+            compute()
+            return
+
+        # grid enlarged for the downstream cascade kernel's halo fetch:
+        # non-content tiles emit zeros (dead in the valid mask) and skip
+        # both the DMA and the compute
+        is_content = jnp.logical_and(i < content_grid[0], j < content_grid[1])
+
+        @pl.when(is_content)
+        def _content_tile():
+            compute()
+
+        @pl.when(jnp.logical_not(is_content))
+        def _pad_tile():
+            for k in range(n_bins):
+                out_ref[k] = jnp.zeros((TU, TV), jnp.float32)
 
     return kernel
 
@@ -143,13 +174,14 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask):
 @functools.partial(
     jax.jit,
     static_argnames=("smooth", "n_bins", "full", "bias", "tile", "interpret",
-                     "content_hw"),
+                     "content_hw", "out_grid", "crop"),
 )
 def grad_hist_poly_pallas(
     planes: jax.Array, interior_mask: Optional[jax.Array],
     smooth: int, n_bins: int = 4, full: bool = False, bias: float = 0.0,
     tile: Tuple[int, int] = TILE, interpret: bool = False,
     content_hw: Optional[Tuple[int, int]] = None,
+    out_grid: Optional[Tuple[int, int]] = None, crop: bool = True,
 ) -> jax.Array:
     """Pooled grad_hist channel canvas from polyphase planes, fused.
 
@@ -157,7 +189,10 @@ def grad_hist_poly_pallas(
     ``interior_mask``: (Hc, Wc) bool/float32 smooth interior mask (required
     when ``smooth == 1``).  With ``content_hw`` given, planes are expected
     PRE-PADDED per :func:`plane_pad_geometry` (no runtime pad copy).
-    Returns (B?, n_bins, Hc, Wc) float32.
+    ``out_grid``/``crop=False`` let a downstream consumer (the cascade
+    kernel) take the uncropped (GI*TU, GJ*TV) canvas sized for its own halo
+    fetch — zero copies between the two kernels.
+    Returns (B?, n_bins, Hc, Wc) float32 (or the uncropped canvas).
     """
     batched = planes.ndim == 5
     if not batched:
@@ -168,11 +203,7 @@ def grad_hist_poly_pallas(
         Hc, Wc = content_hw
     else:
         Hc, Wc = planes.shape[-2], planes.shape[-1]
-    TU, TV = tile
-    TU = min(TU, _round_up(max(Hc, 8), 8))
-    TV = min(TV, _round_up(max(Wc, 128), 128))
-    gi = max(-(-Hc // TU), 1)
-    gj = max(-(-Wc // TV), 1)
+    TU, TV, gi, gj = channel_grid(Hc, Wc, tile, out_grid)
     if content_hw is not None:
         assert planes.shape[-2:] == (gi * TU + 2 * HR, gj * TV + 2 * HC), \
             (planes.shape, gi * TU + 2 * HR, gj * TV + 2 * HC)
@@ -183,7 +214,11 @@ def grad_hist_poly_pallas(
                             (HR, gi * TU + HR - Hc),
                             (HC, gj * TV + HC - Wc)))
     with_mask = smooth == 1 and interior_mask is not None
-    kernel = _make_kernel(TU, TV, smooth, n_bins, full, float(bias), with_mask)
+    gi_c = max(-(-Hc // TU), 1)
+    gj_c = max(-(-Wc // TV), 1)
+    content_grid = (gi_c, gj_c) if (gi, gj) != (gi_c, gj_c) else None
+    kernel = _make_kernel(TU, TV, smooth, n_bins, full, float(bias),
+                          with_mask, content_grid=content_grid)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
     args = [planes_p]
@@ -218,5 +253,6 @@ def grad_hist_poly_pallas(
         interpret=interpret,
     )(*args)
 
-    out = out[:, :, :Hc, :Wc]
+    if crop:
+        out = out[:, :, :Hc, :Wc]
     return out if batched else out[0]

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["iou_matrix_device", "nms_device", "topk_detections",
-           "extract_detections_rowwise"]
+           "extract_detections_rowwise", "extract_detections_approx"]
 
 
 def iou_matrix_device(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -65,6 +65,49 @@ def nms_device(rects: jax.Array, scores: jax.Array, valid: jax.Array,
     # un-permute
     inv = jnp.argsort(order)
     return keep[inv]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def extract_detections_approx(hs: jax.Array, alive: jax.Array,
+                              level_id: jax.Array, offsets: jax.Array,
+                              inv_scales: jax.Array, window: jax.Array,
+                              k: int = 256
+                              ) -> Tuple[jax.Array, jax.Array, jax.Array,
+                                         jax.Array]:
+    """Fixed-capacity survivor extraction via ``lax.approx_max_k`` — the
+    TPU-native partial-reduction top-k (~4x faster than the sort-based
+    ``lax.top_k`` at canvas size).
+
+    approx_max_k may miss survivors (recall < 1), so exactness is *checked*:
+    ``count`` is the true survivor total and is set to -1 when the extracted
+    set is incomplete (capacity overflow OR a recall miss) — callers fall
+    back to the dense path exactly as with the overflow check of
+    :func:`extract_detections_rowwise`.
+
+    Returns (rects (k, 4) image-space XYXY, scores (k,), valid (k,), count).
+    """
+    gu, gv = hs.shape
+    masked = jnp.where(alive, hs, -jnp.inf).reshape(-1)
+    true_count = jnp.sum(alive, dtype=jnp.int32)
+    k_eff = min(k, masked.shape[0])
+    scores, idx = jax.lax.approx_max_k(masked, k_eff)
+    valid = jnp.isfinite(scores)
+    got = jnp.sum(valid, dtype=jnp.int32)
+    complete = jnp.logical_and(true_count <= k_eff, got == true_count)
+    count = jnp.where(complete, true_count, -1)
+    rs = idx // gv
+    cs = idx % gv
+    lid = jnp.maximum(level_id[rs, cs], 0)
+    local_r = rs - offsets[lid, 0]
+    local_c = cs - offsets[lid, 1]
+    x1 = local_c.astype(jnp.float32)
+    y1 = local_r.astype(jnp.float32)
+    m = window[0].astype(jnp.float32)
+    n = window[1].astype(jnp.float32)
+    rects = jnp.stack([x1, y1, x1 + n, y1 + m], axis=1)
+    rects = rects * inv_scales[lid][:, None]
+    rects = jnp.where(valid[:, None], rects, 0.0)
+    return rects, scores, valid, count
 
 
 @functools.partial(jax.jit, static_argnames=("k_row", "k"))

@@ -49,9 +49,43 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
         return cascade_response_grid(canvas, casc, (m, n), depth,
                                      init_alive=valid)
 
-    from ..model import _resolve_cascade_backend
+    from ..model import _resolve_cascade_backend, _use_channel_kernel
     backend = _resolve_cascade_backend(serving=True)
-    if backend == "static":
+    fused = bool(backend == "static" and shrink == 2
+                 and cf.canvas_fn_poly is not None
+                 and cf.poly_kernel is not None and _use_channel_kernel()
+                 and packed.levels)
+    if fused:
+        # geometry-coupled kernels: the channel kernel emits a canvas already
+        # sized for the cascade kernel's halo fetch — zero pad/copy between
+        from ..model import _poly_planes
+        from ..ops.cascade_static import (cascade_grid,
+                                          cascade_response_grid_static,
+                                          static_cascade_from_model)
+        from ..ops.channels_pallas import channel_grid, plane_pad_geometry
+        sc = static_cascade_from_model(model)
+        interpret = jax.default_backend() != "tpu"
+        Hc, Wc = packed.canvas_h, packed.canvas_w
+        TUc, TVc, gi2, gj2, HU, HV = cascade_grid((Hc, Wc), (m, n))
+        need = (gi2 * TUc + HU, gj2 * TVc + HV)
+        TU, TV, _, _ = channel_grid(Hc, Wc)
+        out_grid = (-(-need[0] // TU), -(-need[1] // TV))
+        geom = plane_pad_geometry(Hc, Wc, out_grid=out_grid)
+        interior = jnp.asarray(packed.smooth_interior_mask()) if smooth == 1 \
+            else None
+
+        def canvas_b(images):
+            planes = jax.vmap(
+                lambda im: _poly_planes(im, cf, packed, geom=geom))(images)
+            return cf.poly_kernel(planes, interior, smooth, interpret,
+                                  content_hw=(Hc, Wc), out_grid=out_grid,
+                                  crop=False)
+
+        def cascade_b(cvs):
+            return cascade_response_grid_static(cvs, sc, valid, (m, n),
+                                                interpret=interpret,
+                                                content_hw=(Hc, Wc))
+    elif backend == "static":
         # cascade-specialized kernel with the batch as a grid dimension:
         # one launch evaluates the whole (per-shard) batch
         from ..ops.cascade_static import (cascade_response_grid_static,
@@ -121,16 +155,18 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
 
 def make_batched_detector_boxes(model: Model, image_shape: Tuple[int, int],
                                 mesh=None, k: int = 1024, k_row: int = 16,
-                                nms_iou: Optional[float] = None):
+                                nms_iou: Optional[float] = None,
+                                extractor: str = "approx"):
     """Batched detection with fully on-device extraction.
 
     Returns ``fn(images) -> (rects, scores, valid, count, n_weak)`` — per
     image a fixed-capacity (k, 4) box set in image space (optionally NMS'd on
-    device), with ``count`` the exact survivor count (-1 flags capacity
-    overflow; see ops.nms.extract_detections_rowwise).  No dense response map
-    ever leaves the device.
+    device), with ``count`` the exact survivor count (-1 flags an incomplete
+    extraction: capacity overflow, or a recall miss of the default "approx"
+    extractor — see ops.nms).  No dense response map ever leaves the device.
     """
-    from ..ops.nms import extract_detections_rowwise, nms_device
+    from ..ops.nms import (extract_detections_approx,
+                           extract_detections_rowwise, nms_device)
 
     m, n, _ = model.shape
     base_fn, packed = make_batched_detector(model, image_shape, mesh=mesh)
@@ -143,8 +179,12 @@ def make_batched_detector_boxes(model: Model, image_shape: Tuple[int, int],
     wnd = jnp.asarray([m, n], jnp.int32)
 
     def extract_one(hs, alive):
-        rects, scores, valid, count = extract_detections_rowwise(
-            hs, alive, lid, offs, iscales, wnd, k_row=k_row, k=k)
+        if extractor == "approx":
+            rects, scores, valid, count = extract_detections_approx(
+                hs, alive, lid, offs, iscales, wnd, k=k)
+        else:
+            rects, scores, valid, count = extract_detections_rowwise(
+                hs, alive, lid, offs, iscales, wnd, k_row=k_row, k=k)
         if nms_iou is not None:
             keep = nms_device(rects, scores, valid,
                               iou_threshold=float(nms_iou))
