@@ -336,7 +336,6 @@ def _poly_planes(image, cf, packed: PackedPyramidPlan, geom=None):
     identical semantics.
     """
     from .channels import _compute_octaves
-    from .ops.warp import build_resize_matrix, resize_taps
 
     n_oct = max(pl.level.octave for pl in packed.levels) + 1
     octaves = _compute_octaves(image, n_oct)
@@ -345,24 +344,50 @@ def _poly_planes(image, cf, packed: PackedPyramidPlan, geom=None):
     Hc, Wc = packed.canvas_h, packed.canvas_w
     # Reflect halos ride the resize matrices: a level's reflected halo band
     # is a copy of its own resized boundary rows/cols, so duplicating those
-    # rows in R (host-side, _ext_pm below) emits the halo directly from the
-    # einsum — zero extra device ops, bit-identical to a post-hoc
-    # reflect_halos_poly pass (the separable two-pass corner semantics are
-    # exactly the outer product of duplicated rows and columns).
+    # rows in R (host-side, _ext_pm in _poly_level_blocks) emits the halo
+    # directly from the einsum — zero extra device ops, bit-identical to a
+    # post-hoc reflect_halos_poly pass (the separable two-pass corner
+    # semantics are exactly the outer product of duplicated rows and cols).
     halo = cf.halo if (cf.boundary == "reflect" and cf.halo > 0) else 0
+
+    pr, pc = (geom[0], geom[1]) if geom is not None else (0, 0)
+    PH, PW = (geom[2], geom[3]) if geom is not None else (Hc, Wc)
+    blocks, placements = _poly_level_blocks(octaves, cf, packed, halo, is_int)
+    # integer-valued canvases (uint8 images) are exact in bf16 (<= 255 needs
+    # 8 mantissa bits): halving the plane bytes halves both the assembly
+    # writes and the channel kernel's fetch traffic, with identical values
+    # after the f32 upcast downstream
+    dtype = jnp.bfloat16 if is_int else jnp.float32
+    blocks = [b.astype(dtype) for b in blocks]
+    planes = jnp.zeros((2, 2, PH, PW), dtype)
+    for blk, (r00, r01, c00, c01) in zip(blocks, placements):
+        hq = blk.shape[0] // 2
+        wq = blk.shape[1] // 2
+        rr = (r00, r01)
+        cc = (c00, c01)
+        for a in (0, 1):
+            for b in (0, 1):
+                planes = jax.lax.dynamic_update_slice(
+                    planes, blk[None, None, a * hq:(a + 1) * hq,
+                                b * wq:(b + 1) * wq],
+                    (a, b, rr[a] + pr, cc[b] + pc))
+    return planes
+
+
+def _poly_level_blocks(octaves, cf, packed: PackedPyramidPlan, halo,
+                       is_int):
+    """Per-level phase-major resized blocks (with halo rows/cols baked into
+    the resize matrices) + their per-phase plane placements."""
+    from .ops.warp import build_resize_matrix, resize_taps
 
     def _ext_pm(R, size):
         if halo:
             R = np.concatenate([R[halo - 1::-1], R,
                                 R[size - 1:size - halo - 1:-1]])
-        # phase-major row permutation by ABSOLUTE image parity (the ext
-        # block starts at image row/col y-halo): the einsum stays a plain 2D
-        # matmul and the output's four quadrants are the polyphase planes
         return np.concatenate([R[halo % 2::2], R[(1 + halo) % 2::2]])
 
-    pr, pc = (geom[0], geom[1]) if geom is not None else (0, 0)
-    PH, PW = (geom[2], geom[3]) if geom is not None else (Hc, Wc)
-    planes = jnp.zeros((2, 2, PH, PW), jnp.float32)
+    blocks = []
+    placements = []
     for pl in packed.levels:
         lv = pl.level
         oct_img = octaves[lv.octave].astype(jnp.float32)
@@ -384,19 +409,22 @@ def _poly_planes(image, cf, packed: PackedPyramidPlan, geom=None):
                          precision=jax.lax.Precision.HIGHEST)
         if is_int:
             blk = jnp.floor(blk + 1e-4)
-        hq = lv.height // 2 + halo  # rows per phase quadrant (incl. halo)
-        wq = lv.width // 2 + halo
-        for a in (0, 1):
-            for b in (0, 1):
-                # first image row of phase a within [y-halo, y+h+halo)
-                r0 = (lv.height * 0 + 2 * pl.y - halo
-                      + ((a + halo) % 2) - a) // 2
-                c0 = (2 * pl.x - halo + ((b + halo) % 2) - b) // 2
-                planes = jax.lax.dynamic_update_slice(
-                    planes, blk[None, None, a * hq:(a + 1) * hq,
-                                b * wq:(b + 1) * wq],
-                    (a, b, r0 + pr, c0 + pc))
-    return planes
+        blocks.append(blk)
+    return blocks, _poly_placements(packed, halo)
+
+
+def _poly_placements(packed: PackedPyramidPlan, halo: int):
+    """Per-level (r0_phase0, r0_phase1, c0_phase0, c0_phase1) plane offsets
+    of the phase-major level blocks (first image row/col of phase p within
+    [y-halo, y+h+halo))."""
+    out = []
+    for pl in packed.levels:
+        offs = [(2 * pl.y - halo + ((p + halo) % 2) - p) // 2
+                for p in (0, 1)]
+        offs += [(2 * pl.x - halo + ((p + halo) % 2) - p) // 2
+                 for p in (0, 1)]
+        out.append(tuple(offs))
+    return tuple(out)
 
 
 def _poly_channels(planes, smooth, cf, packed: PackedPyramidPlan,

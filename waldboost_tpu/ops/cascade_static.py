@@ -109,7 +109,7 @@ def static_cascade_from_model(model) -> StaticCascade:
 
 
 def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
-                        n_stages_cap=None):
+                        n_stages_cap=None, block=BLOCK):
     """Generate the specialized kernel body: unrolled stages, static slices,
     immediate-constant thresholds/predictions, blockwise tile early exit."""
     T = sc.n_stages if n_stages_cap is None else min(sc.n_stages, n_stages_cap)
@@ -136,7 +136,7 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
         alive0 = mask_ref[...]
 
         def make_block(ts):
-            def block(carry):
+            def block_fn(carry):
                 hs, alive, nweak_acc = carry
                 for t in ts:
                     # static recursive select tree over the actual node
@@ -163,16 +163,15 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                     if np.isfinite(th):
                         alive = alive * (hs >= th).astype(jnp.float32)
                 return hs, alive, nweak_acc
-            return block
+            return block_fn
 
         carry = (jnp.zeros((TU, TV), jnp.float32), alive0,
                  jnp.zeros((TU, TV), jnp.float32))
-        for s0 in range(0, T, BLOCK):
-            ts = range(s0, min(s0 + BLOCK, T))
-            block = make_block(ts)
+        for s0 in range(0, T, block):
+            ts = range(s0, min(s0 + block, T))
             # every block is conditional (incl. the first): tiles that are
             # entirely gap/padding skip the whole cascade
-            carry = jax.lax.cond(jnp.sum(carry[1]) > 0.0, block,
+            carry = jax.lax.cond(jnp.sum(carry[1]) > 0.0, make_block(ts),
                                  lambda c: c, carry)
         hs, alive, nweak_acc = carry
 
@@ -207,13 +206,13 @@ def cascade_grid(content_hw: Tuple[int, int], window: Tuple[int, int],
 @functools.partial(
     jax.jit,
     static_argnames=("sc", "window", "tile", "interpret", "n_stages_cap",
-                     "content_hw"),
+                     "content_hw", "block"),
 )
 def cascade_response_grid_static(
     canvas: jax.Array, sc: StaticCascade, valid_mask: jax.Array,
     window: Tuple[int, int], tile: Tuple[int, int] = (128, 256),
     interpret: bool = False, n_stages_cap=None,
-    content_hw: Optional[Tuple[int, int]] = None,
+    content_hw: Optional[Tuple[int, int]] = None, block: int = BLOCK,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Evaluate a frozen cascade on every window origin of a channel canvas.
 
@@ -252,7 +251,7 @@ def cascade_response_grid_static(
                      ((0, gi * TU - gu), (0, gj * TV - gv)))
 
     kernel = _make_static_kernel(sc, TU, TV, HU, HV, C, m, n,
-                                 n_stages_cap=n_stages_cap)
+                                 n_stages_cap=n_stages_cap, block=block)
 
     grid = (B, gi, gj)
     mask_spec = pl.BlockSpec((TU, TV), lambda b, i, j: (i, j),

@@ -94,11 +94,12 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
             s = 2  # compute halo in plane px
 
             def at1(a, b, dr, dc):
-                """(TU+4, TV+4) view of plane (a,b) at offset (dr, dc),
+                """(TU+4, TV+4) f32 view of plane (a,b) at offset (dr, dc),
                 covering plane px [I0-2+dr, I0+TU+2+dr) x [J0-2+dc, ...)."""
-                return tile_ref[a, b,
-                                HR - s + dr:HR - s + dr + TU + 2 * s,
-                                HC - s + dc:HC - s + dc + TV + 2 * s]
+                v = tile_ref[a, b,
+                             HR - s + dr:HR - s + dr + TU + 2 * s,
+                             HC - s + dc:HC - s + dc + TV + 2 * s]
+                return v.astype(jnp.float32)
 
             # smoothed-gradient prefilters (term order =
             # channels._gradients_poly)
@@ -145,7 +146,10 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
                     v = r[:, :-2] + 2.0 * r[:, 1:-1] + r[:, 2:]
                     outk = v * jnp.float32(1.0 / 16.0)
                     if with_mask:
-                        outk = outk * mask
+                        # select (not multiply): gap planes may hold garbage
+                        # (incl. NaN) when assembled without zero-init, and
+                        # ring zeros must stay exact zeros
+                        outk = jnp.where(mask > 0, outk, 0.0)
                 else:
                     outk = pooled[1:TU + 1, 1:TV + 1]
                 out_ref[k] = outk
@@ -207,12 +211,16 @@ def grad_hist_poly_pallas(
     if content_hw is not None:
         assert planes.shape[-2:] == (gi * TU + 2 * HR, gj * TV + 2 * HC), \
             (planes.shape, gi * TU + 2 * HR, gj * TV + 2 * HC)
-        planes_p = planes.astype(jnp.float32)
+        planes_p = planes
     else:
-        planes_p = jnp.pad(planes.astype(jnp.float32),
+        planes_p = jnp.pad(planes,
                            ((0, 0), (0, 0), (0, 0),
                             (HR, gi * TU + HR - Hc),
                             (HC, gj * TV + HC - Wc)))
+    # integer-valued planes may arrive bf16 (exact for uint8 content) —
+    # the kernel upcasts to f32 at read; f64/other inputs normalize to f32
+    if planes_p.dtype not in (jnp.bfloat16, jnp.float32):
+        planes_p = planes_p.astype(jnp.float32)
     with_mask = smooth == 1 and interior_mask is not None
     gi_c = max(-(-Hc // TU), 1)
     gj_c = max(-(-Wc // TV), 1)
@@ -247,7 +255,7 @@ def grad_hist_poly_pallas(
         out_shape=jax.ShapeDtypeStruct((B, n_bins, gi * TU, gj * TV),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, TU + 2 * HR, TV + 2 * HC), jnp.float32),
+            pltpu.VMEM((2, 2, TU + 2 * HR, TV + 2 * HC), planes_p.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -57,7 +57,10 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                  and packed.levels)
     if fused:
         # geometry-coupled kernels: the channel kernel emits a canvas already
-        # sized for the cascade kernel's halo fetch — zero pad/copy between
+        # sized for the cascade kernel's halo fetch — zero pad/copy between.
+        # (An HBM->HBM DMA assembly of the level blocks was tried and
+        # reverted: Mosaic requires 8/128-aligned slice shapes on tiled
+        # memrefs, which arbitrary level geometry cannot satisfy.)
         from ..model import _poly_planes
         from ..ops.cascade_static import (cascade_grid,
                                           cascade_response_grid_static,
