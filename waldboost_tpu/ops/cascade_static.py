@@ -109,9 +109,14 @@ def static_cascade_from_model(model) -> StaticCascade:
 
 
 def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
-                        n_stages_cap=None, block=BLOCK):
+                        n_stages_cap=None, block=BLOCK, bands=1):
     """Generate the specialized kernel body: unrolled stages, static slices,
-    immediate-constant thresholds/predictions, blockwise tile early exit."""
+    immediate-constant thresholds/predictions, blockwise tile early exit.
+
+    ``bands`` splits the tile's window rows into independent horizontal
+    bands, each with its own stage loop and early-exit conds over the shared
+    VMEM tile — finer-grained SPRT exit (a single long-lived window only
+    keeps its own band alive, not the whole tile)."""
     T = sc.n_stages if n_stages_cap is None else min(sc.n_stages, n_stages_cap)
 
     def kernel(mask_ref, canvas_hbm, hs_ref, alive_ref, nweak_ref,
@@ -133,9 +138,9 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
 
         # alive carried as f32 {0,1}: Mosaic's i1 vector relayouts are
         # fragile in cond/while carries (see cascade_pallas.py)
-        alive0 = mask_ref[...]
+        BH = TU // bands  # band height (window-origin rows)
 
-        def make_block(ts):
+        def make_block(ts, b0, bh):
             def block_fn(carry):
                 hs, alive, nweak_acc = carry
                 for t in ts:
@@ -145,10 +150,10 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                     def resp_of(node):
                         if sc.left[t, node] < 0:
                             return float(sc.pred[t, node])
-                        r = int(sc.fr[t, node])
+                        r = int(sc.fr[t, node]) + b0
                         c = int(sc.fc[t, node])
                         ch = int(sc.fch[t, node])
-                        bin_ = (tile_ref[ch, r:r + TU, c:c + TV]
+                        bin_ = (tile_ref[ch, r:r + bh, c:c + TV]
                                 <= float(sc.thr[t, node]))
                         lo = resp_of(int(sc.left[t, node]))
                         hi = resp_of(int(sc.right[t, node]))
@@ -165,15 +170,36 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                 return hs, alive, nweak_acc
             return block_fn
 
-        carry = (jnp.zeros((TU, TV), jnp.float32), alive0,
-                 jnp.zeros((TU, TV), jnp.float32))
-        for s0 in range(0, T, block):
-            ts = range(s0, min(s0 + block, T))
-            # every block is conditional (incl. the first): tiles that are
-            # entirely gap/padding skip the whole cascade
-            carry = jax.lax.cond(jnp.sum(carry[1]) > 0.0, make_block(ts),
-                                 lambda c: c, carry)
-        hs, alive, nweak_acc = carry
+        for band in range(bands):
+            b0 = band * BH
+            bh = BH if band < bands - 1 else TU - b0
+            carry = (jnp.zeros((bh, TV), jnp.float32),
+                     mask_ref[b0:b0 + bh, :],
+                     jnp.zeros((bh, TV), jnp.float32))
+            for s0 in range(0, T, block):
+                ts = range(s0, min(s0 + block, T))
+                # every block is conditional (incl. the first): bands that
+                # are entirely gap/padding skip the whole cascade
+                carry = jax.lax.cond(jnp.sum(carry[1]) > 0.0,
+                                     make_block(ts, b0, bh),
+                                     lambda c: c, carry)
+            hs_b, alive_b, nweak_b = carry
+            if bands == 1:
+                hs, alive, nweak_acc = hs_b, alive_b, nweak_b
+            else:
+                hs_ref[b0:b0 + bh, :] = hs_b
+                alive_ref[b0:b0 + bh, :] = alive_b
+                if band == 0:
+                    nweak_acc = jnp.sum(nweak_b)
+                else:
+                    nweak_acc = nweak_acc + jnp.sum(nweak_b)
+
+        if bands > 1:
+            rid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            cid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            nweak = nweak_acc.astype(jnp.int32)
+            nweak_ref[...] = jnp.where((rid == 0) & (cid == 0), nweak, 0)
+            return
 
         hs_ref[...] = hs
         alive_ref[...] = alive  # f32 {0,1}; Mosaic lacks f32->u8 casts
@@ -206,13 +232,14 @@ def cascade_grid(content_hw: Tuple[int, int], window: Tuple[int, int],
 @functools.partial(
     jax.jit,
     static_argnames=("sc", "window", "tile", "interpret", "n_stages_cap",
-                     "content_hw", "block"),
+                     "content_hw", "block", "bands"),
 )
 def cascade_response_grid_static(
     canvas: jax.Array, sc: StaticCascade, valid_mask: jax.Array,
     window: Tuple[int, int], tile: Tuple[int, int] = (128, 256),
     interpret: bool = False, n_stages_cap=None,
     content_hw: Optional[Tuple[int, int]] = None, block: int = BLOCK,
+    bands: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Evaluate a frozen cascade on every window origin of a channel canvas.
 
@@ -251,7 +278,8 @@ def cascade_response_grid_static(
                      ((0, gi * TU - gu), (0, gj * TV - gv)))
 
     kernel = _make_static_kernel(sc, TU, TV, HU, HV, C, m, n,
-                                 n_stages_cap=n_stages_cap, block=block)
+                                 n_stages_cap=n_stages_cap, block=block,
+                                 bands=bands)
 
     grid = (B, gi, gj)
     mask_spec = pl.BlockSpec((TU, TV), lambda b, i, j: (i, j),
