@@ -1,11 +1,20 @@
-"""TPU profiling worker: per-phase breakdown of the detection pipeline.
+"""TPU profiling worker: per-phase breakdown of the CURRENT serving pipeline.
 
 Run detached (compiles are nondeterministically slow through the axon
 tunnel):  nohup python scripts/profile_tpu.py > /tmp/prof.log 2>&1 &
 
+Phases measured cumulatively (subtract consecutive lines for per-phase):
+  1. planes        — polyphase plane assembly (resize einsums + concat)
+  2. +channels     — fused channel kernel on top
+  3. +cascade      — cascade-specialized kernel on top (full pipeline)
+  4. +extract      — on-device box extraction + NMS (the headline bench path)
+
+Also prints the per-stage survivor histogram of the flagship cascade on the
+bench workload (sizes the two-phase prefix/capacity).
+
 Timing per CLAUDE.md rules: distinct inputs per call (the runtime dedupes
 identical executions), FIFO-drain timing by fetching one scalar from the
-last result, batch=16 VGA images.
+last result.
 """
 
 import json
@@ -23,14 +32,14 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_model
-    from waldboost_tpu.channels import CanvasCtx, _compute_octaves, _normalize_opts
-    from waldboost_tpu.model import _channel_canvas_fast, _packed_plan_cached
-    from waldboost_tpu.ops.cascade import cascade_response_grid, slice_cascade
-    from waldboost_tpu.ops.cascade_pallas import cascade_response_grid_pallas
-    from waldboost_tpu.ops.warp import reflect_halos, resize_matrices
+    from waldboost_tpu.channels import _normalize_opts
+    from waldboost_tpu.model import (_packed_plan_cached, _poly_planes,
+                                     _poly_pad_geometry)
+    from waldboost_tpu.parallel.detect import (make_batched_detector,
+                                               make_batched_detector_boxes)
 
     h, w = 480, 640
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     warmup = 2
 
@@ -38,8 +47,6 @@ def main():
     m, n, _ = model.shape
     shrink, n_per_oct, smooth, cf = _normalize_opts(model.channel_opts)
     packed = _packed_plan_cached(h, w, shrink, n_per_oct, (m, n), halo=cf.halo)
-    casc, meta = model._get_cascade()
-    valid = jnp.asarray(packed.valid_mask((m, n)))
 
     rng = np.random.RandomState(0)
     n_batches = iters + warmup
@@ -63,69 +70,71 @@ def main():
         _ = float(last)
         dt = time.perf_counter() - t0
         ms_img = dt / (iters * batch) * 1e3
-        print(json.dumps({"name": name, "ms_per_image": round(ms_img, 3),
+        print(json.dumps({"name": name, "ms_per_image": round(ms_img, 4),
                           "mps": round(h * w / 1e6 / (ms_img / 1e3), 1),
                           "compile_s": round(compile_s, 1)}), flush=True)
         return ms_img
 
-    # ---- canvas phases ----------------------------------------------------
-    n_oct = max(pl.level.octave for pl in packed.levels) + 1
-    Hc_img, Wc_img = packed.image_canvas_shape()
-    regions = packed.reflect_regions()
+    # ---- phase 1: plane assembly ------------------------------------------
+    geom = _poly_pad_geometry(cf, packed)
 
-    def resize_only(image):
-        octaves = _compute_octaves(image, n_oct)
-        img_canvas = jnp.zeros((Hc_img, Wc_img), jnp.float32)
-        for pl in packed.levels:
-            lv = pl.level
-            oct_img = octaves[lv.octave].astype(jnp.float32)
-            Rh, Rw = resize_matrices(oct_img.shape[0], oct_img.shape[1],
-                                     lv.height, lv.width)
-            im = jnp.einsum("ah,hw,bw->ab", jnp.asarray(Rh), oct_img,
-                            jnp.asarray(Rw), preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-            im = jnp.floor(im + 1e-4)
-            img_canvas = jax.lax.dynamic_update_slice(
-                img_canvas, im, (pl.y * shrink, pl.x * shrink))
-        return img_canvas
+    def planes_b(images):
+        return jax.vmap(lambda im: _poly_planes(im, cf, packed, geom=geom))(
+            images)
 
-    def resize_reflect(image):
-        return reflect_halos(resize_only(image), regions)
+    timeit("planes", jax.jit(
+        lambda ims: planes_b(ims)[:, 0, 0, 0, :8].astype(jnp.float32).sum()))
 
-    timeit("canvas_resize_only",
-           jax.jit(lambda ims: jax.vmap(resize_only)(ims).sum()))
-    timeit("canvas_resize_reflect",
-           jax.jit(lambda ims: jax.vmap(resize_reflect)(ims).sum()))
-    canvas_b = jax.vmap(
-        lambda im: _channel_canvas_fast(im, shrink, smooth, cf, packed)
-        .astype(jnp.float32))
-    timeit("canvas_full", jax.jit(lambda ims: canvas_b(ims).sum()))
+    # ---- phase 2: + channel kernel ----------------------------------------
+    interior = jnp.asarray(packed.smooth_interior_mask())
+    Hc, Wc = packed.canvas_h, packed.canvas_w
 
-    # ---- cascade variants (canvas + cascade; subtract canvas_full) --------
-    def detect_pallas(tile, T=None):
-        cc = casc if T is None else slice_cascade(casc, 0, T)
+    def chans_b(images):
+        planes = planes_b(images)
+        return cf.poly_kernel(planes, interior, smooth, False,
+                              content_hw=(Hc, Wc))
 
-        def fn(images):
-            cvs = canvas_b(images)
-            outs = [cascade_response_grid_pallas(
-                cvs[i], cc, valid, (m, n), meta, tile=tile)[2]
-                for i in range(batch)]
-            return jnp.stack(outs).sum()
-        return jax.jit(fn)
+    timeit("planes+channels",
+           jax.jit(lambda ims: chans_b(ims)[:, 0, 0, :8].sum()))
 
-    timeit("canvas+pallas64_t128x256", detect_pallas((128, 256)))
-    timeit("canvas+pallas64_t256x256", detect_pallas((256, 256)))
-    timeit("canvas+pallas64_t64x512", detect_pallas((64, 512)))
-    timeit("canvas+pallas16_t128x256", detect_pallas((128, 256), T=16))
+    # ---- phase 3: + cascade (full fused pipeline) --------------------------
+    fn_det, _ = make_batched_detector(model, (h, w))
+    timeit("planes+channels+cascade",
+           lambda ims: fn_det(ims)[2].sum().astype(jnp.float32))
 
-    def detect_xla(images):
-        cvs = canvas_b(images)
-        outs = [cascade_response_grid(cvs[i], casc, (m, n), meta,
-                                      init_alive=valid)[2]
-                for i in range(batch)]
-        return jnp.stack(outs).sum()
+    # ---- phase 4: + extraction + NMS (headline path) ------------------------
+    fn_box, _ = make_batched_detector_boxes(model, (h, w), k=256, k_row=16,
+                                            nms_iou=0.5)
 
-    timeit("canvas+xla64", jax.jit(detect_xla))
+    def run_boxes(ims):
+        rects, scores, valid, count, n_weak = fn_box(ims)
+        return (valid.sum().astype(jnp.float32) + rects.sum()
+                + n_weak.sum().astype(jnp.float32))
+
+    timeit("full+extract", run_boxes)
+
+    # ---- survivor depth histogram -------------------------------------------
+    from waldboost_tpu.ops.cascade import cascade_response_grid, slice_cascade
+    casc, meta = model._get_cascade()
+    valid = jnp.asarray(packed.valid_mask((m, n)))
+    img = jnp.asarray(rng.randint(0, 256, (1, h, w)).astype(np.uint8))
+
+    def canvas_one(ims):
+        planes = planes_b(ims)
+        return cf.poly_kernel(planes, interior, smooth, False,
+                              content_hw=(Hc, Wc))
+
+    cvs = jax.jit(canvas_one)(img)[0]
+    counts = {}
+    for T in (4, 6, 8, 10, 12, 16, 24, 32, 48, 64):
+        cc = slice_cascade(casc, 0, T)
+        _, alive, _ = jax.jit(
+            lambda cv: cascade_response_grid(cv, cc, (m, n),
+                                             meta, init_alive=valid))(cvs)
+        counts[T] = int(np.asarray(alive).sum())
+    print(json.dumps({"survivors_after_T_stages": counts,
+                      "grid": int(valid.size),
+                      "valid": int(np.asarray(valid).sum())}), flush=True)
     print("DONE", flush=True)
 
 

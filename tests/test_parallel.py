@@ -83,6 +83,57 @@ def test_batched_detector_boxes_nms_matches_host():
                                    rtol=1e-6)
 
 
+def test_two_phase_batched_boxes_matches_detect():
+    """Two-phase batched serving (dense prefix + approx_max_k compaction +
+    sparse suffix) returns the exact final survivor set and scores."""
+    from waldboost_tpu.parallel.detect import make_batched_detector_boxes
+
+    model = make_model(n_stages=32, shape=(8, 8, 4),
+                       opts=dict(shrink=2, n_per_oct=2, smooth=1,
+                                 channels="grad_hist"))
+    rng = np.random.RandomState(7)
+    images = rng.randint(0, 256, (3, 48, 64)).astype(np.uint8)
+    fn, _ = make_batched_detector_boxes(model, (48, 64), k=512,
+                                        two_phase=True, prefix=8,
+                                        capacity=1024)
+    rects, scores, valid, count, n_weak = fn(jnp.asarray(images))
+    rects, scores = np.asarray(rects), np.asarray(scores)
+    valid, count = np.asarray(valid), np.asarray(count)
+    for b, img in enumerate(images):
+        single = model.detect(img)
+        assert count[b] == len(single)
+        sel = valid[b]
+        assert sel.sum() == len(single)
+        got = np.concatenate([rects[b][sel], scores[b][sel, None]], axis=1)
+        ref = np.concatenate([single.get(),
+                              single.get_field("scores")[:, None]], axis=1)
+        got = got[np.lexsort(got.T)]
+        ref = ref[np.lexsort(ref.T)]
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_two_phase_capacity_overflow_flags_incomplete():
+    """Prefix survivors beyond the compaction capacity must flag count=-1
+    (detect_batch then falls back to the exact dense path)."""
+    from waldboost_tpu.parallel.detect import make_batched_detector_boxes
+
+    model = make_model(n_stages=32, shape=(8, 8, 4),
+                       opts=dict(shrink=2, n_per_oct=2, smooth=1,
+                                 channels="grad_hist"))
+    rng = np.random.RandomState(8)
+    images = rng.randint(0, 256, (2, 48, 64)).astype(np.uint8)
+    fn, _ = make_batched_detector_boxes(model, (48, 64), k=512,
+                                        two_phase=True, prefix=2,
+                                        capacity=16)  # force overflow
+    _, _, _, count, _ = fn(jnp.asarray(images))
+    assert (np.asarray(count) == -1).all()
+    # detect_batch recovers exactly via the dense fallback
+    batched = detect_batch(model, images)
+    for b, img in zip(batched, images):
+        single = model.detect(img)
+        assert len(b) == len(single)
+
+
 def test_detect_batch_overflow_fallback():
     """Images whose survivor set overflows the extraction capacity fall back
     to the exact dense path."""

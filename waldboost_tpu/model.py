@@ -78,10 +78,21 @@ class PackedPyramidPlan:
               lane_align: int = 128, halo: int = 0, shrink: int = 1
               ) -> "PackedPyramidPlan":
         m, n = window
+        # round the reflect halo up to even: the 2x2-polyphase planes of a
+        # level then share ONE plane-space placement across all four phases
+        # (odd halos offset the phases by one plane row/col), which lets the
+        # plane assembly be a handful of pad+concat ops instead of per-phase
+        # scattered writes.  A wider reflect band only fills more gap pixels,
+        # which no valid window ever reads — level-interior values are
+        # unchanged.
+        halo = halo + (halo % 2)
         halo_c = -(-halo // shrink)  # halo in channel-space units
         gap_y = max(m, 2 * halo_c)
         gap_x = max(n, 2 * halo_c)
-        margin = halo_c
+        # one channel px of extra rim: halo bands must never touch the canvas
+        # edge, where ops.image.gradients' reflect boundary and the polyphase
+        # zero-fill _shift would disagree (a zero rim makes both read 0)
+        margin = halo_c + (1 if halo > 0 else 0)
         # Only levels that can host at least one window origin matter.
         usable = [(pi, lv) for pi, lv in enumerate(plan)
                   if lv.out_height > m and lv.out_width > n]
@@ -332,12 +343,20 @@ def _poly_planes(image, cf, packed: PackedPyramidPlan, geom=None):
     rows are just regrouped phase-major).  Downstream, stencils become
     cross-phase shifted adds and the shrink-2 average pool becomes
     elementwise — there is no strided access anywhere.  Level-edge reflect
-    halos are applied cross-phase (ops.warp.reflect_halos_poly) with
-    identical semantics.
+    halos ride the resize matrices (duplicated boundary rows/cols), identical
+    to a post-hoc reflect_halos_poly pass.
+
+    The planes are assembled by shelf-band CONCATENATION: the packer's even
+    halo gives every level one plane-space placement shared by all four
+    phases, so each shelf of levels becomes one width-axis concat of
+    (2, 2, hq, wq) blocks and zero gap strips, and the canvas one height-axis
+    concat of shelf bands.  (A dynamic_update_slice per phase-quadrant — 4
+    per level, ~190 for a VGA pyramid — was measured latency-bound at
+    ~0.22 ms/image; the concat tree is a handful of fused ops.)
     """
     from .channels import _compute_octaves
 
-    n_oct = max(pl.level.octave for pl in packed.levels) + 1
+    n_oct = max((pl.level.octave for pl in packed.levels), default=0) + 1
     octaves = _compute_octaves(image, n_oct)
     is_int = jnp.issubdtype(image.dtype, jnp.integer)
 
@@ -348,36 +367,63 @@ def _poly_planes(image, cf, packed: PackedPyramidPlan, geom=None):
     # directly from the einsum — zero extra device ops, bit-identical to a
     # post-hoc reflect_halos_poly pass (the separable two-pass corner
     # semantics are exactly the outer product of duplicated rows and cols).
-    halo = cf.halo if (cf.boundary == "reflect" and cf.halo > 0) else 0
+    halo = packed.halo if (cf.boundary == "reflect" and cf.halo > 0) else 0
+    assert halo % 2 == 0, "packer guarantees an even baked halo"
+    he2 = halo // 2  # halo in plane (channel-space) units
 
     pr, pc = (geom[0], geom[1]) if geom is not None else (0, 0)
     PH, PW = (geom[2], geom[3]) if geom is not None else (Hc, Wc)
-    blocks, placements = _poly_level_blocks(octaves, cf, packed, halo, is_int)
+    blocks = _poly_level_blocks(octaves, cf, packed, halo, is_int)
     # integer-valued canvases (uint8 images) are exact in bf16 (<= 255 needs
     # 8 mantissa bits): halving the plane bytes halves both the assembly
     # writes and the channel kernel's fetch traffic, with identical values
     # after the f32 upcast downstream
     dtype = jnp.bfloat16 if is_int else jnp.float32
-    blocks = [b.astype(dtype) for b in blocks]
-    planes = jnp.zeros((2, 2, PH, PW), dtype)
-    for blk, (r00, r01, c00, c01) in zip(blocks, placements):
-        hq = blk.shape[0] // 2
-        wq = blk.shape[1] // 2
-        rr = (r00, r01)
-        cc = (c00, c01)
-        for a in (0, 1):
-            for b in (0, 1):
-                planes = jax.lax.dynamic_update_slice(
-                    planes, blk[None, None, a * hq:(a + 1) * hq,
-                                b * wq:(b + 1) * wq],
-                    (a, b, rr[a] + pr, cc[b] + pc))
-    return planes
+
+    shelves: Dict[int, List[Tuple[int, jax.Array]]] = {}
+    for blk, pl in zip(blocks, packed.levels):
+        shelves.setdefault(pl.y - he2, []).append(
+            (pl.x - he2 + pc, blk.astype(dtype)))
+
+    def zeros(h, w):
+        return jnp.zeros((2, 2, h, w), dtype)
+
+    rows = []
+    cur_r = 0
+    for r0 in sorted(shelves):
+        items = sorted(shelves[r0], key=lambda t: t[0])
+        band_h = max(b.shape[2] for _, b in items)
+        cols = []
+        cur_c = 0
+        for c0, b in items:
+            assert c0 >= cur_c, "shelf blocks overlap (packer gap violated)"
+            if c0 > cur_c:
+                cols.append(zeros(band_h, c0 - cur_c))
+            if b.shape[2] < band_h:
+                b = jnp.pad(b, ((0, 0), (0, 0), (0, band_h - b.shape[2]),
+                                (0, 0)))
+            cols.append(b)
+            cur_c = c0 + b.shape[3]
+        if cur_c < PW:
+            cols.append(zeros(band_h, PW - cur_c))
+        band = jnp.concatenate(cols, axis=-1) if len(cols) > 1 else cols[0]
+        r0 += pr
+        assert r0 >= cur_r, "shelf bands overlap (packer gap violated)"
+        if r0 > cur_r:
+            rows.append(zeros(r0 - cur_r, PW))
+        rows.append(band)
+        cur_r = r0 + band_h
+    if cur_r < PH:
+        rows.append(zeros(PH - cur_r, PW))
+    if not rows:
+        return zeros(PH, PW)
+    return jnp.concatenate(rows, axis=-2) if len(rows) > 1 else rows[0]
 
 
 def _poly_level_blocks(octaves, cf, packed: PackedPyramidPlan, halo,
                        is_int):
-    """Per-level phase-major resized blocks (with halo rows/cols baked into
-    the resize matrices) + their per-phase plane placements."""
+    """Per-level resized blocks in (2, 2, hq, wq) phase layout, with ``halo``
+    (even) reflect rows/cols baked into the resize matrices."""
     from .ops.warp import build_resize_matrix, resize_taps
 
     def _ext_pm(R, size):
@@ -387,7 +433,6 @@ def _poly_level_blocks(octaves, cf, packed: PackedPyramidPlan, halo,
         return np.concatenate([R[halo % 2::2], R[(1 + halo) % 2::2]])
 
     blocks = []
-    placements = []
     for pl in packed.levels:
         lv = pl.level
         oct_img = octaves[lv.octave].astype(jnp.float32)
@@ -400,31 +445,19 @@ def _poly_level_blocks(octaves, cf, packed: PackedPyramidPlan, halo,
             _ext_pm(t, lv.height) for t in resize_taps(oh, lv.height))
         i0w, frw = (
             _ext_pm(t, lv.width) for t in resize_taps(ow, lv.width))
-        Rh_pm = build_resize_matrix(i0h, frh, oh)
-        Rw_pm = build_resize_matrix(i0w, frw, ow)
+        hq = (lv.height + 2 * halo) // 2
+        wq = (lv.width + 2 * halo) // 2
+        Rh_pm = build_resize_matrix(i0h, frh, oh).reshape(2, hq, oh)
+        Rw_pm = build_resize_matrix(i0w, frw, ow).reshape(2, wq, ow)
         # HIGHEST precision: the TPU default runs f32 matmuls in bf16, whose
         # ~0.5-unit error breaks the deterministic trunc-tie convention
-        blk = jnp.einsum("ah,hw,bw->ab", Rh_pm, oct_img, Rw_pm,
+        blk = jnp.einsum("prh,hw,qcw->pqrc", Rh_pm, oct_img, Rw_pm,
                          preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST)
         if is_int:
             blk = jnp.floor(blk + 1e-4)
         blocks.append(blk)
-    return blocks, _poly_placements(packed, halo)
-
-
-def _poly_placements(packed: PackedPyramidPlan, halo: int):
-    """Per-level (r0_phase0, r0_phase1, c0_phase0, c0_phase1) plane offsets
-    of the phase-major level blocks (first image row/col of phase p within
-    [y-halo, y+h+halo))."""
-    out = []
-    for pl in packed.levels:
-        offs = [(2 * pl.y - halo + ((p + halo) % 2) - p) // 2
-                for p in (0, 1)]
-        offs += [(2 * pl.x - halo + ((p + halo) % 2) - p) // 2
-                 for p in (0, 1)]
-        out.append(tuple(offs))
-    return tuple(out)
+    return blocks
 
 
 def _poly_channels(planes, smooth, cf, packed: PackedPyramidPlan,

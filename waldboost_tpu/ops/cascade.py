@@ -357,6 +357,53 @@ def cascade_response_grid(chns: jax.Array, casc: Cascade, window: Tuple[int, int
     return hs, alive, n_weak
 
 
+def cascade_stage_responses(chns: jax.Array, casc: Cascade,
+                            window: Tuple[int, int], meta) -> jax.Array:
+    """Per-stage weak responses of every window origin: (T, GU, GV) float32.
+
+    Stage responses are independent of SPRT rejection (a window's stage-t
+    response depends only on the channels), so this single pass supports
+    offline threshold calibration: callers can replay any rejection schedule
+    over the returned tensor (e.g. __graft_entry__._flagship_model's
+    quantile-recursion thetas, mirroring what the reference's per-stage
+    ``fit_rejection_threshold`` loop sees at
+    /root/reference/waldboost/training.py:355-428).
+    """
+    if isinstance(meta, int):
+        meta = CascadeMeta(depth=meta, n_internal=int(casc.n_nodes))
+    depth = max(meta.depth, 1)
+    n_slice = min(max(meta.n_internal, 1), casc.n_nodes)
+    complete = getattr(meta, "complete", False)
+    C, U, V = chns.shape
+    m, n = window
+    gu, gv = max(U - m, 0), max(V - n, 0)
+    T, NN = casc.n_stages, casc.n_nodes
+    node0 = jnp.zeros((gu, gv), jnp.int32)
+
+    def stage(_, params):
+        fr, fc, fch, thr, left, right, pred = params
+        bins = []
+        for j in range(NN):
+            if j < n_slice:
+                patch = jax.lax.dynamic_slice(chns, (fch[j], fr[j], fc[j]),
+                                              (1, gu, gv))[0]
+                bins.append(patch.astype(jnp.float32) <= thr[j])
+            else:
+                bins.append(jnp.zeros((), bool))
+        if complete:
+            resp = _route_complete(bins, pred, depth)
+        else:
+            resp = _route_and_predict(bins, left, right, pred, node0, depth,
+                                      NN)
+        return None, resp
+
+    _, resp = jax.lax.scan(
+        stage, None,
+        (casc.fr, casc.fc, casc.fch, casc.thr, casc.left, casc.right,
+         casc.pred))
+    return resp
+
+
 # ---------------------------------------------------------------------------
 # Two-phase evaluation: lockstep prefix + compacted per-window suffix
 # ---------------------------------------------------------------------------
@@ -368,7 +415,8 @@ def slice_cascade(casc: Cascade, start: int, stop: int) -> Cascade:
 
 def cascade_suffix_sparse(chns: jax.Array, casc: Cascade, window, meta,
                           idx: jax.Array, scores: jax.Array,
-                          alive: jax.Array, start: int
+                          alive: jax.Array, start: int,
+                          content_hw: Optional[Tuple[int, int]] = None
                           ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Evaluate stages [start:T) on a compacted set of window origins.
 
@@ -378,6 +426,12 @@ def cascade_suffix_sparse(chns: jax.Array, casc: Cascade, window, meta,
     the static-shape revival of the reference's survivor compaction
     (/root/reference/waldboost/model.py:249-258).
 
+    With ``content_hw`` given, ``chns`` is (C, U_alloc, V_alloc) canvas
+    *allocation* whose top-left (U, V) block is the content (the fused
+    channel/cascade kernels' shared padded layout); ``idx`` indexes the
+    content's (U-m, V-n) window grid while gathers use the allocation
+    strides.
+
     Returns (scores, alive, n_weak_suffix).
     """
     if isinstance(meta, int):
@@ -386,7 +440,7 @@ def cascade_suffix_sparse(chns: jax.Array, casc: Cascade, window, meta,
     complete = getattr(meta, "complete", False)
     C, U, V = chns.shape
     m, n = window
-    gv = max(V - n, 0)
+    gv = max((content_hw[1] if content_hw is not None else V) - n, 0)
     flat = chns.reshape(-1)
     r = idx // gv
     c = idx % gv

@@ -26,13 +26,21 @@ __all__ = ["make_batched_detector", "make_batched_detector_boxes",
 
 
 def make_batched_detector(model: Model, image_shape: Tuple[int, int],
-                          mesh=None, donate: bool = False):
+                          mesh=None, donate: bool = False,
+                          n_stages_cap: Optional[int] = None,
+                          _parts: bool = False):
     """Compile a batched detector for ``model`` on images of ``image_shape``.
 
     Returns ``fn(images) -> (hs, alive, n_weak)`` where ``images`` is
     (B, H, W); outputs have leading batch dim.  With ``mesh`` given, inputs
     and outputs are sharded over the mesh's data axis (B must be divisible by
     the mesh size).
+
+    ``n_stages_cap`` evaluates only the first stages (the two-phase prefix).
+    With ``_parts=True`` returns ``(canvas_jit, cascade_jit, packed,
+    content_hw)`` instead — ``content_hw`` is (Hc, Wc) when the canvas
+    program emits the fused kernels' padded allocation (content top-left),
+    else None.
     """
     m, n, _ = model.shape
     shrink, n_per_oct, smooth, cf = _normalize_opts(model.channel_opts)
@@ -40,6 +48,9 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                  n_per_oct, (m, n), halo=cf.halo)
     valid = jnp.asarray(packed.valid_mask((m, n)))
     casc, depth = model._get_cascade()
+    if n_stages_cap is not None:
+        from ..ops.cascade import slice_cascade
+        casc = slice_cascade(casc, 0, min(n_stages_cap, casc.n_stages))
 
     def canvas_b(images):
         return _channel_canvas_batch(images, shrink, n_per_oct, smooth, cf,
@@ -55,6 +66,7 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                  and cf.canvas_fn_poly is not None
                  and cf.poly_kernel is not None and _use_channel_kernel()
                  and packed.levels)
+    content_hw_out = None
     if fused:
         # geometry-coupled kernels: the channel kernel emits a canvas already
         # sized for the cascade kernel's halo fetch — zero pad/copy between.
@@ -84,10 +96,13 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                   content_hw=(Hc, Wc), out_grid=out_grid,
                                   crop=False)
 
+        content_hw_out = (Hc, Wc)
+
         def cascade_b(cvs):
             return cascade_response_grid_static(cvs, sc, valid, (m, n),
                                                 interpret=interpret,
-                                                content_hw=(Hc, Wc))
+                                                content_hw=(Hc, Wc),
+                                                n_stages_cap=n_stages_cap)
     elif backend == "static":
         # cascade-specialized kernel with the batch as a grid dimension:
         # one launch evaluates the whole (per-shard) batch
@@ -98,7 +113,8 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
 
         def cascade_b(cvs):
             return cascade_response_grid_static(cvs, sc, valid, (m, n),
-                                                interpret=interpret)
+                                                interpret=interpret,
+                                                n_stages_cap=n_stages_cap)
     elif backend == "pallas":
         # the generic fused kernel cannot be vmapped (unblocked ANY-space
         # operand); loop per-image kernel calls inside one jitted program
@@ -150,16 +166,29 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
         cascade_jit = jax.jit(cascade_sharded, in_shardings=(cv_sh,),
                               out_shardings=out_sh)
 
+    if _parts:
+        return canvas_jit, cascade_jit, packed, content_hw_out
+
     def fn(images):
         return cascade_jit(canvas_jit(images))
 
     return fn, packed
 
 
+#: two-phase batched serving defaults: dense prefix length and the survivor
+#: capacity of the compaction (sized from the flagship survivor histogram:
+#: ~3.4k of 407k valid VGA windows survive 12 calibrated stages)
+TWO_PHASE_BATCH_PREFIX = 12
+TWO_PHASE_BATCH_CAPACITY = 8192
+
+
 def make_batched_detector_boxes(model: Model, image_shape: Tuple[int, int],
                                 mesh=None, k: int = 1024, k_row: int = 16,
                                 nms_iou: Optional[float] = None,
-                                extractor: str = "approx"):
+                                extractor: str = "approx",
+                                two_phase="auto",
+                                prefix: int = TWO_PHASE_BATCH_PREFIX,
+                                capacity: int = TWO_PHASE_BATCH_CAPACITY):
     """Batched detection with fully on-device extraction.
 
     Returns ``fn(images) -> (rects, scores, valid, count, n_weak)`` — per
@@ -167,11 +196,33 @@ def make_batched_detector_boxes(model: Model, image_shape: Tuple[int, int],
     device), with ``count`` the exact survivor count (-1 flags an incomplete
     extraction: capacity overflow, or a recall miss of the default "approx"
     extractor — see ops.nms).  No dense response map ever leaves the device.
+
+    ``two_phase`` ("auto"/True/False): evaluate only ``prefix`` stages
+    densely, compact the prefix survivors to a fixed ``capacity`` via
+    approx_max_k, and run the remaining stages sparsely on the compacted set
+    (ops.cascade.cascade_suffix_sparse) — the batched, host-sync-free version
+    of Model.detect's two-phase fast path.  Exact whenever the prefix
+    survivors fit ``capacity`` and the compaction captured all of them
+    (checked on device; ``count`` is -1 otherwise and callers fall back
+    dense, as detect_batch does).  Rejection is monotone, so survivors and
+    scores are identical to the dense pass.
     """
     from ..ops.nms import (extract_detections_approx,
                            extract_detections_rowwise, nms_device)
 
     m, n, _ = model.shape
+    # MEASURED (v5e): sparse suffix evaluation is gather-bound and TPU
+    # gathers run at scalar speed (~9 ms/image at capacity 4096 vs 0.4 ms
+    # for the full dense kernel), and exact compaction needs
+    # approx_max_k(recall=1.0) which lowers to a sort (~0.6 ms/image).  At
+    # uniform survivor density the dense masked lockstep wins outright, so
+    # two-phase is opt-in (two_phase=True), never "auto".
+    use_tp = two_phase is True
+    if use_tp:
+        return _make_two_phase_detector_boxes(
+            model, image_shape, mesh=mesh, k=k, nms_iou=nms_iou,
+            prefix=prefix, capacity=capacity)
+
     base_fn, packed = make_batched_detector(model, image_shape, mesh=mesh)
     level_id_map, inv_scales = packed.level_maps((m, n))
     offsets = np.array([(pl.y, pl.x) for pl in packed.levels], np.int32) \
@@ -200,6 +251,74 @@ def make_batched_detector_boxes(model: Model, image_shape: Tuple[int, int],
         hs, alive, n_weak = base_fn(images)
         rects, scores, valid, count = extract_b(hs, alive)
         return rects, scores, valid, count, n_weak
+
+    return fn, packed
+
+
+def _make_two_phase_detector_boxes(model: Model, image_shape, mesh=None,
+                                   k: int = 1024,
+                                   nms_iou: Optional[float] = None,
+                                   prefix: int = TWO_PHASE_BATCH_PREFIX,
+                                   capacity: int = TWO_PHASE_BATCH_CAPACITY):
+    """Two-phase batched detection (see make_batched_detector_boxes)."""
+    from ..ops.cascade import cascade_suffix_sparse
+    from ..ops.nms import nms_device
+
+    m, n, _ = model.shape
+    canvas_jit, prefix_jit, packed, content_hw = make_batched_detector(
+        model, image_shape, mesh=mesh, n_stages_cap=prefix, _parts=True)
+    casc, meta = model._get_cascade()
+    level_id_map, inv_scales = packed.level_maps((m, n))
+    gu, gv = level_id_map.shape
+    lid_flat = jnp.asarray(level_id_map.reshape(-1))
+    offsets = np.array([(pl.y, pl.x) for pl in packed.levels], np.int32) \
+        if packed.levels else np.zeros((1, 2), np.int32)
+    offs = jnp.asarray(offsets)
+    iscales = jnp.asarray(inv_scales) if packed.levels else \
+        jnp.ones(1, jnp.float32)
+    cap = min(capacity, max(gu * gv, 1))
+    k_out = min(k, cap)
+
+    def tp_one(cvs, hs1, alive1, nw1):
+        masked = jnp.where(alive1, hs1, -jnp.inf).reshape(-1)
+        count1 = jnp.sum(alive1, dtype=jnp.int32)
+        # recall_target=1.0: the tiled partial reduction is then EXACT top-k
+        # (still ~4x faster than the sort-based lax.top_k at canvas size), so
+        # whenever count1 <= cap every prefix survivor is captured and the
+        # two-phase result equals the dense pass
+        scoresK, idx = jax.lax.approx_max_k(masked, cap, recall_target=1.0)
+        aliveK = jnp.isfinite(scoresK)
+        complete = jnp.logical_and(count1 <= cap,
+                                   jnp.sum(aliveK, dtype=jnp.int32) == count1)
+        H, aliveS, nw2 = cascade_suffix_sparse(
+            cvs, casc, (m, n), meta, idx, scoresK, aliveK, prefix,
+            content_hw=content_hw)
+        n_surv = jnp.sum(aliveS, dtype=jnp.int32)
+        scores, sel = jax.lax.top_k(jnp.where(aliveS, H, -jnp.inf), k_out)
+        valid = jnp.isfinite(scores)
+        idx_out = idx[sel]
+        rs = idx_out // gv
+        cs = idx_out % gv
+        lid = jnp.maximum(lid_flat[idx_out], 0)
+        x1 = (cs - offs[lid, 1]).astype(jnp.float32)
+        y1 = (rs - offs[lid, 0]).astype(jnp.float32)
+        rects = jnp.stack([x1, y1, x1 + float(n), y1 + float(m)], axis=1)
+        rects = rects * iscales[lid][:, None]
+        rects = jnp.where(valid[:, None], rects, 0.0)
+        count = jnp.where(jnp.logical_and(complete, n_surv <= k_out),
+                          n_surv, -1)
+        if nms_iou is not None:
+            keep = nms_device(rects, scores, valid,
+                              iou_threshold=float(nms_iou))
+            valid = jnp.logical_and(valid, keep)
+        return rects, scores, valid, count, nw1 + nw2
+
+    tp_b = jax.jit(jax.vmap(tp_one))
+
+    def fn(images):
+        cvs = canvas_jit(images)
+        hs1, alive1, nw1 = prefix_jit(cvs)
+        return tp_b(cvs, hs1, alive1, nw1)
 
     return fn, packed
 
