@@ -87,8 +87,13 @@ class PackedPyramidPlan:
         # unchanged.
         halo = halo + (halo % 2)
         halo_c = -(-halo // shrink)  # halo in channel-space units
-        gap_y = max(m, 2 * halo_c)
-        gap_x = max(n, 2 * halo_c)
+        # levels only need their reflect-halo bands separated: window origins
+        # in gaps are statically dead in valid_mask and valid windows never
+        # leave their level (origins stop m/n before the level edge), so
+        # window-sized gaps would only inflate the canvas — every downstream
+        # kernel's cost scales with canvas area
+        gap_y = max(2 * halo_c, 2)
+        gap_x = max(2 * halo_c, 2)
         # one channel px of extra rim: halo bands must never touch the canvas
         # edge, where ops.image.gradients' reflect boundary and the polyphase
         # zero-fill _shift would disagree (a zero rim makes both read 0)
@@ -122,17 +127,19 @@ class PackedPyramidPlan:
             canvas_h = _round_up(shelf_y + shelf_h + margin, 8)
             return placed, canvas_h
 
-        # Try several canvas widths and keep the smallest total area —
-        # the naive max-level-width canvas stacks every level vertically
-        # and can waste 5x+ in gap rows.
+        # Try many canvas widths and keep the layout with the fewest
+        # (128, 256) kernel tiles (tie-break on raw area) — the channel and
+        # cascade kernels' cost is a step function of the tile grid, so
+        # minimizing rounded-up tiles beats minimizing area.
         min_w = _round_up(max(lv.out_width for _, lv in usable)
                           + gap_x + 2 * margin, lane_align)
         best = None
-        for canvas_w in range(min_w, min_w + 8 * lane_align, lane_align):
+        for canvas_w in range(min_w, min_w + 16 * lane_align, lane_align):
             placed, canvas_h = shelf_pack(canvas_w)
+            tiles = -(-canvas_h // 128) * -(-canvas_w // 256)
             area = canvas_h * canvas_w
-            if best is None or area < best[0]:
-                best = (area, canvas_w, canvas_h, placed)
+            if best is None or (tiles, area) < best[0]:
+                best = ((tiles, area), canvas_w, canvas_h, placed)
         _, canvas_w, canvas_h, placed = best
         ordered = tuple(placed[i] for i in range(len(usable)))
         return PackedPyramidPlan(levels=ordered, canvas_h=canvas_h,

@@ -59,13 +59,15 @@ def channel_grid(Hc: int, Wc: int, tile: Tuple[int, int] = TILE,
     return TU, TV, gi, gj
 
 
-def plane_pad_geometry(Hc: int, Wc: int, tile: Tuple[int, int] = TILE,
-                       out_grid: Optional[Tuple[int, int]] = None):
+def plane_pad_geometry(Hc: int, Wc: int, tile: Tuple[int, int] = TILE):
     """(pr, pc, PH, PW): content offset + padded plane dims such that every
-    tile's halo DMA is in bounds with aligned offsets.  Producers that
-    allocate planes at (PH, PW) with content at (pr, pc) let the kernel skip
-    its runtime jnp.pad (an ~11 MB copy per VGA canvas)."""
-    TU, TV, gi, gj = channel_grid(Hc, Wc, tile, out_grid)
+    CONTENT tile's halo DMA is in bounds with aligned offsets.  Producers
+    that allocate planes at (PH, PW) with content at (pr, pc) let the kernel
+    skip its runtime jnp.pad (an ~11 MB copy per VGA canvas).  An enlarged
+    output grid (``out_grid`` of :func:`grad_hist_poly_pallas`) needs NO
+    extra plane rows: pad tiles skip their DMA entirely, so the planes stay
+    content-grid sized."""
+    TU, TV, gi, gj = channel_grid(Hc, Wc, tile)
     return PAD_R, PAD_C, gi * TU + 2 * PAD_R, gj * TV + 2 * PAD_C
 
 
@@ -82,10 +84,12 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
         bb = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
-        src = planes_hbm.at[bb, :, :, pl.ds(i * TU, TU + 2 * HR),
-                            pl.ds(j * TV, TV + 2 * HC)]
 
         def compute():
+            # indexer built here: pad tiles (enlarged out_grid) never form
+            # this access, so planes stay content-grid sized
+            src = planes_hbm.at[bb, :, :, pl.ds(i * TU, TU + 2 * HR),
+                                pl.ds(j * TV, TV + 2 * HC)]
             copy = pltpu.make_async_copy(src, tile_ref, dma_sem)
             copy.start()
             copy.wait()
@@ -208,15 +212,18 @@ def grad_hist_poly_pallas(
     else:
         Hc, Wc = planes.shape[-2], planes.shape[-1]
     TU, TV, gi, gj = channel_grid(Hc, Wc, tile, out_grid)
+    gi_p = max(-(-Hc // TU), 1)  # content grid: plane allocation basis
+    gj_p = max(-(-Wc // TV), 1)
     if content_hw is not None:
-        assert planes.shape[-2:] == (gi * TU + 2 * HR, gj * TV + 2 * HC), \
-            (planes.shape, gi * TU + 2 * HR, gj * TV + 2 * HC)
+        assert planes.shape[-2:] == (gi_p * TU + 2 * HR,
+                                     gj_p * TV + 2 * HC), \
+            (planes.shape, gi_p * TU + 2 * HR, gj_p * TV + 2 * HC)
         planes_p = planes
     else:
         planes_p = jnp.pad(planes,
                            ((0, 0), (0, 0), (0, 0),
-                            (HR, gi * TU + HR - Hc),
-                            (HC, gj * TV + HC - Wc)))
+                            (HR, gi_p * TU + HR - Hc),
+                            (HC, gj_p * TV + HC - Wc)))
     # integer-valued planes may arrive bf16 (exact for uint8 content) —
     # the kernel upcasts to f32 at read; f64/other inputs normalize to f32
     if planes_p.dtype not in (jnp.bfloat16, jnp.float32):

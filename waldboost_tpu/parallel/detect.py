@@ -85,7 +85,9 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
         need = (gi2 * TUc + HU, gj2 * TVc + HV)
         TU, TV, _, _ = channel_grid(Hc, Wc)
         out_grid = (-(-need[0] // TU), -(-need[1] // TV))
-        geom = plane_pad_geometry(Hc, Wc, out_grid=out_grid)
+        # planes stay content-grid sized: the channel kernel's pad tiles
+        # (out_grid enlargement for the cascade's halo fetch) skip their DMA
+        geom = plane_pad_geometry(Hc, Wc)
         interior = jnp.asarray(packed.smooth_interior_mask()) if smooth == 1 \
             else None
 
