@@ -51,13 +51,15 @@ def _detect_mps(model, h, w, batch, iters, warmup, nms_iou=None, k=256,
 
     from waldboost_tpu.parallel.detect import make_batched_detector_boxes
 
+    # with_n_weak=False: serving parity with the reference's detect (boxes +
+    # scores only; the evaluation counter is an eval_cost diagnostic)
     fn, _ = make_batched_detector_boxes(model, (h, w), k=k, k_row=k_row,
-                                        nms_iou=nms_iou)
+                                        nms_iou=nms_iou, with_n_weak=False)
 
     def run(images):
-        rects, scores, valid, count, n_weak = fn(images)
+        rects, scores, valid, count, _ = fn(images)
         return (valid.sum().astype(jnp.float32) + rects.sum()
-                + n_weak.sum().astype(jnp.float32))
+                + count.sum().astype(jnp.float32))
 
     rng = np.random.RandomState(0)
     batches = [

@@ -122,3 +122,33 @@ def test_model_detect_uses_static_backend(setup):
     a = a[np.lexsort(a.T)]
     b = b[np.lexsort(b.T)]
     assert np.array_equal(a, b)
+
+
+def test_masked_kernel_matches_static(setup):
+    """cascade_masked_grid_static == where(alive, hs, -inf) uncropped, with
+    exact in-kernel n_weak and survivor counts."""
+    from waldboost_tpu.ops.cascade_static import (cascade_grid,
+                                                  cascade_masked_grid_static)
+    model, cvs, valid, window = setup
+    sc = static_cascade_from_model(model)
+    hs, al, nw = cascade_response_grid_static(cvs, sc, valid, window,
+                                              tile=(64, 128), interpret=True)
+    masked, nw2, count = cascade_masked_grid_static(cvs, sc, valid, window,
+                                                    tile=(64, 128),
+                                                    interpret=True)
+    U, V = cvs.shape[-2], cvs.shape[-1]
+    m, n = window
+    gu, gv = U - m, V - n
+    TU, TV, gi, gj, _, _ = cascade_grid((U, V), window, tile=(64, 128))
+    assert masked.shape == (cvs.shape[0], gi * TU, gj * TV)
+    al, hs = np.asarray(al), np.asarray(hs)
+    mk = np.asarray(masked)
+    # content: hs where alive else -inf
+    assert np.array_equal(mk[:, :gu, :gv],
+                          np.where(al, hs, -np.inf))
+    # padding: all dead
+    assert np.all(np.isneginf(mk[:, gu:, :])) and \
+        np.all(np.isneginf(mk[:, :, gv:]))
+    assert np.array_equal(np.asarray(nw), np.asarray(nw2))
+    assert np.array_equal(np.asarray(count),
+                          al.reshape(al.shape[0], -1).sum(1))

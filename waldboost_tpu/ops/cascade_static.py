@@ -109,15 +109,120 @@ def static_cascade_from_model(model) -> StaticCascade:
 
 
 def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
-                        n_stages_cap=None, block=BLOCK, bands=1):
+                        n_stages_cap=None, block=BLOCK, bands=1,
+                        masked_out=False, with_nweak=True):
     """Generate the specialized kernel body: unrolled stages, static slices,
     immediate-constant thresholds/predictions, blockwise tile early exit.
 
     ``bands`` splits the tile's window rows into independent horizontal
     bands, each with its own stage loop and early-exit conds over the shared
     VMEM tile — finer-grained SPRT exit (a single long-lived window only
-    keeps its own band alive, not the whole tile)."""
+    keeps its own band alive, not the whole tile).
+
+    ``masked_out`` switches the output contract to the serving-extraction
+    form: ONE (TU, TV) f32 output holding ``hs`` where alive else -inf (the
+    exact input lax.approx_max_k wants — no separate alive map, no post-hoc
+    jnp.where pass over an unaligned cropped map), plus a stats tile with
+    n_weak at (0, 0) and the tile survivor count at (0, 1)."""
     T = sc.n_stages if n_stages_cap is None else min(sc.n_stages, n_stages_cap)
+
+    # distinct (channel, column-offset) pairs across the cascade: with
+    # ``preshift`` the kernel materializes one lane-aligned copy of the tile
+    # per pair ONCE, so every node's operand load needs only a (cheap)
+    # static sublane offset instead of a cross-lane shift per stage
+    pairs = sorted({(int(sc.fch[t, nd]), int(sc.fc[t, nd]))
+                    for t in range(T)
+                    for nd in range(sc.fr.shape[1])
+                    if sc.left[t, nd] >= 0})
+    pair_idx = {p: q for q, p in enumerate(pairs)}
+
+    def kernel_masked(mask_ref, canvas_hbm, out_ref, stats_ref,
+                      tile_ref, dma_sem, pre_ref=None):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+
+        def make_block(ts):
+            def block_fn(carry):
+                if with_nweak:
+                    hs, alive, nweak_acc = carry
+                else:
+                    hs, alive = carry
+                for t in ts:
+                    def resp_of(node):
+                        if sc.left[t, node] < 0:
+                            return float(sc.pred[t, node])
+                        r = int(sc.fr[t, node])
+                        c = int(sc.fc[t, node])
+                        ch = int(sc.fch[t, node])
+                        if pre_ref is not None:
+                            q = pair_idx[(ch, c)]
+                            opnd = pre_ref[q, r:r + TU, :]
+                        else:
+                            opnd = tile_ref[ch, r:r + TU, c:c + TV]
+                        bin_ = opnd <= float(sc.thr[t, node])
+                        lo = resp_of(int(sc.left[t, node]))
+                        hi = resp_of(int(sc.right[t, node]))
+                        if isinstance(lo, float) and isinstance(hi, float) \
+                                and lo == hi:
+                            return lo
+                        return jnp.where(bin_, lo, hi)
+                    resp = resp_of(0)
+                    if with_nweak:
+                        nweak_acc = nweak_acc + alive
+                    # hs accumulates UNMASKED (no alive*resp multiply): a
+                    # dead window's hs is garbage but is encoded -inf in the
+                    # output, and `alive` itself latches at 0 through the
+                    # rejection multiply, so survivors — alive at every
+                    # stage — carry exactly the masked path's score
+                    hs = hs + resp
+                    th = float(sc.theta[t])
+                    if np.isfinite(th):
+                        alive = alive * (hs >= th).astype(jnp.float32)
+                return (hs, alive, nweak_acc) if with_nweak else (hs, alive)
+            return block_fn
+
+        mask = mask_ref[...]
+        any_valid = jnp.sum(mask) > 0.0
+
+        @pl.when(any_valid)
+        def _live_tile():
+            # gap/padding tiles (no valid window origin) skip the halo DMA,
+            # the pre-shift pass, and the whole cascade
+            src = canvas_hbm.at[b, :, pl.ds(i * TU, TU + HU),
+                                pl.ds(j * TV, TV + HV)]
+            copy = pltpu.make_async_copy(src, tile_ref, dma_sem)
+            copy.start()
+            copy.wait()
+            if pre_ref is not None:
+                for q, (ch, c) in enumerate(pairs):
+                    pre_ref[q] = tile_ref[ch, :, c:c + TV]
+
+            carry = (jnp.zeros((TU, TV), jnp.float32), mask)
+            if with_nweak:
+                carry = carry + (jnp.zeros((TU, TV), jnp.float32),)
+            for s0 in range(0, T, block):
+                ts = range(s0, min(s0 + block, T))
+                carry = jax.lax.cond(jnp.sum(carry[1]) > 0.0,
+                                     make_block(ts), lambda c: c, carry)
+            hs, alive = carry[0], carry[1]
+            out_ref[...] = jnp.where(alive > 0.0, hs, -jnp.inf)
+            rid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            cid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            count = jnp.sum(alive).astype(jnp.int32)
+            nweak = jnp.sum(carry[2]).astype(jnp.int32) if with_nweak \
+                else jnp.zeros((), jnp.int32)
+            stats_ref[...] = jnp.where(
+                (rid == 0) & (cid == 0), nweak,
+                jnp.where((rid == 0) & (cid == 1), count, 0))
+
+        @pl.when(jnp.logical_not(any_valid))
+        def _dead_tile():
+            out_ref[...] = jnp.full((TU, TV), -jnp.inf, jnp.float32)
+            stats_ref[...] = jnp.zeros((8, 128), jnp.int32)
+
+    if masked_out:
+        return kernel_masked
 
     def kernel(mask_ref, canvas_hbm, hs_ref, alive_ref, nweak_ref,
                tile_ref, dma_sem):
@@ -325,3 +430,117 @@ def cascade_response_grid_static(
     if not batched:
         return hs[0], alive[0], nweak[0]
     return hs, alive, nweak
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sc", "window", "tile", "interpret", "n_stages_cap",
+                     "content_hw", "block", "with_n_weak", "preshift"),
+)
+def cascade_masked_grid_static(
+    canvas: jax.Array, sc: StaticCascade, valid_mask: jax.Array,
+    window: Tuple[int, int], tile: Tuple[int, int] = (128, 256),
+    interpret: bool = False, n_stages_cap=None,
+    content_hw: Optional[Tuple[int, int]] = None, block: int = BLOCK,
+    with_n_weak: bool = True, preshift: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Serving-extraction form of :func:`cascade_response_grid_static`.
+
+    Returns ``(masked, n_weak, count)`` where ``masked`` is the UNCROPPED
+    (B, GI*TU, GJ*TV) f32 map holding the cascade response where the window
+    survived and -inf elsewhere (grid padding is dead in ``valid_mask``, so
+    it is -inf too), ``n_weak``/``count`` are per-image totals.  The aligned
+    uncropped map feeds lax.approx_max_k directly: no alive-map write, no
+    post-hoc jnp.where, and no unaligned-crop relayout — those three passes
+    cost more than the extraction itself at VGA canvas size.  The survivor
+    SET (finite entries) and scores are exactly those of
+    cascade_response_grid_static; only dead-window encoding differs.
+
+    ``with_n_weak=False`` drops the per-stage evaluation counter from the
+    kernel (one fewer vector accumulate per stage and a smaller early-exit
+    carry); ``n_weak`` is then all zeros.  The reference's ``detect`` returns
+    boxes/scores only (/root/reference/waldboost/model.py:129-151) — the
+    counter is an eval_cost diagnostic, not a serving output.
+    """
+    batched = canvas.ndim == 4
+    if not batched:
+        canvas = canvas[None]
+    B, C = canvas.shape[0], canvas.shape[1]
+    if content_hw is not None:
+        U, V = content_hw
+    else:
+        U, V = canvas.shape[2], canvas.shape[3]
+    m, n = window
+    gu, gv = max(U - m, 0), max(V - n, 0)
+    TU, TV, gi, gj, HU, HV = cascade_grid((U, V), window, tile)
+    U_pad = gi * TU + HU
+    V_pad = gj * TV + HV
+    if content_hw is not None:
+        assert canvas.shape[2] >= U_pad and canvas.shape[3] >= V_pad, \
+            (canvas.shape, U_pad, V_pad)
+        canvas_p = canvas.astype(jnp.float32)
+    else:
+        canvas_p = jnp.pad(canvas.astype(jnp.float32),
+                           ((0, 0), (0, 0), (0, U_pad - U), (0, V_pad - V)))
+    mask_p = jnp.pad(valid_mask.astype(jnp.float32),
+                     ((0, gi * TU - gu), (0, gj * TV - gv)))
+
+    kernel = _make_static_kernel(sc, TU, TV, HU, HV, C, m, n,
+                                 n_stages_cap=n_stages_cap, block=block,
+                                 masked_out=True, with_nweak=with_n_weak)
+
+    grid = (B, gi, gj)
+    mask_spec = pl.BlockSpec((TU, TV), lambda b, i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+
+    scratch = [
+        pltpu.VMEM((C, TU + HU, TV + HV), jnp.float32),
+        pltpu.SemaphoreType.DMA,
+    ]
+    if preshift:
+        T = sc.n_stages if n_stages_cap is None \
+            else min(sc.n_stages, n_stages_cap)
+        n_pairs = len({(int(sc.fch[t, nd]), int(sc.fc[t, nd]))
+                       for t in range(T)
+                       for nd in range(sc.fr.shape[1])
+                       if sc.left[t, nd] >= 0})
+        scratch.append(pltpu.VMEM((max(n_pairs, 1), TU + HU, TV),
+                                  jnp.float32))
+
+        def kernel3(mask_ref, canvas_hbm, out_ref, stats_ref, tile_ref,
+                    dma_sem, pre_ref):
+            kernel(mask_ref, canvas_hbm, out_ref.at[0], stats_ref.at[0],
+                   tile_ref, dma_sem, pre_ref=pre_ref)
+    else:
+        def kernel3(mask_ref, canvas_hbm, out_ref, stats_ref, tile_ref,
+                    dma_sem):
+            kernel(mask_ref, canvas_hbm, out_ref.at[0], stats_ref.at[0],
+                   tile_ref, dma_sem)
+
+    masked, stats = pl.pallas_call(
+        kernel3,
+        grid=grid,
+        in_specs=[
+            mask_spec,
+            pl.BlockSpec(memory_space=pltpu.ANY),  # canvas (manual DMA)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TU, TV), lambda b, i, j: (b, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda b, i, j: (b, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, gi * TU, gj * TV), jnp.float32),
+            jax.ShapeDtypeStruct((B, gi * 8, gj * 128), jnp.int32),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(mask_p, canvas_p)
+
+    st = stats.reshape(B, gi, 8, gj, 128)
+    nweak = jnp.sum(st[:, :, 0, :, 0], axis=(1, 2))
+    count = jnp.sum(st[:, :, 0, :, 1], axis=(1, 2))
+    if not batched:
+        return masked[0], nweak[0], count[0]
+    return masked, nweak, count

@@ -131,18 +131,41 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
 
             if with_mask:
                 mask = mask_ref[...]
+
+            # half-orientation 4-bin specialization (the grad_hist default):
+            # with the ACTUAL f32 constants, bin0 = |gx*1 - gy*0| = |gx| and
+            # bins 1/3 share u = gx*cs1, v = gy*sn1 (cs3 == -cs1, sn3 == sn1,
+            # so ch3 = -(u + v)); bin2's cs2 is 6.1e-17 (cos(pi/2) in f64),
+            # NOT zero, so it stays in generic form (minus the gy*1.0).
+            # Every rewrite is IEEE-f32 bit-exact vs. the generic expression
+            # (x*1 = x, x - 0*g = x, x*(-c) = -(x*c), (-u) - v = -(u + v)) —
+            # it just drops ~half the projection multiplies.
+            special4 = (n_bins == 4 and not full and not bias
+                        and float(css[0]) == 1.0 and float(sns[0]) == 0.0
+                        and float(css[3]) == -float(css[1])
+                        and float(sns[3]) == float(sns[1])
+                        and float(sns[2]) == 1.0)
+            if special4:
+                uv = [[(gx[a][b] * float(css[1]), gy[a][b] * float(sns[1]))
+                       for b in (0, 1)] for a in (0, 1)]
+
+            def proj(k, a, b):
+                if special4:
+                    if k == 0:
+                        return jnp.abs(gx[a][b])
+                    if k == 2:
+                        return jnp.abs(gx[a][b] * float(css[2]) - gy[a][b])
+                    u, v = uv[a][b]
+                    return jnp.abs(u - v) if k == 1 else jnp.abs(u + v)
+                ch = gx[a][b] * float(css[k]) - gy[a][b] * float(sns[k])
+                v = jnp.maximum(jnp.abs(ch) - bias, 0.0) if bias \
+                    else jnp.abs(ch)
+                if full:
+                    v = jnp.sign(ch) * v
+                return v
+
             for k in range(n_bins):
-                c = float(css[k])
-                sn = float(sns[k])
-                vs = [[None, None], [None, None]]
-                for a in (0, 1):
-                    for b in (0, 1):
-                        ch = gx[a][b] * c - gy[a][b] * sn
-                        v = jnp.maximum(jnp.abs(ch) - bias, 0.0) if bias \
-                            else jnp.abs(ch)
-                        if full:
-                            v = jnp.sign(ch) * v
-                        vs[a][b] = v
+                vs = [[proj(k, a, b) for b in (0, 1)] for a in (0, 1)]
                 pooled = ((vs[0][0] + vs[1][0])
                           + (vs[0][1] + vs[1][1])) * 0.25
                 if smooth == 1:

@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["iou_matrix_device", "nms_device", "topk_detections",
-           "extract_detections_rowwise", "extract_detections_approx"]
+           "extract_detections_rowwise", "extract_detections_approx",
+           "extract_detections_masked"]
 
 
 def iou_matrix_device(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -95,6 +96,45 @@ def extract_detections_approx(hs: jax.Array, alive: jax.Array,
     got = jnp.sum(valid, dtype=jnp.int32)
     complete = jnp.logical_and(true_count <= k_eff, got == true_count)
     count = jnp.where(complete, true_count, -1)
+    rs = idx // gv
+    cs = idx % gv
+    lid = jnp.maximum(level_id[rs, cs], 0)
+    local_r = rs - offsets[lid, 0]
+    local_c = cs - offsets[lid, 1]
+    x1 = local_c.astype(jnp.float32)
+    y1 = local_r.astype(jnp.float32)
+    m = window[0].astype(jnp.float32)
+    n = window[1].astype(jnp.float32)
+    rects = jnp.stack([x1, y1, x1 + n, y1 + m], axis=1)
+    rects = rects * inv_scales[lid][:, None]
+    rects = jnp.where(valid[:, None], rects, 0.0)
+    return rects, scores, valid, count
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def extract_detections_masked(masked: jax.Array, count: jax.Array,
+                              level_id: jax.Array, offsets: jax.Array,
+                              inv_scales: jax.Array, window: jax.Array,
+                              k: int = 256
+                              ) -> Tuple[jax.Array, jax.Array, jax.Array,
+                                         jax.Array]:
+    """Extraction from a kernel-emitted masked map (hs where alive, -inf
+    elsewhere; see ops.cascade_static.cascade_masked_grid_static).
+
+    ``masked`` is the UNCROPPED aligned (GUp, GVp) map, ``count`` the exact
+    survivor total (computed in-kernel), ``level_id`` the (GUp, GVp) padded
+    level map (-1 in dead regions).  Identical completeness contract to
+    :func:`extract_detections_approx`: count == -1 flags overflow/recall
+    miss and callers fall back dense.
+    """
+    gu, gv = masked.shape
+    flat = masked.reshape(-1)
+    k_eff = min(k, flat.shape[0])
+    scores, idx = jax.lax.approx_max_k(flat, k_eff)
+    valid = jnp.isfinite(scores)
+    got = jnp.sum(valid, dtype=jnp.int32)
+    complete = jnp.logical_and(count <= k_eff, got == count)
+    count = jnp.where(complete, count, -1)
     rs = idx // gv
     cs = idx % gv
     lid = jnp.maximum(level_id[rs, cs], 0)

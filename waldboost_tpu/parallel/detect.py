@@ -28,7 +28,7 @@ __all__ = ["make_batched_detector", "make_batched_detector_boxes",
 def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                           mesh=None, donate: bool = False,
                           n_stages_cap: Optional[int] = None,
-                          _parts: bool = False):
+                          _parts: bool = False, _raw: bool = False):
     """Compile a batched detector for ``model`` on images of ``image_shape``.
 
     Returns ``fn(images) -> (hs, alive, n_weak)`` where ``images`` is
@@ -105,6 +105,14 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                                 interpret=interpret,
                                                 content_hw=(Hc, Wc),
                                                 n_stages_cap=n_stages_cap)
+
+        def cascade_masked_b(cvs, with_n_weak=True):
+            from ..ops.cascade_static import cascade_masked_grid_static
+            return cascade_masked_grid_static(cvs, sc, valid, (m, n),
+                                              interpret=interpret,
+                                              content_hw=(Hc, Wc),
+                                              n_stages_cap=n_stages_cap,
+                                              with_n_weak=with_n_weak)
     elif backend == "static":
         # cascade-specialized kernel with the batch as a grid dimension:
         # one launch evaluates the whole (per-shard) batch
@@ -117,6 +125,13 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
             return cascade_response_grid_static(cvs, sc, valid, (m, n),
                                                 interpret=interpret,
                                                 n_stages_cap=n_stages_cap)
+
+        def cascade_masked_b(cvs, with_n_weak=True):
+            from ..ops.cascade_static import cascade_masked_grid_static
+            return cascade_masked_grid_static(cvs, sc, valid, (m, n),
+                                              interpret=interpret,
+                                              n_stages_cap=n_stages_cap,
+                                              with_n_weak=with_n_weak)
     elif backend == "pallas":
         # the generic fused kernel cannot be vmapped (unblocked ANY-space
         # operand); loop per-image kernel calls inside one jitted program
@@ -131,8 +146,17 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
             alive = jnp.stack([o[1] for o in outs])
             nweak = jnp.stack([o[2] for o in outs])
             return hs, alive, nweak
+        cascade_masked_b = None
     else:
         cascade_b = jax.vmap(cascade_one)
+        cascade_masked_b = None
+
+    if _raw:
+        # unjitted building blocks for single-program composition
+        # (make_batched_detector_boxes fuses canvas+cascade+extraction+NMS
+        # into ONE program — measured faster than the split, and the split's
+        # "pathological scheduling" only afflicted the XLA-evaluator path)
+        return canvas_b, cascade_b, cascade_masked_b, packed, content_hw_out
 
     # two XLA programs (canvas, cascade): composing them into one triggers
     # pathological scheduling on TPU — see model._canvas_cascade_jit
@@ -190,7 +214,8 @@ def make_batched_detector_boxes(model: Model, image_shape: Tuple[int, int],
                                 extractor: str = "approx",
                                 two_phase="auto",
                                 prefix: int = TWO_PHASE_BATCH_PREFIX,
-                                capacity: int = TWO_PHASE_BATCH_CAPACITY):
+                                capacity: int = TWO_PHASE_BATCH_CAPACITY,
+                                with_n_weak: bool = True):
     """Batched detection with fully on-device extraction.
 
     Returns ``fn(images) -> (rects, scores, valid, count, n_weak)`` — per
@@ -225,6 +250,13 @@ def make_batched_detector_boxes(model: Model, image_shape: Tuple[int, int],
             model, image_shape, mesh=mesh, k=k, nms_iou=nms_iou,
             prefix=prefix, capacity=capacity)
 
+    if extractor == "approx":
+        built = _make_masked_detector_boxes(model, image_shape, mesh=mesh,
+                                            k=k, nms_iou=nms_iou,
+                                            with_n_weak=with_n_weak)
+        if built is not None:
+            return built
+
     base_fn, packed = make_batched_detector(model, image_shape, mesh=mesh)
     level_id_map, inv_scales = packed.level_maps((m, n))
     offsets = np.array([(pl.y, pl.x) for pl in packed.levels], np.int32) \
@@ -255,6 +287,77 @@ def make_batched_detector_boxes(model: Model, image_shape: Tuple[int, int],
         return rects, scores, valid, count, n_weak
 
     return fn, packed
+
+
+def _make_masked_detector_boxes(model: Model, image_shape: Tuple[int, int],
+                                mesh=None, k: int = 256,
+                                nms_iou: Optional[float] = None,
+                                with_n_weak: bool = True):
+    """ONE-program batched detection for the static-cascade backends.
+
+    Composes canvas -> masked cascade kernel -> approx_max_k extraction ->
+    NMS into a single jit (shard_map'd under a mesh).  The cascade kernel
+    emits the aligned uncropped masked map + exact survivor counts, so the
+    extraction needs no alive map, no jnp.where pass, and no unaligned-crop
+    relayout.  Returns None when the static kernel path is unavailable
+    (callers fall back to the split-program generic path).
+    """
+    from ..ops.nms import extract_detections_masked, nms_device
+
+    m, n, _ = model.shape
+    parts = make_batched_detector(model, image_shape, _raw=True)
+    canvas_b, _, cascade_masked_b, packed, content_hw = parts
+    if cascade_masked_b is None:
+        return None
+
+    from ..ops.cascade_static import cascade_grid
+    Hc, Wc = packed.canvas_h, packed.canvas_w
+    TU, TV, gi, gj, _, _ = cascade_grid((Hc, Wc), (m, n))
+    GUp, GVp = gi * TU, gj * TV
+    level_id_map, inv_scales = packed.level_maps((m, n))
+    gu, gv = level_id_map.shape
+    lid_pad = np.full((GUp, GVp), -1, np.int32)
+    lid_pad[:gu, :gv] = level_id_map
+    offsets = np.array([(pl.y, pl.x) for pl in packed.levels], np.int32) \
+        if packed.levels else np.zeros((1, 2), np.int32)
+    lid = jnp.asarray(lid_pad)
+    offs = jnp.asarray(offsets)
+    iscales = jnp.asarray(inv_scales) if packed.levels else \
+        jnp.ones(1, jnp.float32)
+    wnd = jnp.asarray([m, n], jnp.int32)
+
+    def extract_one(masked, count):
+        rects, scores, valid, count = extract_detections_masked(
+            masked, count, lid, offs, iscales, wnd, k=k)
+        if nms_iou is not None:
+            keep = nms_device(rects, scores, valid,
+                              iou_threshold=float(nms_iou))
+            valid = jnp.logical_and(valid, keep)
+        return rects, scores, valid, count
+
+    def body(images):
+        cvs = canvas_b(images)
+        masked, n_weak, count = cascade_masked_b(cvs,
+                                                 with_n_weak=with_n_weak)
+        rects, scores, valid, count = jax.vmap(extract_one)(masked, count)
+        return rects, scores, valid, count, n_weak
+
+    if mesh is None:
+        return jax.jit(body), packed
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .mesh import DATA_AXIS
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None),),
+        out_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None),
+                   P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS)),
+        check_rep=False)
+    in_sh = data_sharding(mesh, 3)
+    return jax.jit(sharded, in_shardings=(in_sh,)), packed
 
 
 def _make_two_phase_detector_boxes(model: Model, image_shape, mesh=None,
