@@ -155,7 +155,9 @@ def bench_train_loop(n_stages=6):
 def main():
     only = os.environ.get("BENCH_CONFIGS", "all")
     batch = int(os.environ.get("BENCH_BATCH", "32"))
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    # 16+ iterations: the axon tunnel's first dispatches after a compile are
+    # erratically slow; 8-iter runs under-measure steady state by ~20%
+    iters = int(os.environ.get("BENCH_ITERS", "16"))
     warmup = 2
 
     def add(name, fn, unit="MP/s/chip", baseline=NORTH_STAR):

@@ -504,6 +504,14 @@ def cascade_masked_grid_static(
                        for t in range(T)
                        for nd in range(sc.fr.shape[1])
                        if sc.left[t, nd] >= 0})
+        # scoped VMEM is 16 MB (measured: 17.5 MB allocation rejected);
+        # auto-disable the pre-shift scratch when it can't fit alongside
+        # the tile, outputs, and live carries (~4 MB)
+        pre_bytes = max(n_pairs, 1) * (TU + HU) * TV * 4
+        tile_bytes = C * (TU + HU) * (TV + HV) * 4
+        if pre_bytes + tile_bytes > 11 * 2 ** 20:
+            preshift = False
+    if preshift:
         scratch.append(pltpu.VMEM((max(n_pairs, 1), TU + HU, TV),
                                   jnp.float32))
 

@@ -181,21 +181,28 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
                     outk = pooled[1:TU + 1, 1:TV + 1]
                 out_ref[k] = outk
 
-        if content_grid is None:
+        # a tile is live when it's inside the content grid AND (with the
+        # smooth interior mask) some output survives the mask select — gap
+        # tiles between pyramid shelves are all-masked, so they emit zeros
+        # and skip both the DMA and the compute
+        live = None
+        if content_grid is not None:
+            live = jnp.logical_and(i < content_grid[0], j < content_grid[1])
+        if with_mask:
+            any_mask = jnp.sum(mask_ref[...]) > 0.0
+            live = any_mask if live is None \
+                else jnp.logical_and(live, any_mask)
+
+        if live is None:
             compute()
             return
 
-        # grid enlarged for the downstream cascade kernel's halo fetch:
-        # non-content tiles emit zeros (dead in the valid mask) and skip
-        # both the DMA and the compute
-        is_content = jnp.logical_and(i < content_grid[0], j < content_grid[1])
-
-        @pl.when(is_content)
-        def _content_tile():
+        @pl.when(live)
+        def _live_tile():
             compute()
 
-        @pl.when(jnp.logical_not(is_content))
-        def _pad_tile():
+        @pl.when(jnp.logical_not(live))
+        def _dead_tile():
             for k in range(n_bins):
                 out_ref[k] = jnp.zeros((TU, TV), jnp.float32)
 

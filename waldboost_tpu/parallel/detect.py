@@ -112,7 +112,8 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                               interpret=interpret,
                                               content_hw=(Hc, Wc),
                                               n_stages_cap=n_stages_cap,
-                                              with_n_weak=with_n_weak)
+                                              with_n_weak=with_n_weak,
+                                              preshift=True, block=16)
     elif backend == "static":
         # cascade-specialized kernel with the batch as a grid dimension:
         # one launch evaluates the whole (per-shard) batch
@@ -131,7 +132,8 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
             return cascade_masked_grid_static(cvs, sc, valid, (m, n),
                                               interpret=interpret,
                                               n_stages_cap=n_stages_cap,
-                                              with_n_weak=with_n_weak)
+                                              with_n_weak=with_n_weak,
+                                              preshift=True, block=16)
     elif backend == "pallas":
         # the generic fused kernel cannot be vmapped (unblocked ANY-space
         # operand); loop per-image kernel calls inside one jitted program
