@@ -371,6 +371,25 @@ def _compute_octaves(image: jax.Array, n_octaves: int) -> List[jax.Array]:
     return octaves
 
 
+def _compute_octaves_f32(image: jax.Array, n_octaves: int) -> List[jax.Array]:
+    """Octave chain for the device resize paths, f32 throughout.
+
+    For uint8 images the values are IDENTICAL to :func:`_compute_octaves`
+    (pair sums stay exact in f32, the mod-256 wrap and the truncating /4 are
+    reproduced explicitly) but every u8<->float relayout disappears — the
+    uint8 round-trip after each pool and the per-level upcast together cost
+    more than the octave matmuls themselves.  Non-uint8 images fall back to
+    the generic chain (then upcast), keeping reference dtype semantics.
+    """
+    if image.dtype != jnp.uint8 or image.ndim != 2:
+        return [o.astype(jnp.float32)
+                for o in _compute_octaves(image, n_octaves)]
+    octaves = [image.astype(jnp.float32)]
+    for _ in range(n_octaves - 1):
+        octaves.append(imops.avg_pool_2_u8values_f32(octaves[-1]))
+    return octaves
+
+
 def _level_channels(oct_image: jax.Array, level: Level, shrink: int, smooth: int,
                     cf: ChannelFunction) -> jax.Array:
     im = imops.resize_bilinear(oct_image, level.height, level.width)

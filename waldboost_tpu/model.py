@@ -361,10 +361,10 @@ def _poly_planes(image, cf, packed: PackedPyramidPlan, geom=None):
     per level, ~190 for a VGA pyramid — was measured latency-bound at
     ~0.22 ms/image; the concat tree is a handful of fused ops.)
     """
-    from .channels import _compute_octaves
+    from .channels import _compute_octaves_f32
 
     n_oct = max((pl.level.octave for pl in packed.levels), default=0) + 1
-    octaves = _compute_octaves(image, n_oct)
+    octaves = _compute_octaves_f32(image, n_oct)
     is_int = jnp.issubdtype(image.dtype, jnp.integer)
 
     Hc, Wc = packed.canvas_h, packed.canvas_w
@@ -442,7 +442,9 @@ def _poly_level_blocks(octaves, cf, packed: PackedPyramidPlan, halo,
     blocks = []
     for pl in packed.levels:
         lv = pl.level
-        oct_img = octaves[lv.octave].astype(jnp.float32)
+        oct_img = octaves[lv.octave]
+        if oct_img.dtype != jnp.float32:
+            oct_img = oct_img.astype(jnp.float32)
         oh, ow = oct_img.shape
         # matrices built on device from tiny tap vectors (embedding the
         # dense matrices as HLO constants makes the compile payload
@@ -454,15 +456,48 @@ def _poly_level_blocks(octaves, cf, packed: PackedPyramidPlan, halo,
             _ext_pm(t, lv.width) for t in resize_taps(ow, lv.width))
         hq = (lv.height + 2 * halo) // 2
         wq = (lv.width + 2 * halo) // 2
-        Rh_pm = build_resize_matrix(i0h, frh, oh).reshape(2, hq, oh)
-        Rw_pm = build_resize_matrix(i0w, frw, ow).reshape(2, wq, ow)
-        # HIGHEST precision: the TPU default runs f32 matmuls in bf16, whose
-        # ~0.5-unit error breaks the deterministic trunc-tie convention
-        blk = jnp.einsum("prh,hw,qcw->pqrc", Rh_pm, oct_img, Rw_pm,
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
         if is_int:
+            # 4-corner selector resize: integer-valued images are bf16-exact,
+            # so the four corner gathers ride the MXU as 0/1 selector matmuls
+            # at DEFAULT precision (one bf16 pass each, exact: one-hot rows
+            # select uint8-exact values); the bilinear weights then apply
+            # elementwise in f32 with EXACTLY ops.image._resize_bilinear_f32's
+            # lerp association — bit-identical to the spec path, at 6 single
+            # passes instead of the 12 bf16 passes of two HIGHEST matmuls.
+            z = np.zeros_like(frh)
+            zw = np.zeros_like(frw)
+            # both selector pairs stacked along a leading free dim: each
+            # level stays TWO dot ops (as with the tap matmuls), just
+            # single-pass — the 4-corner structure rides free dims
+            Sh = jnp.stack([
+                build_resize_matrix(i0h, z, oh),
+                build_resize_matrix(np.minimum(i0h + 1, oh - 1), z, oh),
+            ]).reshape(2, 2, hq, oh)
+            Sw = jnp.stack([
+                build_resize_matrix(i0w, zw, ow),
+                build_resize_matrix(np.minimum(i0w + 1, ow - 1), zw, ow),
+            ]).reshape(2, 2, wq, ow)
+            # rows are selected uint8-exact values: bf16 storage is exact
+            # and halves the intermediate's traffic
+            rows = jnp.einsum("aprh,hw->aprw", Sh, oct_img,
+                              preferred_element_type=jnp.bfloat16)
+            G = jnp.einsum("aprw,bqcw->abpqrc", rows, Sw,
+                           preferred_element_type=jnp.float32)
+            FH = jnp.asarray(frh).reshape(2, hq)[:, None, :, None]
+            FW = jnp.asarray(frw).reshape(2, wq)[None, :, None, :]
+            tA = G[0, 0] * (1.0 - FH) + G[1, 0] * FH
+            tB = G[0, 1] * (1.0 - FH) + G[1, 1] * FH
+            blk = tA * (1.0 - FW) + tB * FW
             blk = jnp.floor(blk + 1e-4)
+        else:
+            Rh_pm = build_resize_matrix(i0h, frh, oh).reshape(2, hq, oh)
+            Rw_pm = build_resize_matrix(i0w, frw, ow).reshape(2, wq, ow)
+            # HIGHEST precision: the TPU default runs f32 matmuls in bf16,
+            # whose ~0.5-unit error breaks the trunc-tie convention (floats
+            # are not bf16-exact, so the selector scheme doesn't apply)
+            blk = jnp.einsum("prh,hw,qcw->pqrc", Rh_pm, oct_img, Rw_pm,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
         blocks.append(blk)
     return blocks
 

@@ -37,7 +37,9 @@ def _round_up(x: int, m: int) -> int:
 
 
 #: default channel-space tile and the fetch halo padding the kernel needs
-TILE = (128, 256)
+#: ((128, 512) measured 12% faster than (128, 256) at VGA canvas — fewer
+#: halo refetches; (256, 512) exceeds the 16 MB scoped-VMEM limit)
+TILE = (128, 512)
 PAD_R = 8
 PAD_C = 128
 

@@ -109,6 +109,28 @@ def avg_pool_2_u8_matmul(arr: jax.Array) -> jax.Array:
     return (s * 0.25).astype(jnp.uint8)
 
 
+def avg_pool_2_u8values_f32(arr: jax.Array) -> jax.Array:
+    """avg_pool_2 of a uint8-VALUED f32 image, staying f32 (no u8 casts).
+
+    Value-identical to ``avg_pool_2`` on the uint8 original: pair sums are
+    exact in f32/bf16 (<= 510), the reference's uint8 wraparound is the
+    explicit mod-256 select, and the truncating /4 is a floor (values are
+    non-negative).  Keeping the chain f32/bf16 drops two u8 relayouts per
+    octave plus the downstream upcast.
+    """
+    assert arr.ndim == 2
+    h, w = (arr.shape[0] // 2) * 2, (arr.shape[1] // 2) * 2
+    Pr = jnp.asarray(_pair_sum_matrix(h, True), jnp.bfloat16)
+    Pc = jnp.asarray(_pair_sum_matrix(w, False), jnp.bfloat16)
+    x = arr[:h, :w].astype(jnp.bfloat16)  # uint8-valued: exact
+    s = jnp.dot(Pr, x, preferred_element_type=jnp.float32)
+    s = jnp.where(s >= 256.0, s - 256.0, s)  # u8 wrap (pair sums <= 510)
+    s = jnp.dot(s.astype(jnp.bfloat16), Pc,
+                preferred_element_type=jnp.float32)
+    s = jnp.where(s >= 256.0, s - 256.0, s)
+    return jnp.floor(s * 0.25)
+
+
 def max_pool_2(arr: jax.Array) -> jax.Array:
     """Non-overlapping 2x2 max pool over the last two dims (odd edges dropped).
 
