@@ -141,8 +141,39 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
         b = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
+        gi_n = pl.num_programs(1)
+        gj_n = pl.num_programs(2)
+        total = pl.num_programs(0) * gi_n * gj_n
+        s = (b * gi_n + i) * gj_n + j
+        slot = jax.lax.rem(s, 2)
 
-        def make_block(ts):
+        def tile_dma(sl, bb, ii, jj):
+            # each tile's halo fetch is prefetched by its PREDECESSOR grid
+            # step (double buffering: the DMA rides under the previous
+            # tile's cascade compute); every started DMA is waited exactly
+            # once — dead tiles wait too, then ignore the data
+            src = canvas_hbm.at[bb, :, pl.ds(ii * TU, TU + HU),
+                                pl.ds(jj * TV, TV + HV)]
+            return pltpu.make_async_copy(src, tile_ref.at[sl],
+                                         dma_sem.at[sl])
+
+        @pl.when(s == 0)
+        def _first():
+            tile_dma(slot, b, i, j).start()
+
+        @pl.when(s + 1 < total)
+        def _prefetch_next():
+            s1 = s + 1
+            b1 = s1 // (gi_n * gj_n)
+            r1 = jax.lax.rem(s1, gi_n * gj_n)
+            tile_dma(jax.lax.rem(s1, 2), b1, r1 // gj_n,
+                     jax.lax.rem(r1, gj_n)).start()
+
+        tile_dma(slot, b, i, j).wait()
+
+        BH = TU // bands
+
+        def make_block(ts, b0, bh):
             def block_fn(carry):
                 if with_nweak:
                     hs, alive, nweak_acc = carry
@@ -152,14 +183,14 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                     def resp_of(node):
                         if sc.left[t, node] < 0:
                             return float(sc.pred[t, node])
-                        r = int(sc.fr[t, node])
+                        r = int(sc.fr[t, node]) + b0
                         c = int(sc.fc[t, node])
                         ch = int(sc.fch[t, node])
                         if pre_ref is not None:
                             q = pair_idx[(ch, c)]
-                            opnd = pre_ref[q, r:r + TU, :]
+                            opnd = pre_ref[q, r:r + bh, :]
                         else:
-                            opnd = tile_ref[ch, r:r + TU, c:c + TV]
+                            opnd = tile_ref[slot, ch, r:r + bh, c:c + TV]
                         bin_ = opnd <= float(sc.thr[t, node])
                         lo = resp_of(int(sc.left[t, node]))
                         hi = resp_of(int(sc.right[t, node]))
@@ -187,31 +218,37 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
 
         @pl.when(any_valid)
         def _live_tile():
-            # gap/padding tiles (no valid window origin) skip the halo DMA,
-            # the pre-shift pass, and the whole cascade
-            src = canvas_hbm.at[b, :, pl.ds(i * TU, TU + HU),
-                                pl.ds(j * TV, TV + HV)]
-            copy = pltpu.make_async_copy(src, tile_ref, dma_sem)
-            copy.start()
-            copy.wait()
+            # gap/padding tiles (no valid window origin) skip the pre-shift
+            # pass and the whole cascade
             if pre_ref is not None:
                 for q, (ch, c) in enumerate(pairs):
-                    pre_ref[q] = tile_ref[ch, :, c:c + TV]
+                    pre_ref[q] = tile_ref[slot, ch, :, c:c + TV]
 
-            carry = (jnp.zeros((TU, TV), jnp.float32), mask)
-            if with_nweak:
-                carry = carry + (jnp.zeros((TU, TV), jnp.float32),)
-            for s0 in range(0, T, block):
-                ts = range(s0, min(s0 + block, T))
-                carry = jax.lax.cond(jnp.sum(carry[1]) > 0.0,
-                                     make_block(ts), lambda c: c, carry)
-            hs, alive = carry[0], carry[1]
-            out_ref[...] = jnp.where(alive > 0.0, hs, -jnp.inf)
+            count = None
+            nweak = None
+            for band in range(bands):
+                b0 = band * BH
+                bh = BH if band < bands - 1 else TU - b0
+                carry = (jnp.zeros((bh, TV), jnp.float32),
+                         mask[b0:b0 + bh, :])
+                if with_nweak:
+                    carry = carry + (jnp.zeros((bh, TV), jnp.float32),)
+                for s0 in range(0, T, block):
+                    ts = range(s0, min(s0 + block, T))
+                    carry = jax.lax.cond(jnp.sum(carry[1]) > 0.0,
+                                         make_block(ts, b0, bh),
+                                         lambda c: c, carry)
+                hs, alive = carry[0], carry[1]
+                out_ref[b0:b0 + bh, :] = jnp.where(alive > 0.0, hs, -jnp.inf)
+                cnt_b = jnp.sum(alive).astype(jnp.int32)
+                count = cnt_b if count is None else count + cnt_b
+                if with_nweak:
+                    nw_b = jnp.sum(carry[2]).astype(jnp.int32)
+                    nweak = nw_b if nweak is None else nweak + nw_b
             rid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
             cid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-            count = jnp.sum(alive).astype(jnp.int32)
-            nweak = jnp.sum(carry[2]).astype(jnp.int32) if with_nweak \
-                else jnp.zeros((), jnp.int32)
+            if not with_nweak:
+                nweak = jnp.zeros((), jnp.int32)
             stats_ref[...] = jnp.where(
                 (rid == 0) & (cid == 0), nweak,
                 jnp.where((rid == 0) & (cid == 1), count, 0))
@@ -435,14 +472,15 @@ def cascade_response_grid_static(
 @functools.partial(
     jax.jit,
     static_argnames=("sc", "window", "tile", "interpret", "n_stages_cap",
-                     "content_hw", "block", "with_n_weak", "preshift"),
+                     "content_hw", "block", "with_n_weak", "preshift",
+                     "bands"),
 )
 def cascade_masked_grid_static(
     canvas: jax.Array, sc: StaticCascade, valid_mask: jax.Array,
     window: Tuple[int, int], tile: Tuple[int, int] = (128, 256),
     interpret: bool = False, n_stages_cap=None,
     content_hw: Optional[Tuple[int, int]] = None, block: int = BLOCK,
-    with_n_weak: bool = True, preshift: bool = False,
+    with_n_weak: bool = True, preshift: bool = False, bands: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Serving-extraction form of :func:`cascade_response_grid_static`.
 
@@ -487,15 +525,16 @@ def cascade_masked_grid_static(
 
     kernel = _make_static_kernel(sc, TU, TV, HU, HV, C, m, n,
                                  n_stages_cap=n_stages_cap, block=block,
-                                 masked_out=True, with_nweak=with_n_weak)
+                                 masked_out=True, with_nweak=with_n_weak,
+                                 bands=bands)
 
     grid = (B, gi, gj)
     mask_spec = pl.BlockSpec((TU, TV), lambda b, i, j: (i, j),
                              memory_space=pltpu.VMEM)
 
     scratch = [
-        pltpu.VMEM((C, TU + HU, TV + HV), jnp.float32),
-        pltpu.SemaphoreType.DMA,
+        pltpu.VMEM((2, C, TU + HU, TV + HV), jnp.float32),  # double-buffer
+        pltpu.SemaphoreType.DMA((2,)),
     ]
     if preshift:
         T = sc.n_stages if n_stages_cap is None \
@@ -506,9 +545,9 @@ def cascade_masked_grid_static(
                        if sc.left[t, nd] >= 0})
         # scoped VMEM is 16 MB (measured: 17.5 MB allocation rejected);
         # auto-disable the pre-shift scratch when it can't fit alongside
-        # the tile, outputs, and live carries (~4 MB)
+        # the double-buffered tiles, outputs, and live carries (~4 MB)
         pre_bytes = max(n_pairs, 1) * (TU + HU) * TV * 4
-        tile_bytes = C * (TU + HU) * (TV + HV) * 4
+        tile_bytes = 2 * C * (TU + HU) * (TV + HV) * 4
         if pre_bytes + tile_bytes > 11 * 2 ** 20:
             preshift = False
     if preshift:

@@ -86,23 +86,63 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
         bb = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
+        gi_n = pl.num_programs(1)
+        gj_n = pl.num_programs(2)
+        total = pl.num_programs(0) * gi_n * gj_n
+        step = (bb * gi_n + i) * gj_n + j
+        slot = jax.lax.rem(step, 2)
+
+        def is_content(ii, jj):
+            if content_grid is None:
+                return True
+            return jnp.logical_and(ii < content_grid[0],
+                                   jj < content_grid[1])
+
+        def tile_dma(sl, b2, ii, jj):
+            # pad tiles (enlarged out_grid) never form this access — their
+            # source rows/cols lie outside the content-grid-sized planes
+            src = planes_hbm.at[b2, :, :, pl.ds(ii * TU, TU + 2 * HR),
+                                pl.ds(jj * TV, TV + 2 * HC)]
+            return pltpu.make_async_copy(src, tile_ref.at[sl],
+                                         dma_sem.at[sl])
+
+        # double buffering across grid steps: each CONTENT tile's DMA is
+        # started by the predecessor step (pad steps still prefetch for
+        # their successor) and waited exactly once by its own step
+        ic_cur = is_content(i, j)
+
+        @pl.when(jnp.logical_and(step == 0, ic_cur)
+                 if content_grid is not None else step == 0)
+        def _first():
+            tile_dma(slot, bb, i, j).start()
+
+        s1 = step + 1
+        b1 = s1 // (gi_n * gj_n)
+        r1 = jax.lax.rem(s1, gi_n * gj_n)
+        i1 = r1 // gj_n
+        j1 = jax.lax.rem(r1, gj_n)
+        nxt = s1 < total
+        if content_grid is not None:
+            nxt = jnp.logical_and(nxt, is_content(i1, j1))
+
+        @pl.when(nxt)
+        def _prefetch_next():
+            tile_dma(jax.lax.rem(s1, 2), jnp.minimum(b1, pl.num_programs(0) - 1),
+                     i1, j1).start()
+
+        @pl.when(ic_cur if content_grid is not None else step >= 0)
+        def _wait_own():
+            tile_dma(slot, bb, i, j).wait()
 
         def compute():
-            # indexer built here: pad tiles (enlarged out_grid) never form
-            # this access, so planes stay content-grid sized
-            src = planes_hbm.at[bb, :, :, pl.ds(i * TU, TU + 2 * HR),
-                                pl.ds(j * TV, TV + 2 * HC)]
-            copy = pltpu.make_async_copy(src, tile_ref, dma_sem)
-            copy.start()
-            copy.wait()
-
-            # plane px (I0+dr, J0+dc) lives at tile_ref[a, b, HR+dr, HC+dc]
+            # plane px (I0+dr, J0+dc) lives at tile_ref[slot, a, b,
+            # HR+dr, HC+dc]
             s = 2  # compute halo in plane px
 
             def at1(a, b, dr, dc):
                 """(TU+4, TV+4) f32 view of plane (a,b) at offset (dr, dc),
                 covering plane px [I0-2+dr, I0+TU+2+dr) x [J0-2+dc, ...)."""
-                v = tile_ref[a, b,
+                v = tile_ref[slot, a, b,
                              HR - s + dr:HR - s + dr + TU + 2 * s,
                              HC - s + dc:HC - s + dc + TV + 2 * s]
                 return v.astype(jnp.float32)
@@ -294,8 +334,9 @@ def grad_hist_poly_pallas(
         out_shape=jax.ShapeDtypeStruct((B, n_bins, gi * TU, gj * TV),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, TU + 2 * HR, TV + 2 * HC), planes_p.dtype),
-            pltpu.SemaphoreType.DMA,
+            # leading 2: double-buffer slots (DMA prefetch across grid steps)
+            pltpu.VMEM((2, 2, 2, TU + 2 * HR, TV + 2 * HC), planes_p.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(*args)
