@@ -481,12 +481,20 @@ def _poly_level_blocks(octaves, cf, packed: PackedPyramidPlan, halo,
             # and halves the intermediate's traffic
             rows = jnp.einsum("aprh,hw->aprw", Sh, oct_img,
                               preferred_element_type=jnp.bfloat16)
+            # G holds selected integer-valued pixels: bf16-exact, half the
+            # intermediate traffic; the lerp upcasts to f32 per element
             G = jnp.einsum("aprw,bqcw->abpqrc", rows, Sw,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.bfloat16)
             FH = jnp.asarray(frh).reshape(2, hq)[:, None, :, None]
             FW = jnp.asarray(frw).reshape(2, wq)[None, :, None, :]
-            tA = G[0, 0] * (1.0 - FH) + G[1, 0] * FH
-            tB = G[0, 1] * (1.0 - FH) + G[1, 1] * FH
+
+            def g(a, b2):
+                # per-slice upcast fuses into the lerp (a full-G astype
+                # would materialize an f32 copy)
+                return G[a, b2].astype(jnp.float32)
+
+            tA = g(0, 0) * (1.0 - FH) + g(1, 0) * FH
+            tB = g(0, 1) * (1.0 - FH) + g(1, 1) * FH
             blk = tA * (1.0 - FW) + tB * FW
             blk = jnp.floor(blk + 1e-4)
         else:

@@ -254,7 +254,7 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
 @functools.partial(
     jax.jit,
     static_argnames=("smooth", "n_bins", "full", "bias", "tile", "interpret",
-                     "content_hw", "out_grid", "crop"),
+                     "content_hw", "out_grid", "crop", "alloc_grid"),
 )
 def grad_hist_poly_pallas(
     planes: jax.Array, interior_mask: Optional[jax.Array],
@@ -262,6 +262,7 @@ def grad_hist_poly_pallas(
     tile: Tuple[int, int] = TILE, interpret: bool = False,
     content_hw: Optional[Tuple[int, int]] = None,
     out_grid: Optional[Tuple[int, int]] = None, crop: bool = True,
+    alloc_grid: Optional[Tuple[int, int]] = None,
 ) -> jax.Array:
     """Pooled grad_hist channel canvas from polyphase planes, fused.
 
@@ -283,6 +284,7 @@ def grad_hist_poly_pallas(
         Hc, Wc = content_hw
     else:
         Hc, Wc = planes.shape[-2], planes.shape[-1]
+    assert out_grid is None or alloc_grid is None
     TU, TV, gi, gj = channel_grid(Hc, Wc, tile, out_grid)
     gi_p = max(-(-Hc // TU), 1)  # content grid: plane allocation basis
     gj_p = max(-(-Wc // TV), 1)
@@ -324,6 +326,14 @@ def grad_hist_poly_pallas(
             planes_hbm, out_ref, tile_ref, dma_sem = refs
             kernel(planes_hbm, out_ref.at[0], tile_ref, dma_sem)
 
+    # alloc_grid: the output allocation is LARGER than the written tile
+    # grid (a downstream consumer's halo fetch region).  The extra area is
+    # left uninitialized — it only ever feeds windows that are statically
+    # dead in the consumer's valid mask, so zero-filling it (out_grid's pad
+    # tiles) would be pure wasted bandwidth.
+    agi = max(gi, alloc_grid[0]) if alloc_grid is not None else gi
+    agj = max(gj, alloc_grid[1]) if alloc_grid is not None else gj
+
     out = pl.pallas_call(
         kernel_b,
         grid=(B, gi, gj),
@@ -331,7 +341,7 @@ def grad_hist_poly_pallas(
         out_specs=pl.BlockSpec((1, n_bins, TU, TV),
                                lambda b, i, j: (b, 0, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n_bins, gi * TU, gj * TV),
+        out_shape=jax.ShapeDtypeStruct((B, n_bins, agi * TU, agj * TV),
                                        jnp.float32),
         scratch_shapes=[
             # leading 2: double-buffer slots (DMA prefetch across grid steps)

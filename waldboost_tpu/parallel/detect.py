@@ -94,8 +94,11 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
         def canvas_b(images):
             planes = jax.vmap(
                 lambda im: _poly_planes(im, cf, packed, geom=geom))(images)
+            # alloc_grid (not out_grid): the cascade's halo region is only
+            # ever read for statically-dead windows, so it stays
+            # uninitialized instead of paying zero-fill pad tiles
             return cf.poly_kernel(planes, interior, smooth, interpret,
-                                  content_hw=(Hc, Wc), out_grid=out_grid,
+                                  content_hw=(Hc, Wc), alloc_grid=out_grid,
                                   crop=False)
 
         content_hw_out = (Hc, Wc)
