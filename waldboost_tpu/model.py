@@ -479,12 +479,24 @@ def _poly_level_blocks(octaves, cf, packed: PackedPyramidPlan, halo,
             ]).reshape(2, 2, wq, ow)
             # rows are selected uint8-exact values: bf16 storage is exact
             # and halves the intermediate's traffic
-            rows = jnp.einsum("aprh,hw->aprw", Sh, oct_img,
-                              preferred_element_type=jnp.bfloat16)
-            # G holds selected integer-valued pixels: bf16-exact, half the
-            # intermediate traffic; the lerp upcasts to f32 per element
-            G = jnp.einsum("aprw,bqcw->abpqrc", rows, Sw,
-                           preferred_element_type=jnp.bfloat16)
+            # contraction order picked per level by FLOP count: the second
+            # pass contracts over the FIRST pass's source axis, so leading
+            # with the larger source axis is cheaper (typically col-first
+            # for landscape levels)
+            row_first = (4 * hq * oh * ow + 16 * hq * wq * ow
+                         <= 4 * wq * oh * ow + 16 * hq * wq * oh)
+            if row_first:
+                rows = jnp.einsum("aprh,hw->aprw", Sh, oct_img,
+                                  preferred_element_type=jnp.bfloat16)
+                # G holds selected integer-valued pixels: bf16-exact, half
+                # the intermediate traffic; the lerp upcasts per slice
+                G = jnp.einsum("aprw,bqcw->abpqrc", rows, Sw,
+                               preferred_element_type=jnp.bfloat16)
+            else:
+                cols = jnp.einsum("hw,bqcw->bhqc", oct_img, Sw,
+                                  preferred_element_type=jnp.bfloat16)
+                G = jnp.einsum("aprh,bhqc->abpqrc", Sh, cols,
+                               preferred_element_type=jnp.bfloat16)
             FH = jnp.asarray(frh).reshape(2, hq)[:, None, :, None]
             FW = jnp.asarray(frw).reshape(2, wq)[None, :, None, :]
 
