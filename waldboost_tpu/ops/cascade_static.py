@@ -233,8 +233,23 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                          mask[b0:b0 + bh, :])
                 if with_nweak:
                     carry = carry + (jnp.zeros((bh, TV), jnp.float32),)
-                for s0 in range(0, T, block):
-                    ts = range(s0, min(s0 + block, T))
+                # int block -> uniform schedule; tuple -> explicit per-block
+                # stage counts (coarse early / fine late: exits only fire in
+                # the tail), last entry repeating to cover all stages
+                if isinstance(block, int):
+                    starts = list(range(0, T, block))
+                    sizes = [block] * len(starts)
+                else:
+                    starts, sizes, s0_ = [], [], 0
+                    bi = 0
+                    while s0_ < T:
+                        sz = block[min(bi, len(block) - 1)]
+                        starts.append(s0_)
+                        sizes.append(sz)
+                        s0_ += sz
+                        bi += 1
+                for s0, sz in zip(starts, sizes):
+                    ts = range(s0, min(s0 + sz, T))
                     carry = jax.lax.cond(jnp.sum(carry[1]) > 0.0,
                                          make_block(ts, b0, bh),
                                          lambda c: c, carry)
