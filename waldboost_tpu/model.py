@@ -108,23 +108,29 @@ class PackedPyramidPlan:
         order = sorted(range(len(usable)), key=lambda i: -usable[i][1].out_height)
 
         def shelf_pack(canvas_w: int):
+            # first-fit-decreasing-height shelves: each level backfills the
+            # first open shelf with room (descending heights guarantee it
+            # fits vertically), instead of next-fit's closed-shelf tails
             placed: Dict[int, PackedLevel] = {}
-            shelf_y = margin
-            shelf_h = 0
-            cur_x = margin
+            shelves: List[List[int]] = []  # [y, height, cur_x]
             for i in order:
                 pi, lv = usable[i]
                 w_need = lv.out_width + gap_x
                 h_need = lv.out_height + gap_y
-                if cur_x + w_need > canvas_w - margin:
-                    shelf_y += shelf_h
-                    shelf_h = 0
-                    cur_x = margin
-                placed[i] = PackedLevel(level=lv, plan_index=pi, y=shelf_y,
-                                        x=cur_x)
-                cur_x += w_need
-                shelf_h = max(shelf_h, h_need)
-            canvas_h = _round_up(shelf_y + shelf_h + margin, 8)
+                home = None
+                for s in shelves:
+                    if s[2] + w_need <= canvas_w - margin and h_need <= s[1]:
+                        home = s
+                        break
+                if home is None:
+                    y = (shelves[-1][0] + shelves[-1][1]) if shelves \
+                        else margin
+                    home = [y, h_need, margin]
+                    shelves.append(home)
+                placed[i] = PackedLevel(level=lv, plan_index=pi, y=home[0],
+                                        x=home[2])
+                home[2] += w_need
+            canvas_h = _round_up(shelves[-1][0] + shelves[-1][1] + margin, 8)
             return placed, canvas_h
 
         # Try many canvas widths and keep the layout with the fewest
