@@ -98,6 +98,17 @@ class PackedPyramidPlan:
         # edge, where ops.image.gradients' reflect boundary and the polyphase
         # zero-fill _shift would disagree (a zero rim makes both read 0)
         margin = halo_c + (1 if halo > 0 else 0)
+        # polyphase assembly alignment (shrink=2): choose the top margin so
+        # every shelf band starts at an 8-aligned PLANE row (band row =
+        # y - halo_c + PAD_R), and round shelf heights to 8 — the plane
+        # assembly's row-axis concats then run at full DMA speed instead of
+        # sublane-relayout speed.  Tile counts absorb the extra rows (the
+        # width search accounts for them).
+        align_y = 8 if shrink == 2 else 1
+        margin_y = margin
+        if align_y > 1:
+            while (margin_y - halo_c) % align_y:
+                margin_y += 1
         # Only levels that can host at least one window origin matter.
         usable = [(pi, lv) for pi, lv in enumerate(plan)
                   if lv.out_height > m and lv.out_width > n]
@@ -116,7 +127,7 @@ class PackedPyramidPlan:
             for i in order:
                 pi, lv = usable[i]
                 w_need = lv.out_width + gap_x
-                h_need = lv.out_height + gap_y
+                h_need = _round_up(lv.out_height + gap_y, align_y)
                 home = None
                 for s in shelves:
                     if s[2] + w_need <= canvas_w - margin and h_need <= s[1]:
@@ -124,7 +135,7 @@ class PackedPyramidPlan:
                         break
                 if home is None:
                     y = (shelves[-1][0] + shelves[-1][1]) if shelves \
-                        else margin
+                        else margin_y
                     home = [y, h_need, margin]
                     shelves.append(home)
                 placed[i] = PackedLevel(level=lv, plan_index=pi, y=home[0],
@@ -403,9 +414,24 @@ def _poly_planes(image, cf, packed: PackedPyramidPlan, geom=None):
 
     rows = []
     cur_r = 0
-    for r0 in sorted(shelves):
+    shelf_r0s = sorted(shelves)
+    for si, r0 in enumerate(shelf_r0s):
         items = sorted(shelves[r0], key=lambda t: t[0])
         band_h = max(b.shape[2] for _, b in items)
+        r0 += pr
+        assert r0 >= cur_r, "shelf bands overlap (packer gap violated)"
+        # pad each band to the full shelf pitch (next band's aligned start):
+        # the row-axis concat then has only 8-aligned pieces — full-speed
+        # DMA instead of sublane relayout (the packer aligns shelf starts)
+        next_r = shelf_r0s[si + 1] + pr if si + 1 < len(shelf_r0s) else PH
+        pitch = next_r - r0
+        if si == 0 and r0 > 0:
+            # top rim rides the first band (keeps piece starts aligned)
+            lead = r0
+            r0 = 0
+            pitch += lead
+        else:
+            lead = 0
         cols = []
         cur_c = 0
         for c0, b in items:
@@ -420,12 +446,12 @@ def _poly_planes(image, cf, packed: PackedPyramidPlan, geom=None):
         if cur_c < PW:
             cols.append(zeros(band_h, PW - cur_c))
         band = jnp.concatenate(cols, axis=-1) if len(cols) > 1 else cols[0]
-        r0 += pr
-        assert r0 >= cur_r, "shelf bands overlap (packer gap violated)"
-        if r0 > cur_r:
-            rows.append(zeros(r0 - cur_r, PW))
+        if lead or band_h < pitch:
+            band = jnp.pad(band, ((0, 0), (0, 0),
+                                  (lead, max(pitch - band_h - lead, 0)),
+                                  (0, 0)))
         rows.append(band)
-        cur_r = r0 + band_h
+        cur_r = r0 + band.shape[2]
     if cur_r < PH:
         rows.append(zeros(PH - cur_r, PW))
     if not rows:
