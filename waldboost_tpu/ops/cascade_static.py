@@ -129,11 +129,14 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
     # distinct (channel, column-offset) pairs across the cascade: with
     # ``preshift`` the kernel materializes one lane-aligned copy of the tile
     # per pair ONCE, so every node's operand load needs only a (cheap)
-    # static sublane offset instead of a cross-lane shift per stage
-    pairs = sorted({(int(sc.fch[t, nd]), int(sc.fc[t, nd]))
-                    for t in range(T)
-                    for nd in range(sc.fr.shape[1])
-                    if sc.left[t, nd] >= 0})
+    # static sublane offset instead of a cross-lane shift per stage.
+    # Pairs used only once don't amortize the copy — they stay direct reads.
+    from collections import Counter
+    pair_uses = Counter((int(sc.fch[t, nd]), int(sc.fc[t, nd]))
+                        for t in range(T)
+                        for nd in range(sc.fr.shape[1])
+                        if sc.left[t, nd] >= 0)
+    pairs = sorted(p for p, cnt in pair_uses.items() if cnt >= 2)
     pair_idx = {p: q for q, p in enumerate(pairs)}
 
     def kernel_masked(mask_ref, canvas_hbm, out_ref, stats_ref,
@@ -186,7 +189,7 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                         r = int(sc.fr[t, node]) + b0
                         c = int(sc.fc[t, node])
                         ch = int(sc.fch[t, node])
-                        if pre_ref is not None:
+                        if pre_ref is not None and (ch, c) in pair_idx:
                             q = pair_idx[(ch, c)]
                             opnd = pre_ref[q, r:r + bh, :]
                         else:
@@ -552,12 +555,14 @@ def cascade_masked_grid_static(
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if preshift:
+        from collections import Counter
         T = sc.n_stages if n_stages_cap is None \
             else min(sc.n_stages, n_stages_cap)
-        n_pairs = len({(int(sc.fch[t, nd]), int(sc.fc[t, nd]))
+        uses = Counter((int(sc.fch[t, nd]), int(sc.fc[t, nd]))
                        for t in range(T)
                        for nd in range(sc.fr.shape[1])
-                       if sc.left[t, nd] >= 0})
+                       if sc.left[t, nd] >= 0)
+        n_pairs = sum(1 for cnt in uses.values() if cnt >= 2)
         # scoped VMEM is 16 MB (measured: 17.5 MB allocation rejected);
         # auto-disable the pre-shift scratch when it can't fit alongside
         # the double-buffered tiles, outputs, and live carries (~4 MB)
