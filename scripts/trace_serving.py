@@ -22,7 +22,7 @@ def main():
     from waldboost_tpu.parallel.detect import make_batched_detector_boxes
 
     h, w = 480, 640
-    batch = 32
+    batch = int(os.environ.get("TRACE_BATCH", "32"))
     model = _flagship_model()
     fn, _ = make_batched_detector_boxes(model, (h, w), k=256, nms_iou=0.5,
                                         with_n_weak=False)

@@ -152,3 +152,26 @@ def test_masked_kernel_matches_static(setup):
     assert np.array_equal(np.asarray(nw), np.asarray(nw2))
     assert np.array_equal(np.asarray(count),
                           al.reshape(al.shape[0], -1).sum(1))
+
+
+def test_masked_kernel_serving_variants(setup):
+    """The serving configurations (-inf latch encoding without n_weak,
+    eager/lazy preshift, min-uses thresholds) emit the same masked map and
+    survivor counts as the reference masked form."""
+    from waldboost_tpu.ops.cascade_static import cascade_masked_grid_static
+    model, cvs, valid, window = setup
+    sc = static_cascade_from_model(model)
+    ref, _, count0 = cascade_masked_grid_static(cvs, sc, valid, window,
+                                                tile=(64, 128),
+                                                interpret=True)
+    ref = np.asarray(ref)
+    for ps, lazy, mu in [(False, False, 2), (True, False, 2),
+                         (True, True, 2), (True, True, 4),
+                         (True, False, 1000)]:
+        mk, _, count = cascade_masked_grid_static(
+            cvs, sc, valid, window, tile=(64, 128), interpret=True,
+            with_n_weak=False, preshift=ps, preshift_lazy=lazy,
+            preshift_min_uses=mu, block=4)
+        assert np.array_equal(np.asarray(mk), ref), (ps, lazy, mu)
+        assert np.array_equal(np.asarray(count), np.asarray(count0)), \
+            (ps, lazy, mu)

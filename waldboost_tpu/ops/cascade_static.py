@@ -110,7 +110,8 @@ def static_cascade_from_model(model) -> StaticCascade:
 
 def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                         n_stages_cap=None, block=BLOCK, bands=1,
-                        masked_out=False, with_nweak=True):
+                        masked_out=False, with_nweak=True,
+                        preshift_min_uses=2, preshift_lazy=False):
     """Generate the specialized kernel body: unrolled stages, static slices,
     immediate-constant thresholds/predictions, blockwise tile early exit.
 
@@ -136,8 +137,39 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                         for t in range(T)
                         for nd in range(sc.fr.shape[1])
                         if sc.left[t, nd] >= 0)
-    pairs = sorted(p for p, cnt in pair_uses.items() if cnt >= 2)
+    pairs = sorted(p for p, cnt in pair_uses.items()
+                   if cnt >= preshift_min_uses)
     pair_idx = {p: q for q, p in enumerate(pairs)}
+    # lazy materialization: each early-exit block shift-copies only the
+    # pairs FIRST used in it (blocks run as a prefix chain, so a pair is
+    # always materialized before use); a tile that dies after block k never
+    # pays the copies for later blocks' pairs
+    first_block = {}
+    if preshift_lazy:
+        if isinstance(block, int):
+            blk_of = lambda t: t // block
+        else:
+            bounds, s0_, bi_ = [], 0, 0
+            while s0_ < T:
+                s0_ += block[min(bi_, len(block) - 1)]
+                bounds.append(s0_)
+                bi_ += 1
+            blk_of = lambda t: next(i for i, b in enumerate(bounds) if t < b)
+        for t in range(T):
+            for nd in range(sc.fr.shape[1]):
+                if sc.left[t, nd] >= 0:
+                    p = (int(sc.fch[t, nd]), int(sc.fc[t, nd]))
+                    if p in pair_idx:
+                        first_block.setdefault(p, blk_of(t))
+
+    # -inf-latch encoding (serving form without the n_weak counter): the
+    # alive mask lives INSIDE hs — dead windows are exactly -inf, and the
+    # SPRT rejection is hs = where(hs >= theta, hs, -inf).  One fewer
+    # vector op per stage than the alive-multiply (cmp+select vs
+    # cmp+astype+mul), half the early-exit cond carry, and the output IS
+    # the carry (no final where pass).  Survivors and scores are identical:
+    # -inf + resp stays -inf, so the latch is permanent.
+    inf_enc = masked_out and not with_nweak
 
     def kernel_masked(mask_ref, canvas_hbm, out_ref, stats_ref,
                       tile_ref, dma_sem, pre_ref=None):
@@ -176,12 +208,21 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
 
         BH = TU // bands
 
-        def make_block(ts, b0, bh):
+        def make_block(ts, b0, bh, blk_i=None):
             def block_fn(carry):
-                if with_nweak:
+                if inf_enc:
+                    (hs,) = carry
+                    alive = None
+                elif with_nweak:
                     hs, alive, nweak_acc = carry
                 else:
                     hs, alive = carry
+                if preshift_lazy and pre_ref is not None and blk_i is not None:
+                    for p2, fb in first_block.items():
+                        if fb == blk_i:
+                            ch2, c2 = p2
+                            pre_ref[pair_idx[p2]] = \
+                                tile_ref[slot, ch2, :, c2:c2 + TV]
                 for t in ts:
                     def resp_of(node):
                         if sc.left[t, node] < 0:
@@ -212,7 +253,12 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                     hs = hs + resp
                     th = float(sc.theta[t])
                     if np.isfinite(th):
-                        alive = alive * (hs >= th).astype(jnp.float32)
+                        if inf_enc:
+                            hs = jnp.where(hs >= th, hs, -jnp.inf)
+                        else:
+                            alive = alive * (hs >= th).astype(jnp.float32)
+                if inf_enc:
+                    return (hs,)
                 return (hs, alive, nweak_acc) if with_nweak else (hs, alive)
             return block_fn
 
@@ -223,7 +269,7 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
         def _live_tile():
             # gap/padding tiles (no valid window origin) skip the pre-shift
             # pass and the whole cascade
-            if pre_ref is not None:
+            if pre_ref is not None and not preshift_lazy:
                 for q, (ch, c) in enumerate(pairs):
                     pre_ref[q] = tile_ref[slot, ch, :, c:c + TV]
 
@@ -232,10 +278,14 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
             for band in range(bands):
                 b0 = band * BH
                 bh = BH if band < bands - 1 else TU - b0
-                carry = (jnp.zeros((bh, TV), jnp.float32),
-                         mask[b0:b0 + bh, :])
-                if with_nweak:
-                    carry = carry + (jnp.zeros((bh, TV), jnp.float32),)
+                if inf_enc:
+                    carry = (jnp.where(mask[b0:b0 + bh, :] > 0.0,
+                                       0.0, -jnp.inf),)
+                else:
+                    carry = (jnp.zeros((bh, TV), jnp.float32),
+                             mask[b0:b0 + bh, :])
+                    if with_nweak:
+                        carry = carry + (jnp.zeros((bh, TV), jnp.float32),)
                 # int block -> uniform schedule; tuple -> explicit per-block
                 # stage counts (coarse early / fine late: exits only fire in
                 # the tail), last entry repeating to cover all stages
@@ -251,14 +301,23 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                         sizes.append(sz)
                         s0_ += sz
                         bi += 1
-                for s0, sz in zip(starts, sizes):
+                for blk_i, (s0, sz) in enumerate(zip(starts, sizes)):
                     ts = range(s0, min(s0 + sz, T))
-                    carry = jax.lax.cond(jnp.sum(carry[1]) > 0.0,
-                                         make_block(ts, b0, bh),
+                    pred = (jnp.max(carry[0]) > -jnp.inf) if inf_enc \
+                        else (jnp.sum(carry[1]) > 0.0)
+                    carry = jax.lax.cond(pred,
+                                         make_block(ts, b0, bh, blk_i),
                                          lambda c: c, carry)
-                hs, alive = carry[0], carry[1]
-                out_ref[b0:b0 + bh, :] = jnp.where(alive > 0.0, hs, -jnp.inf)
-                cnt_b = jnp.sum(alive).astype(jnp.int32)
+                if inf_enc:
+                    hs = carry[0]
+                    out_ref[b0:b0 + bh, :] = hs
+                    alive_f = (hs > -jnp.inf).astype(jnp.float32)
+                    cnt_b = jnp.sum(alive_f).astype(jnp.int32)
+                else:
+                    hs, alive = carry[0], carry[1]
+                    out_ref[b0:b0 + bh, :] = jnp.where(alive > 0.0, hs,
+                                                       -jnp.inf)
+                    cnt_b = jnp.sum(alive).astype(jnp.int32)
                 count = cnt_b if count is None else count + cnt_b
                 if with_nweak:
                     nw_b = jnp.sum(carry[2]).astype(jnp.int32)
@@ -491,7 +550,7 @@ def cascade_response_grid_static(
     jax.jit,
     static_argnames=("sc", "window", "tile", "interpret", "n_stages_cap",
                      "content_hw", "block", "with_n_weak", "preshift",
-                     "bands"),
+                     "bands", "preshift_min_uses", "preshift_lazy"),
 )
 def cascade_masked_grid_static(
     canvas: jax.Array, sc: StaticCascade, valid_mask: jax.Array,
@@ -499,6 +558,7 @@ def cascade_masked_grid_static(
     interpret: bool = False, n_stages_cap=None,
     content_hw: Optional[Tuple[int, int]] = None, block: int = BLOCK,
     with_n_weak: bool = True, preshift: bool = False, bands: int = 1,
+    preshift_min_uses: int = 2, preshift_lazy: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Serving-extraction form of :func:`cascade_response_grid_static`.
 
@@ -544,7 +604,9 @@ def cascade_masked_grid_static(
     kernel = _make_static_kernel(sc, TU, TV, HU, HV, C, m, n,
                                  n_stages_cap=n_stages_cap, block=block,
                                  masked_out=True, with_nweak=with_n_weak,
-                                 bands=bands)
+                                 bands=bands,
+                                 preshift_min_uses=preshift_min_uses,
+                                 preshift_lazy=preshift_lazy)
 
     grid = (B, gi, gj)
     mask_spec = pl.BlockSpec((TU, TV), lambda b, i, j: (i, j),
@@ -562,7 +624,8 @@ def cascade_masked_grid_static(
                        for t in range(T)
                        for nd in range(sc.fr.shape[1])
                        if sc.left[t, nd] >= 0)
-        n_pairs = sum(1 for cnt in uses.values() if cnt >= 2)
+        n_pairs = sum(1 for cnt in uses.values()
+                      if cnt >= preshift_min_uses)
         # scoped VMEM is 16 MB (measured: 17.5 MB allocation rejected);
         # auto-disable the pre-shift scratch when it can't fit alongside
         # the double-buffered tiles, outputs, and live carries (~4 MB)
