@@ -471,8 +471,23 @@ def _poly_level_blocks(octaves, cf, packed: PackedPyramidPlan, halo,
                                 R[size - 1:size - halo - 1:-1]])
         return np.concatenate([R[halo % 2::2], R[(1 + halo) % 2::2]])
 
-    blocks = []
-    for pl in packed.levels:
+    def _lerp_block(G, frh, frw, hq, wq):
+        FH = jnp.asarray(frh).reshape(2, hq)[:, None, :, None]
+        FW = jnp.asarray(frw).reshape(2, wq)[None, :, None, :]
+
+        def g(a, b2):
+            # per-slice upcast fuses into the lerp (a full-G astype
+            # would materialize an f32 copy)
+            return G[a, b2].astype(jnp.float32)
+
+        tA = g(0, 0) * (1.0 - FH) + g(1, 0) * FH
+        tB = g(0, 1) * (1.0 - FH) + g(1, 1) * FH
+        blk = tA * (1.0 - FW) + tB * FW
+        return jnp.floor(blk + 1e-4)
+
+    blocks = [None] * len(packed.levels)
+    col_groups: Dict[int, list] = {}
+    for li, pl in enumerate(packed.levels):
         lv = pl.level
         oct_img = octaves[lv.octave]
         if oct_img.dtype != jnp.float32:
@@ -524,33 +539,40 @@ def _poly_level_blocks(octaves, cf, packed: PackedPyramidPlan, halo,
                 # the intermediate traffic; the lerp upcasts per slice
                 G = jnp.einsum("aprw,bqcw->abpqrc", rows, Sw,
                                preferred_element_type=jnp.bfloat16)
+                blocks[li] = _lerp_block(G, frh, frw, hq, wq)
             else:
-                cols = jnp.einsum("hw,bqcw->bhqc", oct_img, Sw,
-                                  preferred_element_type=jnp.bfloat16)
-                G = jnp.einsum("aprh,bhqc->abpqrc", Sh, cols,
-                               preferred_element_type=jnp.bfloat16)
-            FH = jnp.asarray(frh).reshape(2, hq)[:, None, :, None]
-            FW = jnp.asarray(frw).reshape(2, wq)[None, :, None, :]
+                # col-first levels of one octave contract the SAME octave
+                # image over w: their Sw selectors concatenate along the
+                # output-col axis into ONE pass-1 matmul per octave (each
+                # output element's dot product is unchanged — bit-identical
+                # to the per-level einsum, ~8x fewer MXU dispatches)
+                col_groups.setdefault(lv.octave, []).append(
+                    (li, Sh, Sw, frh, frw, hq, wq))
+            continue
+        Rh_pm = build_resize_matrix(i0h, frh, oh).reshape(2, hq, oh)
+        Rw_pm = build_resize_matrix(i0w, frw, ow).reshape(2, wq, ow)
+        # HIGHEST precision: the TPU default runs f32 matmuls in bf16,
+        # whose ~0.5-unit error breaks the trunc-tie convention (floats
+        # are not bf16-exact, so the selector scheme doesn't apply)
+        blocks[li] = jnp.einsum("prh,hw,qcw->pqrc", Rh_pm, oct_img, Rw_pm,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
 
-            def g(a, b2):
-                # per-slice upcast fuses into the lerp (a full-G astype
-                # would materialize an f32 copy)
-                return G[a, b2].astype(jnp.float32)
-
-            tA = g(0, 0) * (1.0 - FH) + g(1, 0) * FH
-            tB = g(0, 1) * (1.0 - FH) + g(1, 1) * FH
-            blk = tA * (1.0 - FW) + tB * FW
-            blk = jnp.floor(blk + 1e-4)
-        else:
-            Rh_pm = build_resize_matrix(i0h, frh, oh).reshape(2, hq, oh)
-            Rw_pm = build_resize_matrix(i0w, frw, ow).reshape(2, wq, ow)
-            # HIGHEST precision: the TPU default runs f32 matmuls in bf16,
-            # whose ~0.5-unit error breaks the trunc-tie convention (floats
-            # are not bf16-exact, so the selector scheme doesn't apply)
-            blk = jnp.einsum("prh,hw,qcw->pqrc", Rh_pm, oct_img, Rw_pm,
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
-        blocks.append(blk)
+    # grouped pass-1 for the col-first int levels, one matmul per octave
+    for octv, items in col_groups.items():
+        oct_img = octaves[octv]
+        if oct_img.dtype != jnp.float32:
+            oct_img = oct_img.astype(jnp.float32)
+        Sw_cat = jnp.concatenate([it[2] for it in items], axis=2)
+        cols_cat = jnp.einsum("hw,bqcw->bhqc", oct_img, Sw_cat,
+                              preferred_element_type=jnp.bfloat16)
+        off = 0
+        for li, Sh, _Sw, frh, frw, hq, wq in items:
+            cols = cols_cat[:, :, :, off:off + wq]
+            off += wq
+            G = jnp.einsum("aprh,bhqc->abpqrc", Sh, cols,
+                           preferred_element_type=jnp.bfloat16)
+            blocks[li] = _lerp_block(G, frh, frw, hq, wq)
     return blocks
 
 

@@ -628,10 +628,13 @@ def cascade_masked_grid_static(
                       if cnt >= preshift_min_uses)
         # scoped VMEM is 16 MB (measured: 17.5 MB allocation rejected);
         # auto-disable the pre-shift scratch when it can't fit alongside
-        # the double-buffered tiles, outputs, and live carries (~4 MB)
+        # the double-buffered tiles, output/mask blocks, and live carries
+        # (~4 MB at the default tile; scale the slack with the tile area —
+        # a (256,512) tile OOM'd at the flat 11 MB bound)
         pre_bytes = max(n_pairs, 1) * (TU + HU) * TV * 4
         tile_bytes = 2 * C * (TU + HU) * (TV + HV) * 4
-        if pre_bytes + tile_bytes > 11 * 2 ** 20:
+        live_bytes = 6 * TU * TV * 4  # out + mask + hs/alive carries
+        if pre_bytes + tile_bytes + live_bytes > 14 * 2 ** 20:
             preshift = False
     if preshift:
         scratch.append(pltpu.VMEM((max(n_pairs, 1), TU + HU, TV),

@@ -116,7 +116,8 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                               content_hw=(Hc, Wc),
                                               n_stages_cap=n_stages_cap,
                                               with_n_weak=with_n_weak,
-                                              preshift=True, block=16)
+                                              preshift=True,
+                                              preshift_lazy=True, block=16)
     elif backend == "static":
         # cascade-specialized kernel with the batch as a grid dimension:
         # one launch evaluates the whole (per-shard) batch
@@ -136,7 +137,8 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                               interpret=interpret,
                                               n_stages_cap=n_stages_cap,
                                               with_n_weak=with_n_weak,
-                                              preshift=True, block=16)
+                                              preshift=True,
+                                              preshift_lazy=True, block=16)
     elif backend == "pallas":
         # the generic fused kernel cannot be vmapped (unblocked ANY-space
         # operand); loop per-image kernel calls inside one jitted program
