@@ -322,3 +322,41 @@ def test_train_step_improves_loss():
         H0, H1 = r.H0, r.H1
         losses.append(float(r.loss))
     assert losses[2] < losses[0]
+
+
+def test_masked_serving_mats_path_matches_detect():
+    """The one-program serving path with prebuilt selector matrices (mats
+    passed as jit arguments, _poly_mats_cached) returns exactly
+    Model.detect's boxes, and the mats path is actually taken."""
+    from waldboost_tpu import model as M
+    from waldboost_tpu.parallel.detect import make_batched_detector_boxes
+
+    model = make_model(n_stages=4, shape=(8, 8, 4),
+                       opts=dict(shrink=2, n_per_oct=2, smooth=1,
+                                 channels="grad_hist"))
+    rng = np.random.RandomState(5)
+    images = rng.randint(0, 256, (2, 48, 64)).astype(np.uint8)
+    refs = [model.detect(img) for img in images]
+    old_cb, old_chb = M._CASCADE_BACKEND, M._CHANNEL_BACKEND
+    ci0 = M._poly_mats_cached.cache_info()
+    try:
+        M.set_cascade_backend("static")
+        M.set_channel_backend("pallas")  # interpret mode on CPU
+        fn, _ = make_batched_detector_boxes(model, (48, 64), k=1024,
+                                            with_n_weak=False)
+        rects, scores, valid, count, _ = fn(jnp.asarray(images))
+    finally:
+        M._CASCADE_BACKEND, M._CHANNEL_BACKEND = old_cb, old_chb
+    ci1 = M._poly_mats_cached.cache_info()
+    # a hit counts too: another test may have already built this geometry
+    assert ci1.hits + ci1.misses > ci0.hits + ci0.misses
+    for b, ref in enumerate(refs):
+        sel = np.asarray(valid[b])
+        assert int(np.asarray(count[b])) == len(ref)
+        got = np.concatenate([np.asarray(rects[b])[sel],
+                              np.asarray(scores[b])[sel][:, None]], axis=1)
+        exp = np.concatenate([ref.get(), ref.get_field("scores")[:, None]],
+                             axis=1)
+        got = got[np.lexsort(got.T)]
+        exp = exp[np.lexsort(exp.T)]
+        np.testing.assert_array_equal(got, exp)

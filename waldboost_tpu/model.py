@@ -332,7 +332,7 @@ def _channel_canvas_poly(image, smooth, cf, packed: PackedPyramidPlan):
 
 
 def _channel_canvas_batch(images, shrink, n_per_oct, smooth, cf,
-                          packed: PackedPyramidPlan):
+                          packed: PackedPyramidPlan, mats=None, spec=None):
     """(B, H, W) images -> (B, C, Hc, Wc) channel canvases.
 
     The polyphase fast path runs the fused channel kernel ONCE over the whole
@@ -342,7 +342,8 @@ def _channel_canvas_batch(images, shrink, n_per_oct, smooth, cf,
     if shrink == 2 and cf.canvas_fn_poly is not None:
         geom = _poly_pad_geometry(cf, packed)
         planes = jax.vmap(
-            lambda im: _poly_planes(im, cf, packed, geom=geom))(images)
+            lambda im: _poly_planes(im, cf, packed, geom=geom,
+                                    mats=mats, spec=spec))(images)
         return _poly_channels(planes, smooth, cf, packed,
                               padded=geom is not None)
     if cf.canvas_fn is not None:
@@ -354,7 +355,8 @@ def _channel_canvas_batch(images, shrink, n_per_oct, smooth, cf,
                                              cf, packed))(images)
 
 
-def _poly_planes(image, cf, packed: PackedPyramidPlan, geom=None):
+def _poly_planes(image, cf, packed: PackedPyramidPlan, geom=None,
+                 mats=None, spec=None):
     """Resize every pyramid level into the 2x2-polyphase canvas planes.
 
     With ``geom = (pr, pc, PH, PW)`` the planes are allocated pre-padded for
@@ -397,7 +399,13 @@ def _poly_planes(image, cf, packed: PackedPyramidPlan, geom=None):
 
     pr, pc = (geom[0], geom[1]) if geom is not None else (0, 0)
     PH, PW = (geom[2], geom[3]) if geom is not None else (Hc, Wc)
-    blocks = _poly_level_blocks(octaves, cf, packed, halo, is_int)
+    # prebuilt selector matrices apply only on the int path and only for
+    # the geometry they were baked for (shelf pitches ride the Sh rows)
+    use_mats = (mats is not None and spec is not None and is_int
+                and geom is not None and spec.get("geom") == tuple(geom))
+    blocks = _poly_level_blocks(octaves, cf, packed, halo, is_int,
+                                mats=mats if use_mats else None,
+                                spec=spec if use_mats else None)
     # integer-valued canvases (uint8 images) are exact in bf16 (<= 255 needs
     # 8 mantissa bits): halving the plane bytes halves both the assembly
     # writes and the channel kernel's fetch traffic, with identical values
@@ -411,6 +419,30 @@ def _poly_planes(image, cf, packed: PackedPyramidPlan, geom=None):
 
     def zeros(h, w):
         return jnp.zeros((2, 2, h, w), dtype)
+
+    if use_mats and shelves:
+        # blocks arrive pre-padded to their shelf pitch (zero selector rows
+        # baked into Sh, _poly_mats_cached), so the assembly is pure aligned
+        # concatenation: one width concat per shelf, one height concat
+        rows = []
+        for r0 in sorted(shelves):
+            items = sorted(shelves[r0], key=lambda t: t[0])
+            band_h = items[0][1].shape[2]
+            cols = []
+            cur_c = 0
+            for c0, b in items:
+                assert b.shape[2] == band_h, "unequal shelf pitches"
+                if c0 > cur_c:
+                    cols.append(zeros(band_h, c0 - cur_c))
+                cols.append(b)
+                cur_c = c0 + b.shape[3]
+            if cur_c < PW:
+                cols.append(zeros(band_h, PW - cur_c))
+            rows.append(jnp.concatenate(cols, axis=-1)
+                        if len(cols) > 1 else cols[0])
+        out = jnp.concatenate(rows, axis=-2) if len(rows) > 1 else rows[0]
+        assert out.shape[-2:] == (PH, PW), (out.shape, PH, PW)
+        return out
 
     rows = []
     cur_r = 0
@@ -459,31 +491,202 @@ def _poly_planes(image, cf, packed: PackedPyramidPlan, geom=None):
     return jnp.concatenate(rows, axis=-2) if len(rows) > 1 else rows[0]
 
 
+def _ext_pm_taps(R, size, halo):
+    """Reflect-halo row duplication + phase-major regrouping of a tap
+    vector (rows of the resize matrix in 2x2-polyphase emission order)."""
+    if halo:
+        R = np.concatenate([R[halo - 1::-1], R,
+                            R[size - 1:size - halo - 1:-1]])
+    return np.concatenate([R[halo % 2::2], R[(1 + halo) % 2::2]])
+
+
+def _lerp_block(G, frh, frw, hq, wq):
+    """4-corner bilinear combine: EXACTLY ops.image._resize_bilinear_f32's
+    lerp association over the bf16-exact corner gathers, then the uint8
+    truncation."""
+    FH = jnp.asarray(frh).reshape(2, hq)[:, None, :, None]
+    FW = jnp.asarray(frw).reshape(2, wq)[None, :, None, :]
+
+    def g(a, b2):
+        # per-slice upcast fuses into the lerp (a full-G astype
+        # would materialize an f32 copy)
+        return G[a, b2].astype(jnp.float32)
+
+    tA = g(0, 0) * (1.0 - FH) + g(1, 0) * FH
+    tB = g(0, 1) * (1.0 - FH) + g(1, 1) * FH
+    blk = tA * (1.0 - FW) + tB * FW
+    return jnp.floor(blk + 1e-4)
+
+
+def _poly_geom_levels(packed: PackedPyramidPlan, halo, image_hw):
+    """Static per-level resize geometry for the int 4-corner selector path:
+    one dict per packed level with octave shape, phase-major taps, and the
+    contraction-order choice.  Octave o's image shape is the o-fold
+    floor-halving of ``image_hw`` (the u8-values octave pool chain)."""
+    from .ops.warp import resize_taps
+
+    oct_hw = {}
+    n_oct = max((pl.level.octave for pl in packed.levels), default=0) + 1
+    h, w = image_hw
+    for o in range(n_oct):
+        oct_hw[o] = (h, w)
+        h, w = h // 2, w // 2
+    out = []
+    for pl in packed.levels:
+        lv = pl.level
+        oh, ow = oct_hw[lv.octave]
+        i0h, frh = (_ext_pm_taps(t, lv.height, halo)
+                    for t in resize_taps(oh, lv.height))
+        i0w, frw = (_ext_pm_taps(t, lv.width, halo)
+                    for t in resize_taps(ow, lv.width))
+        hq = (lv.height + 2 * halo) // 2
+        wq = (lv.width + 2 * halo) // 2
+        row_first = (4 * hq * oh * ow + 16 * hq * wq * ow
+                     <= 4 * wq * oh * ow + 16 * hq * wq * oh)
+        out.append(dict(oct=lv.octave, oh=oh, ow=ow, i0h=i0h, frh=frh,
+                        i0w=i0w, frw=frw, hq=hq, wq=wq,
+                        row_first=row_first))
+    return out
+
+
+@functools.lru_cache(maxsize=16)
+def _poly_mats_cached(packed: PackedPyramidPlan, halo: int,
+                      image_hw: Tuple[int, int]):
+    """Device-resident 4-corner selector matrices, built ONCE per
+    (plan, halo, image size) and fed to the serving program as jit
+    ARGUMENTS.
+
+    Closure-captured device arrays lower as MLIR literals (measured: a 4 MB
+    array becomes 8 MB of program text — the compile-relay overflow
+    build_resize_matrix exists to avoid), so serving callers must pass
+    ``mats`` explicitly through their jit boundary and close only over the
+    static ``spec``.
+
+    Col-first levels' Sw selectors are concatenated per octave with each
+    block's start 128-lane aligned (zero filler selector rows), making the
+    per-level slices of the shared pass-1 product layout-aligned views
+    instead of relayout copies.
+    """
+    from .ops.channels_pallas import plane_pad_geometry
+    from .ops.warp import build_resize_matrix
+
+    geom = _poly_geom_levels(packed, halo, image_hw)
+    pgeom = plane_pad_geometry(packed.canvas_h, packed.canvas_w)
+    pr, _pc, PH, _PW = pgeom
+    # shelf-band pitches: every level's Sh gets zero selector rows padding
+    # its block to the FULL shelf pitch (top rim rides the first shelf), so
+    # the plane assembly is pure aligned concatenation — no pad passes
+    he2 = halo // 2
+    shelf_of: Dict[int, List[int]] = {}
+    for li, pl in enumerate(packed.levels):
+        shelf_of.setdefault(pl.y - he2, []).append(li)
+    r0s = sorted(shelf_of)
+    band = {}
+    for si, r0 in enumerate(r0s):
+        nxt = r0s[si + 1] + pr if si + 1 < len(r0s) else PH
+        rr = r0 + pr
+        lead = rr if si == 0 and rr > 0 else 0
+        pitch = (nxt - rr) + lead
+        for li in shelf_of[r0]:
+            band[li] = (lead, pitch)
+
+    arrays = []
+    spec_levels = []
+    col_items: Dict[int, list] = {}
+
+    def build(i0, fr, n_in, two_corner_shape):
+        z = np.zeros_like(fr)
+        A = jnp.stack([
+            build_resize_matrix(i0, z, n_in),
+            build_resize_matrix(np.minimum(i0 + 1, n_in - 1), z, n_in),
+        ]).reshape(two_corner_shape)
+        return A
+
+    for li, g in enumerate(geom):
+        Sh = build(g["i0h"], g["frh"], g["oh"], (2, 2, g["hq"], g["oh"]))
+        top, pitch = band[li]
+        bot = pitch - top - g["hq"]
+        assert bot >= 0, (li, band[li], g["hq"])
+        if top or bot:
+            Sh = jnp.pad(Sh, ((0, 0), (0, 0), (top, bot), (0, 0)))
+        frh_p = np.pad(np.asarray(g["frh"]).reshape(2, g["hq"]),
+                       ((0, 0), (top, bot))).reshape(-1)
+        arrays.append(Sh)
+        i_sh = len(arrays) - 1
+        ent = dict(kind="row" if g["row_first"] else "col", sh=i_sh,
+                   oct=g["oct"], frh=frh_p, frw=g["frw"], hq=pitch,
+                   wq=g["wq"])
+        if g["row_first"]:
+            Sw = build(g["i0w"], g["frw"], g["ow"],
+                       (2, 2, g["wq"], g["ow"]))
+            arrays.append(Sw)
+            ent["sw"] = len(arrays) - 1
+        else:
+            col_items.setdefault(g["oct"], []).append((li, ent, g))
+        spec_levels.append(ent)
+
+    groups = {}
+    for octv, items in sorted(col_items.items()):
+        cat_blocks = []
+        off = 0
+        ow = items[0][2]["ow"]
+        for _li, ent, g in items:
+            ent["off"] = off
+            Sw = build(g["i0w"], g["frw"], ow, (2, 2, g["wq"], ow))
+            pad = (-g["wq"]) % 128  # 128-lane-align the next block's start
+            if pad:
+                Sw = jnp.pad(Sw, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            cat_blocks.append(Sw)
+            off += g["wq"] + pad
+        arrays.append(jnp.concatenate(cat_blocks, axis=2))
+        groups[octv] = len(arrays) - 1
+
+    spec = dict(levels=spec_levels, groups=groups, geom=pgeom)
+    return tuple(arrays), spec
+
+
+def _poly_level_blocks_mats(octaves, mats, spec):
+    """Serving fast path of :func:`_poly_level_blocks`: consume the prebuilt
+    device-resident selector matrices of :func:`_poly_mats_cached`.
+    Bit-identical to the in-program build (same per-element dot products and
+    lerp association; the group pads are zero selector rows)."""
+    def f32(a):
+        return a if a.dtype == jnp.float32 else a.astype(jnp.float32)
+
+    blocks = [None] * len(spec["levels"])
+    cols_cache = {
+        octv: jnp.einsum("hw,bqcw->bhqc", f32(octaves[octv]), mats[gi],
+                         preferred_element_type=jnp.bfloat16)
+        for octv, gi in spec["groups"].items()
+    }
+    for li, ent in enumerate(spec["levels"]):
+        Sh = mats[ent["sh"]]
+        if ent["kind"] == "row":
+            rows = jnp.einsum("aprh,hw->aprw", Sh, f32(octaves[ent["oct"]]),
+                              preferred_element_type=jnp.bfloat16)
+            G = jnp.einsum("aprw,bqcw->abpqrc", rows, mats[ent["sw"]],
+                           preferred_element_type=jnp.bfloat16)
+        else:
+            off = ent["off"]
+            cols = cols_cache[ent["oct"]][:, :, :, off:off + ent["wq"]]
+            G = jnp.einsum("aprh,bhqc->abpqrc", Sh, cols,
+                           preferred_element_type=jnp.bfloat16)
+        blocks[li] = _lerp_block(G, ent["frh"], ent["frw"], ent["hq"],
+                                 ent["wq"])
+    return blocks
+
+
 def _poly_level_blocks(octaves, cf, packed: PackedPyramidPlan, halo,
-                       is_int):
+                       is_int, mats=None, spec=None):
     """Per-level resized blocks in (2, 2, hq, wq) phase layout, with ``halo``
     (even) reflect rows/cols baked into the resize matrices."""
     from .ops.warp import build_resize_matrix, resize_taps
 
     def _ext_pm(R, size):
-        if halo:
-            R = np.concatenate([R[halo - 1::-1], R,
-                                R[size - 1:size - halo - 1:-1]])
-        return np.concatenate([R[halo % 2::2], R[(1 + halo) % 2::2]])
+        return _ext_pm_taps(R, size, halo)
 
-    def _lerp_block(G, frh, frw, hq, wq):
-        FH = jnp.asarray(frh).reshape(2, hq)[:, None, :, None]
-        FW = jnp.asarray(frw).reshape(2, wq)[None, :, None, :]
-
-        def g(a, b2):
-            # per-slice upcast fuses into the lerp (a full-G astype
-            # would materialize an f32 copy)
-            return G[a, b2].astype(jnp.float32)
-
-        tA = g(0, 0) * (1.0 - FH) + g(1, 0) * FH
-        tB = g(0, 1) * (1.0 - FH) + g(1, 1) * FH
-        blk = tA * (1.0 - FW) + tB * FW
-        return jnp.floor(blk + 1e-4)
+    if mats is not None and spec is not None and is_int:
+        return _poly_level_blocks_mats(octaves, mats, spec)
 
     blocks = [None] * len(packed.levels)
     col_groups: Dict[int, list] = {}

@@ -90,16 +90,27 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
         geom = plane_pad_geometry(Hc, Wc)
         interior = jnp.asarray(packed.smooth_interior_mask()) if smooth == 1 \
             else None
+        # one-time device-resident selector matrices (see _poly_mats_cached:
+        # closure-captured arrays would lower as MLIR literals, so they ride
+        # the jit boundary as explicit arguments; only the static spec is
+        # closed over)
+        from ..model import _poly_mats_cached
+        halo_m = packed.halo if (cf.boundary == "reflect" and cf.halo > 0) \
+            else 0
+        mats, spec = _poly_mats_cached(packed, halo_m, tuple(image_shape))
 
-        def canvas_b(images):
+        def canvas_b(images, mats_=None):
             planes = jax.vmap(
-                lambda im: _poly_planes(im, cf, packed, geom=geom))(images)
+                lambda im: _poly_planes(im, cf, packed, geom=geom,
+                                        mats=mats_, spec=spec))(images)
             # alloc_grid (not out_grid): the cascade's halo region is only
             # ever read for statically-dead windows, so it stays
             # uninitialized instead of paying zero-fill pad tiles
             return cf.poly_kernel(planes, interior, smooth, interpret,
                                   content_hw=(Hc, Wc), alloc_grid=out_grid,
                                   crop=False)
+
+        canvas_b.mats = mats
 
         content_hw_out = (Hc, Wc)
 
@@ -167,8 +178,13 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
 
     # two XLA programs (canvas, cascade): composing them into one triggers
     # pathological scheduling on TPU — see model._canvas_cascade_jit
+    mats = getattr(canvas_b, "mats", None)
     if mesh is None:
-        canvas_jit = jax.jit(canvas_b)
+        if mats is not None:
+            _cjit = jax.jit(canvas_b)
+            canvas_jit = lambda images: _cjit(images, mats)
+        else:
+            canvas_jit = jax.jit(canvas_b)
         cascade_jit = jax.jit(cascade_b)
     else:
         # keep the fast kernel under the mesh: shard_map runs the per-shard
@@ -342,29 +358,36 @@ def _make_masked_detector_boxes(model: Model, image_shape: Tuple[int, int],
             valid = jnp.logical_and(valid, keep)
         return rects, scores, valid, count
 
-    def body(images):
-        cvs = canvas_b(images)
+    mats = getattr(canvas_b, "mats", None)
+
+    def body(images, mats_):
+        cvs = canvas_b(images, mats_) if mats is not None \
+            else canvas_b(images)
         masked, n_weak, count = cascade_masked_b(cvs,
                                                  with_n_weak=with_n_weak)
         rects, scores, valid, count = jax.vmap(extract_one)(masked, count)
         return rects, scores, valid, count, n_weak
 
     if mesh is None:
-        return jax.jit(body), packed
+        jbody = jax.jit(body)
+        return (lambda images: jbody(images, mats)), packed
 
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from .mesh import DATA_AXIS
+    from .mesh import DATA_AXIS, replicated
 
     sharded = shard_map(
         body, mesh=mesh,
-        in_specs=(P(DATA_AXIS, None, None),),
+        # P() is a pytree prefix over the mats tuple: selector matrices are
+        # replicated on every chip
+        in_specs=(P(DATA_AXIS, None, None), P()),
         out_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None),
                    P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS)),
         check_rep=False)
     in_sh = data_sharding(mesh, 3)
-    return jax.jit(sharded, in_shardings=(in_sh,)), packed
+    jbody = jax.jit(sharded, in_shardings=(in_sh, replicated(mesh)))
+    return (lambda images: jbody(images, mats)), packed
 
 
 def _make_two_phase_detector_boxes(model: Model, image_shape, mesh=None,
