@@ -43,7 +43,7 @@ def _timeit(fn, batches, iters, warmup):
     return time.perf_counter() - t0
 
 
-def _detect_mps(model, h, w, batch, iters, warmup, nms_iou=None, k=256,
+def _detect_mps(model, h, w, batch, iters, warmup, nms_iou=None, k=128,
                 k_row=16):
     """End-to-end batched detection throughput: channels + cascade +
     on-device box extraction (+ optional on-device NMS)."""

@@ -64,6 +64,19 @@ def main():
         print(f"{t/n_img:8.1f} us/img  n={n:5d}  {cat:22s} {name}",
               flush=True)
     print(f"TOTAL per img: {tot/n_img:.1f} us", flush=True)
+    # top individual ops (full names + program) for precise attribution
+    per_op = {}
+    for row in j["rows"]:
+        d = dict(zip(cols, [c.get("v") for c in row["c"]]))
+        key = (d.get("Program id"), d["HLO op name"])
+        a = per_op.setdefault(key, [0.0, 0, d["HLO op category"]])
+        a[0] += d["Total self time (us)"]
+        a[1] += int(d["#Occurrences"])
+    print("--- top individual ops ---", flush=True)
+    for (pid, name), (t, n, cat) in sorted(per_op.items(),
+                                           key=lambda kv: -kv[1][0])[:30]:
+        print(f"{t/n_img:8.2f} us/img  n={n:4d}  p={pid}  {cat:18s} {name[:80]}",
+              flush=True)
     print("DONE", flush=True)
 
 

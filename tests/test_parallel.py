@@ -338,7 +338,7 @@ def test_masked_serving_mats_path_matches_detect():
     images = rng.randint(0, 256, (2, 48, 64)).astype(np.uint8)
     refs = [model.detect(img) for img in images]
     old_cb, old_chb = M._CASCADE_BACKEND, M._CHANNEL_BACKEND
-    ci0 = M._poly_mats_cached.cache_info()
+    ci0 = M._poly_mats_impl.cache_info()
     try:
         M.set_cascade_backend("static")
         M.set_channel_backend("pallas")  # interpret mode on CPU
@@ -347,7 +347,7 @@ def test_masked_serving_mats_path_matches_detect():
         rects, scores, valid, count, _ = fn(jnp.asarray(images))
     finally:
         M._CASCADE_BACKEND, M._CHANNEL_BACKEND = old_cb, old_chb
-    ci1 = M._poly_mats_cached.cache_info()
+    ci1 = M._poly_mats_impl.cache_info()
     # a hit counts too: another test may have already built this geometry
     assert ci1.hits + ci1.misses > ci0.hits + ci0.misses
     for b, ref in enumerate(refs):

@@ -549,12 +549,26 @@ def _poly_geom_levels(packed: PackedPyramidPlan, halo, image_hw):
     return out
 
 
-@functools.lru_cache(maxsize=16)
 def _poly_mats_cached(packed: PackedPyramidPlan, halo: int,
                       image_hw: Tuple[int, int]):
+    banded = os.environ.get("WB_POLY_BANDED", "1") == "1"
+    return _poly_mats_impl(packed, halo, image_hw, banded)
+
+
+@functools.lru_cache(maxsize=16)
+def _poly_mats_impl(packed: PackedPyramidPlan, halo: int,
+                    image_hw: Tuple[int, int], banded: bool):
     """Device-resident 4-corner selector matrices, built ONCE per
     (plan, halo, image size) and fed to the serving program as jit
     ARGUMENTS.
+
+    With ``banded`` (default), the selector matmuls are K-sliced: bilinear
+    taps are monotone, so a 128-col output block of the grouped pass-1 (or
+    a 64-row block of a level's pass-2) reads only a narrow aligned window
+    of its source — the dense contraction mostly multiplies zeros.  Each
+    block becomes its own matmul over [k0, k1); outputs concatenate on
+    aligned boundaries.  Identical results (the sliced-away entries are
+    exact zeros), ~2x fewer MXU FLOPs on a VGA pyramid.
 
     Closure-captured device arrays lower as MLIR literals (measured: a 4 MB
     array becomes 8 MB of program text — the compile-relay overflow
@@ -602,6 +616,8 @@ def _poly_mats_cached(packed: PackedPyramidPlan, halo: int,
         ]).reshape(two_corner_shape)
         return A
 
+    RB = 64  # pass-2 row-block (multiple of the bf16 sublane tile)
+
     for li, g in enumerate(geom):
         Sh = build(g["i0h"], g["frh"], g["oh"], (2, 2, g["hq"], g["oh"]))
         top, pitch = band[li]
@@ -611,11 +627,37 @@ def _poly_mats_cached(packed: PackedPyramidPlan, halo: int,
             Sh = jnp.pad(Sh, ((0, 0), (0, 0), (top, bot), (0, 0)))
         frh_p = np.pad(np.asarray(g["frh"]).reshape(2, g["hq"]),
                        ((0, 0), (top, bot))).reshape(-1)
-        arrays.append(Sh)
-        i_sh = len(arrays) - 1
-        ent = dict(kind="row" if g["row_first"] else "col", sh=i_sh,
+        ent = dict(kind="row" if g["row_first"] else "col",
                    oct=g["oct"], frh=frh_p, frw=g["frw"], hq=pitch,
                    wq=g["wq"])
+        if banded and not g["row_first"] and pitch > RB:
+            # K-sliced pass-2: row block [r0, r1) of the pitched output
+            # reads only source rows [k0, k1) (taps are monotone per
+            # phase; zero filler rows constrain nothing)
+            i0_pm = np.asarray(g["i0h"]).reshape(2, g["hq"])
+            p2 = []
+            for r0 in range(0, pitch, RB):
+                r1 = min(r0 + RB, pitch)
+                lo, hi = None, None
+                for p in (0, 1):
+                    a0 = max(r0 - top, 0)
+                    a1 = min(r1 - top, g["hq"])
+                    if a1 > a0:
+                        seg = i0_pm[p, a0:a1]
+                        lo = int(seg.min()) if lo is None \
+                            else min(lo, int(seg.min()))
+                        hi = int(seg.max()) if hi is None \
+                            else max(hi, int(seg.max()))
+                if lo is None:
+                    lo, hi = 0, 0  # all-zero filler rows
+                k0 = (lo // 8) * 8
+                k1 = min(_round_up(hi + 2, 8), g["oh"])
+                arrays.append(Sh[:, :, r0:r1, k0:k1])
+                p2.append((len(arrays) - 1, r0, r1, k0, k1))
+            ent["p2blocks"] = p2
+        else:
+            arrays.append(Sh)
+            ent["sh"] = len(arrays) - 1
         if g["row_first"]:
             Sw = build(g["i0w"], g["frw"], g["ow"],
                        (2, 2, g["wq"], g["ow"]))
@@ -628,6 +670,8 @@ def _poly_mats_cached(packed: PackedPyramidPlan, halo: int,
     groups = {}
     for octv, items in sorted(col_items.items()):
         cat_blocks = []
+        src_lo: List[int] = []
+        src_hi: List[int] = []
         off = 0
         ow = items[0][2]["ow"]
         for _li, ent, g in items:
@@ -637,9 +681,31 @@ def _poly_mats_cached(packed: PackedPyramidPlan, halo: int,
             if pad:
                 Sw = jnp.pad(Sw, ((0, 0), (0, 0), (0, pad), (0, 0)))
             cat_blocks.append(Sw)
+            i0_pm = np.asarray(g["i0w"]).reshape(2, g["wq"])
+            per_col_lo = i0_pm.min(axis=0)
+            per_col_hi = i0_pm.max(axis=0)
+            src_lo += list(per_col_lo) + [10 ** 9] * pad
+            src_hi += list(per_col_hi) + [-1] * pad
             off += g["wq"] + pad
-        arrays.append(jnp.concatenate(cat_blocks, axis=2))
-        groups[octv] = len(arrays) - 1
+        Sw_cat = jnp.concatenate(cat_blocks, axis=2)
+        C = Sw_cat.shape[2]
+        if banded:
+            blocks = []
+            for c0 in range(0, C, 128):
+                c1 = min(c0 + 128, C)
+                lo = min(src_lo[c0:c1])
+                hi = max(src_hi[c0:c1])
+                if hi < 0:
+                    lo, hi = 0, 0
+                k0 = (min(lo, ow - 1) // 128) * 128
+                k0 = min(k0, max(ow - 128, 0))
+                k1 = min(max(_round_up(hi + 2, 128), k0 + 128), ow)
+                arrays.append(Sw_cat[:, :, c0:c1, k0:k1])
+                blocks.append((len(arrays) - 1, c0, c1, k0, k1))
+            groups[octv] = dict(kind="banded", blocks=blocks)
+        else:
+            arrays.append(Sw_cat)
+            groups[octv] = dict(kind="full", idx=len(arrays) - 1)
 
     spec = dict(levels=spec_levels, groups=groups, geom=pgeom)
     return tuple(arrays), spec
@@ -654,23 +720,44 @@ def _poly_level_blocks_mats(octaves, mats, spec):
         return a if a.dtype == jnp.float32 else a.astype(jnp.float32)
 
     blocks = [None] * len(spec["levels"])
-    cols_cache = {
-        octv: jnp.einsum("hw,bqcw->bhqc", f32(octaves[octv]), mats[gi],
-                         preferred_element_type=jnp.bfloat16)
-        for octv, gi in spec["groups"].items()
-    }
+    cols_cache = {}
+    for octv, grp in spec["groups"].items():
+        img = f32(octaves[octv])
+        if grp["kind"] == "full":
+            cols_cache[octv] = jnp.einsum(
+                "hw,bqcw->bhqc", img, mats[grp["idx"]],
+                preferred_element_type=jnp.bfloat16)
+        else:
+            # K-sliced pass-1: aligned source windows, aligned output concat
+            parts = [
+                jnp.einsum("hw,bqcw->bhqc", img[:, k0:k1], mats[ai],
+                           preferred_element_type=jnp.bfloat16)
+                for ai, _c0, _c1, k0, k1 in grp["blocks"]
+            ]
+            cols_cache[octv] = (jnp.concatenate(parts, axis=-1)
+                                if len(parts) > 1 else parts[0])
     for li, ent in enumerate(spec["levels"]):
-        Sh = mats[ent["sh"]]
         if ent["kind"] == "row":
-            rows = jnp.einsum("aprh,hw->aprw", Sh, f32(octaves[ent["oct"]]),
+            rows = jnp.einsum("aprh,hw->aprw", mats[ent["sh"]],
+                              f32(octaves[ent["oct"]]),
                               preferred_element_type=jnp.bfloat16)
             G = jnp.einsum("aprw,bqcw->abpqrc", rows, mats[ent["sw"]],
                            preferred_element_type=jnp.bfloat16)
         else:
             off = ent["off"]
             cols = cols_cache[ent["oct"]][:, :, :, off:off + ent["wq"]]
-            G = jnp.einsum("aprh,bhqc->abpqrc", Sh, cols,
-                           preferred_element_type=jnp.bfloat16)
+            if "p2blocks" in ent:
+                parts = [
+                    jnp.einsum("aprh,bhqc->abpqrc", mats[ai],
+                               cols[:, k0:k1],
+                               preferred_element_type=jnp.bfloat16)
+                    for ai, _r0, _r1, k0, k1 in ent["p2blocks"]
+                ]
+                G = (jnp.concatenate(parts, axis=4)
+                     if len(parts) > 1 else parts[0])
+            else:
+                G = jnp.einsum("aprh,bhqc->abpqrc", mats[ent["sh"]], cols,
+                               preferred_element_type=jnp.bfloat16)
         blocks[li] = _lerp_block(G, ent["frh"], ent["frw"], ent["hq"],
                                  ent["wq"])
     return blocks

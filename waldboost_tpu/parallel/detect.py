@@ -25,6 +25,15 @@ __all__ = ["make_batched_detector", "make_batched_detector_boxes",
            "detect_batch"]
 
 
+def _serving_block():
+    """Early-exit block schedule of the serving cascade kernel: an int or a
+    comma-separated schedule (coarse early / fine late), env-overridable."""
+    import os
+    v = os.environ.get("WB_CASCADE_BLOCK", "16")
+    parts = tuple(int(x) for x in v.split(","))
+    return parts[0] if len(parts) == 1 else parts
+
+
 def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                           mesh=None, donate: bool = False,
                           n_stages_cap: Optional[int] = None,
@@ -128,7 +137,8 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                               n_stages_cap=n_stages_cap,
                                               with_n_weak=with_n_weak,
                                               preshift=True,
-                                              preshift_lazy=True, block=16)
+                                              preshift_lazy=True,
+                                              block=_serving_block())
     elif backend == "static":
         # cascade-specialized kernel with the batch as a grid dimension:
         # one launch evaluates the whole (per-shard) batch
@@ -149,7 +159,8 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                               n_stages_cap=n_stages_cap,
                                               with_n_weak=with_n_weak,
                                               preshift=True,
-                                              preshift_lazy=True, block=16)
+                                              preshift_lazy=True,
+                                              block=_serving_block())
     elif backend == "pallas":
         # the generic fused kernel cannot be vmapped (unblocked ANY-space
         # operand); loop per-image kernel calls inside one jitted program
