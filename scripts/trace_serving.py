@@ -21,11 +21,21 @@ def main():
     from __graft_entry__ import _flagship_model
     from waldboost_tpu.parallel.detect import make_batched_detector_boxes
 
-    h, w = 480, 640
-    batch = int(os.environ.get("TRACE_BATCH", "32"))
-    model = _flagship_model()
-    fn, _ = make_batched_detector_boxes(model, (h, w), k=256, nms_iou=0.5,
-                                        with_n_weak=False)
+    cfgname = os.environ.get("TRACE_CONFIG", "vga")
+    if cfgname == "fpga4k":
+        h, w = 2160, 3840
+        batch = int(os.environ.get("TRACE_BATCH", "4"))
+        opts = dict(shrink=2, n_per_oct=4, smooth=0,
+                    channels="grad_hist_4_u1")
+        model = _flagship_model(channel_opts=opts, image_hw=(540, 960))
+        nms_iou = None
+    else:
+        h, w = 480, 640
+        batch = int(os.environ.get("TRACE_BATCH", "32"))
+        model = _flagship_model()
+        nms_iou = 0.5
+    fn, _ = make_batched_detector_boxes(model, (h, w), k=256,
+                                        nms_iou=nms_iou, with_n_weak=False)
     rng = np.random.RandomState(0)
     sets = [jnp.asarray(rng.randint(0, 256, (batch, h, w)).astype(np.uint8))
             for _ in range(6)]

@@ -113,3 +113,30 @@ def test_fpga_train_end_to_end():
     d = next(gen)
     boxes = model.detect(d["image"])
     assert boxes is not None
+
+
+def test_fpga_poly_canvas_matches_canvas_path():
+    """The new polyphase FPGA canvas (selector resize + poly Sobel + wrap
+    pool) is bit-identical to the image-canvas path."""
+    import jax
+    import jax.numpy as jnp
+
+    from waldboost_tpu.channels import _normalize_opts
+    from waldboost_tpu.model import (_channel_canvas_batch,
+                                     _channel_canvas_fast,
+                                     _packed_plan_cached)
+
+    for chan in ("grad_hist_4_u1", "grad_mag_u1"):
+        opts = dict(shrink=2, n_per_oct=2, smooth=0, channels=chan)
+        shrink, n_per_oct, smooth, cf = _normalize_opts(opts)
+        assert cf.canvas_fn_poly is not None
+        packed = _packed_plan_cached(48, 64, shrink, n_per_oct, (8, 8),
+                                     halo=cf.halo)
+        rng = np.random.RandomState(2)
+        imgs = rng.randint(0, 256, (2, 48, 64)).astype(np.uint8)
+        poly = _channel_canvas_batch(jnp.asarray(imgs), shrink, n_per_oct,
+                                     smooth, cf, packed)
+        fast = jax.vmap(
+            lambda im: _channel_canvas_fast(im, shrink, smooth, cf, packed)
+            .astype(jnp.float32))(jnp.asarray(imgs))
+        np.testing.assert_array_equal(np.asarray(poly), np.asarray(fast))

@@ -65,6 +65,9 @@ class CanvasCtx:
 
     reflect: Callable[[jax.Array], jax.Array]
     border_mask: Optional[jax.Array] = None
+    #: (2, 2, Hc, Wc) polyphase form of ``border_mask`` for canvas_fn_poly
+    #: implementations (mask[a, b, i, j] = border_mask[2i+a, 2j+b])
+    border_mask_poly: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass(frozen=True)

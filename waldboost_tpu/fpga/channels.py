@@ -59,6 +59,66 @@ def _grad_mag_u1_fn(image: jax.Array) -> jax.Array:
     return jnp.minimum(y // 4, 255).astype(jnp.uint8)[None]
 
 
+def _sobel_poly(planes):
+    """Sobel (dx, dy) on a 2x2-polyphase image canvas, f32 (integer values
+    <= 2040 are exact), zero boundary fill.  planes[a, b, i, j] =
+    canvas[2i+a, 2j+b]; outputs in the same layout.  Matches
+    :func:`_sobel_int32` exactly (integer sums are order-independent in f32;
+    the zero fill only reaches canvas margins/gaps, which the stencil border
+    mask zeroes anyway)."""
+    from ..channels import _shift
+
+    P = [[planes[0, 0], planes[0, 1]], [planes[1, 0], planes[1, 1]]]
+    # vertical smooth sy[a][b] = x[2i+a-1, 2j+b] + 2 x[2i+a, 2j+b]
+    #                            + x[2i+a+1, 2j+b]
+    sy = [[_shift(P[1][b], -1, 0) + 2.0 * P[0][b] + P[1][b] for b in (0, 1)],
+          [P[0][b] + 2.0 * P[1][b] + _shift(P[0][b], +1, 0) for b in (0, 1)]]
+    # dx[a][b] = sy[2i+a, 2j+b+1] - sy[2i+a, 2j+b-1]  (right minus left)
+    dx = [[sy[a][1] - _shift(sy[a][1], 0, -1),
+           _shift(sy[a][0], 0, +1) - sy[a][0]] for a in (0, 1)]
+    # horizontal smooth sx[a][b] = x[.., 2j+b-1] + 2 x[.., 2j+b] + x[.., 2j+b+1]
+    sx = [[_shift(P[a][1], 0, -1) + 2.0 * P[a][0] + P[a][1],
+           P[a][0] + 2.0 * P[a][1] + _shift(P[a][0], 0, +1)]
+          for a in (0, 1)]
+    # dy[a][b] = sx[2i+a+1, 2j+b] - sx[2i+a-1, 2j+b]  (below minus above)
+    # a=0: below = row 2i+1 = phase1[i] (no shift); above = 2i-1 = phase1[i-1]
+    dy = [[sx[1][b] - _shift(sx[1][b], -1, 0) for b in (0, 1)],
+          [_shift(sx[0][b], +1, 0) - sx[0][b] for b in (0, 1)]]
+    dx = jnp.stack([jnp.stack(r) for r in dx])
+    dy = jnp.stack([jnp.stack(r) for r in dy])
+    return dx, dy
+
+
+def _fpga_poly_channels(planes, ctx, responses):
+    """Shared polyphase tail: quantize -> stencil ring mask -> uint8-wrap
+    2x2 average pool, all bit-identical to the canvas path
+    (avg_pool_2's uint8 sums wrap mod 256; mod commutes with addition, so
+    one wrap of the exact f32 sum reproduces the stepwise uint8 adds)."""
+    qs = [jnp.minimum(jnp.floor(jnp.abs(y) * 0.25), 255.0)
+          for y in responses]
+    q = jnp.stack(qs)  # (C, 2, 2, H, W) integer-valued f32 in [0, 255]
+    if ctx.border_mask_poly is not None:
+        q = jnp.where(ctx.border_mask_poly[None], q, 0.0)
+    s = (q[:, 0, 0] + q[:, 1, 0]) + (q[:, 0, 1] + q[:, 1, 1])
+    s = s - 256.0 * jnp.floor(s * (1.0 / 256.0))  # uint8 wraparound
+    return jnp.floor(s * 0.25)  # /4 truncation (nonneg)
+
+
+def _grad_hist_4_u1_poly_fn(planes, ctx):
+    """Polyphase grad_hist_4_u1 + shrink-2 pool: identical values to
+    _grad_hist_4_u1_canvas_fn -> avg_pool_2 -> f32, stride-free."""
+    dx, dy = _sobel_poly(planes.astype(jnp.float32))
+    y1 = jnp.trunc(0.5 * dx - 0.5 * dy)  # int32-assignment truncation
+    y3 = jnp.trunc(0.5 * dx + 0.5 * dy)
+    return _fpga_poly_channels(planes, ctx, [dx, y1, dy, y3])
+
+
+def _grad_mag_u1_poly_fn(planes, ctx):
+    dx, dy = _sobel_poly(planes.astype(jnp.float32))
+    y = jnp.maximum(jnp.abs(dx), jnp.abs(dy))
+    return _fpga_poly_channels(planes, ctx, [y])
+
+
 def _grad_hist_4_u1_canvas_fn(canvas, ctx):
     """Canvas mode: one Sobel pass over the packed canvas; the numba-stencil
     zero-border convention is restored by masking each level's 1px ring."""
@@ -85,6 +145,7 @@ grad_hist_4_u1 = register_channel_function(
         halo=0,
         boundary="stencil_zero",
         canvas_fn=_grad_hist_4_u1_canvas_fn,
+        canvas_fn_poly=_grad_hist_4_u1_poly_fn,
     )
 )
 
@@ -98,5 +159,6 @@ grad_mag_u1 = register_channel_function(
         halo=0,
         boundary="stencil_zero",
         canvas_fn=_grad_mag_u1_canvas_fn,
+        canvas_fn_poly=_grad_mag_u1_poly_fn,
     )
 )

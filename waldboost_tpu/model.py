@@ -882,7 +882,13 @@ def _poly_channels(planes, smooth, cf, packed: PackedPyramidPlan,
         return cf.poly_kernel(planes, interior, smooth, interpret,
                               content_hw=content_hw)
 
-    ctx = CanvasCtx(reflect=lambda x: x)
+    bmp = None
+    if cf.boundary == "stencil_zero":
+        bm = packed.stencil_border_mask()  # image-space (2Hc, 2Wc)
+        Hc2, Wc2 = bm.shape
+        bmp = jnp.asarray(bm.reshape(Hc2 // 2, 2, Wc2 // 2, 2)
+                          .transpose(1, 3, 0, 2))
+    ctx = CanvasCtx(reflect=lambda x: x, border_mask_poly=bmp)
 
     def one(p):
         chns = cf.canvas_fn_poly(p, ctx)  # pooled (C, Hc, Wc)
