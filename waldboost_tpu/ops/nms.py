@@ -45,27 +45,49 @@ def nms_device(rects: jax.Array, scores: jax.Array, valid: jax.Array,
     rects (K, 4), scores (K,), valid (K,) bool (padding mask).
     Returns keep (K,) bool.  Equivalent to
     waldboost_tpu.boxes.non_max_suppression on the valid subset.
+
+    Selection loop, not a K-step scan: each iteration argmax-picks the best
+    remaining box and suppresses its overlaps, so the trip count is
+    ``#kept + 1`` (typically ~10 per image) instead of K.  Sequential
+    while-loop steps with tiny bodies are bubble-dominated on TPU — the
+    fixed K=256-iteration formulation cost ~2 ms of wall per batch program.
+    argmax breaks score ties by lowest index, exactly the host's stable
+    descending sort order (boxes.non_max_suppression).
     """
     K = rects.shape[0]
-    order = jnp.argsort(jnp.where(valid, -scores, jnp.inf), stable=True)
-    r = rects[order]
-    v = valid[order]
-    m = iou_matrix_device(r, r)
+    idx = jnp.arange(K)
+    area = jnp.maximum(rects[:, 2] - rects[:, 0], 0) * \
+        jnp.maximum(rects[:, 3] - rects[:, 1], 0)
 
-    def body(i, state):
-        keep, suppressed = state
-        active = jnp.logical_and(v[i], jnp.logical_not(suppressed[i]))
-        keep = keep.at[i].set(active)
-        sup_row = jnp.logical_and(active, m[i] > iou_threshold)
-        suppressed = jnp.logical_or(suppressed, sup_row)
-        return keep, suppressed
+    def cond(state):
+        _keep, remaining = state
+        return jnp.any(remaining)
+
+    def body(state):
+        keep, remaining = state
+        s = jnp.where(remaining, scores, -jnp.inf)
+        i = jnp.argmax(s)
+        # under vmap the loop runs until every lane finishes; a finished
+        # lane has remaining all-False -> active False -> no-op iteration
+        active = remaining[i]
+        box = rects[i]
+        x1 = jnp.maximum(box[0], rects[:, 0])
+        y1 = jnp.maximum(box[1], rects[:, 1])
+        x2 = jnp.minimum(box[2], rects[:, 2])
+        y2 = jnp.minimum(box[3], rects[:, 3])
+        inter = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+        union = area[i] + area - inter
+        iou = jnp.where(union > 0, inter / union, 0.0)
+        sup = jnp.logical_or(iou > iou_threshold, idx == i)
+        remaining = jnp.logical_and(remaining,
+                                    jnp.logical_not(jnp.logical_and(active,
+                                                                    sup)))
+        keep = jnp.logical_or(keep, jnp.logical_and(active, idx == i))
+        return keep, remaining
 
     keep0 = jnp.zeros(K, bool)
-    suppressed0 = jnp.logical_not(v)
-    keep, _ = jax.lax.fori_loop(0, K, body, (keep0, suppressed0))
-    # un-permute
-    inv = jnp.argsort(order)
-    return keep[inv]
+    keep, _ = jax.lax.while_loop(cond, body, (keep0, valid))
+    return keep
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
