@@ -324,13 +324,16 @@ def test_train_step_improves_loss():
     assert losses[2] < losses[0]
 
 
-def test_masked_serving_mats_path_matches_detect():
+@pytest.mark.parametrize("fused_planes", [True, False])
+def test_masked_serving_mats_path_matches_detect(monkeypatch, fused_planes):
     """The one-program serving path with prebuilt selector matrices (mats
-    passed as jit arguments, _poly_mats_cached) returns exactly
-    Model.detect's boxes, and the mats path is actually taken."""
+    passed as jit arguments) returns exactly Model.detect's boxes, with the
+    planes built either by the fused shelf kernel (ops.plane_pallas) or the
+    XLA mats path (_poly_mats_cached) — and the intended path is taken."""
     from waldboost_tpu import model as M
     from waldboost_tpu.parallel.detect import make_batched_detector_boxes
 
+    monkeypatch.setenv("WB_PLANE_FUSED", "1" if fused_planes else "0")
     model = make_model(n_stages=4, shape=(8, 8, 4),
                        opts=dict(shrink=2, n_per_oct=2, smooth=1,
                                  channels="grad_hist"))
@@ -338,7 +341,8 @@ def test_masked_serving_mats_path_matches_detect():
     images = rng.randint(0, 256, (2, 48, 64)).astype(np.uint8)
     refs = [model.detect(img) for img in images]
     old_cb, old_chb = M._CASCADE_BACKEND, M._CHANNEL_BACKEND
-    ci0 = M._poly_mats_impl.cache_info()
+    impl = M._poly_fused_impl if fused_planes else M._poly_mats_impl
+    ci0 = impl.cache_info()
     try:
         M.set_cascade_backend("static")
         M.set_channel_backend("pallas")  # interpret mode on CPU
@@ -347,7 +351,7 @@ def test_masked_serving_mats_path_matches_detect():
         rects, scores, valid, count, _ = fn(jnp.asarray(images))
     finally:
         M._CASCADE_BACKEND, M._CHANNEL_BACKEND = old_cb, old_chb
-    ci1 = M._poly_mats_impl.cache_info()
+    ci1 = impl.cache_info()
     # a hit counts too: another test may have already built this geometry
     assert ci1.hits + ci1.misses > ci0.hits + ci0.misses
     for b, ref in enumerate(refs):

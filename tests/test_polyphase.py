@@ -34,6 +34,34 @@ def test_poly_canvas_exact(hw, smooth):
     assert np.array_equal(poly, old)
 
 
+@pytest.mark.parametrize("hw", [(48, 64), (96, 128)])
+def test_poly_planes_fused_exact(hw):
+    """The fused shelf pass-2 kernel (ops.plane_pallas) emits a canvas
+    bitwise identical to the XLA mats path: same one-hot corner dots, same
+    f32 lerp association, gap strips zero-filled."""
+    import jax
+
+    from waldboost_tpu.ops.channels_pallas import plane_pad_geometry
+
+    h, w = hw
+    opts = dict(shrink=2, n_per_oct=2, smooth=1, channels="grad_hist")
+    shrink, n_per_oct, sm, cf = _normalize_opts(opts)
+    packed = M._packed_plan_cached(h, w, shrink, n_per_oct, (8, 8),
+                                   halo=cf.halo)
+    halo_m = packed.halo if (cf.boundary == "reflect" and cf.halo > 0) else 0
+    geom = plane_pad_geometry(packed.canvas_h, packed.canvas_w)
+    rng = np.random.RandomState(7)
+    imgs = jnp.asarray(rng.randint(0, 256, (2, h, w)).astype(np.uint8))
+    mats, spec = M._poly_mats_cached(packed, halo_m, (h, w))
+    ref = jax.vmap(lambda im: M._poly_planes(im, cf, packed, geom=geom,
+                                             mats=mats, spec=spec))(imgs)
+    fmats, fspec = M._poly_fused_cached(packed, halo_m, (h, w))
+    got = M._poly_planes_fused(imgs, fmats, fspec, interpret=True)
+    assert got.dtype == ref.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(ref.astype(jnp.float32)),
+                                  np.asarray(got.astype(jnp.float32)))
+
+
 def test_reflect_halos_poly_matches_interleaved():
     rng = np.random.RandomState(2)
     H, W = 64, 96

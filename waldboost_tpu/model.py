@@ -763,6 +763,240 @@ def _poly_level_blocks_mats(octaves, mats, spec):
     return blocks
 
 
+def _sel_corner_rows(i0_rows: np.ndarray, n_in: int, k0: int,
+                     k1: int) -> np.ndarray:
+    """One-hot 4-corner selector block from phase-major tap indices.
+
+    ``i0_rows`` (2, R) int32 with -1 marking zero filler rows (shelf-pitch /
+    lane pads) -> (2, 2, R, k1-k0) f32 where corner ``a`` of phase ``p`` row
+    ``r`` selects source index ``min(i0+a, n_in-1)``, restricted to the
+    window [k0, k1)."""
+    _, R = i0_rows.shape
+    out = np.zeros((2, 2, R, k1 - k0), np.float32)
+    r = np.arange(R)
+    for p in range(2):
+        idx0 = i0_rows[p]
+        valid = idx0 >= 0
+        for a in (0, 1):
+            idx = np.minimum(np.maximum(idx0, 0) + a, n_in - 1)
+            sel = valid & (idx >= k0) & (idx < k1)
+            out[a, p, r[sel], idx[sel] - k0] = 1.0
+    return out
+
+
+def _poly_fused_cached(packed: PackedPyramidPlan, halo: int,
+                       image_hw: Tuple[int, int]):
+    banded = os.environ.get("WB_POLY_BANDED", "1") == "1"
+    return _poly_fused_impl(packed, halo, image_hw, banded)
+
+
+@functools.lru_cache(maxsize=16)
+def _poly_fused_impl(packed: PackedPyramidPlan, halo: int,
+                     image_hw: Tuple[int, int], banded: bool):
+    """Operands + static plans for the fused shelf pass-2 kernel
+    (ops.plane_pallas.shelf_pass2_call).
+
+    Pass-1 stays batched XLA einsums — EVERY level col-first, so each
+    octave's selector blocks concatenate into per-octave matmuls whose
+    product feeds the kernel — and pass-2 + lerp + shelf assembly run
+    inside the kernel.  Returns ``(arrays, spec)``: ``arrays`` the device
+    operands (pass-1 selector blocks, then one lhs/fh/fw stack per shelf),
+    ``spec`` the static plan.  The canvas is bit-identical to the XLA mats
+    path — same one-hot corner dot products and the same f32 lerp
+    association (tests/test_polyphase.py pins this).
+
+    Reference anchor: /root/reference/waldboost/channels.py:111-132 (the
+    per-level bilinear resize this replaces)."""
+    from .ops.channels_pallas import plane_pad_geometry
+    from .ops.plane_pallas import LevelPlan, ShelfPlan
+
+    geom = _poly_geom_levels(packed, halo, image_hw)
+    pgeom = plane_pad_geometry(packed.canvas_h, packed.canvas_w)
+    pr, pc, PH, PW = pgeom
+    he2 = halo // 2
+    n_oct = max((g["oct"] for g in geom), default=-1) + 1
+
+    # shelf bands (same partition as _poly_mats_impl: first shelf absorbs
+    # the top rim, the last extends to PH — the pitches tile [0, PH))
+    shelf_of: Dict[int, List[int]] = {}
+    for li, pl in enumerate(packed.levels):
+        shelf_of.setdefault(pl.y - he2, []).append(li)
+    r0s = sorted(shelf_of)
+    band = {}
+    shelf_rows = []
+    for si, r0 in enumerate(r0s):
+        nxt = r0s[si + 1] + pr if si + 1 < len(r0s) else PH
+        rr = r0 + pr
+        lead = rr if si == 0 and rr > 0 else 0
+        ys = rr - lead
+        pitch = nxt - ys
+        for li in shelf_of[r0]:
+            band[li] = (lead, pitch)
+        shelf_rows.append((ys, pitch, shelf_of[r0]))
+
+    arrays: List[jax.Array] = []
+
+    # ---- pass-1: per-octave concatenated col selectors (every level
+    # col-first; blocks 128-lane aligned so cbase slabs are aligned views)
+    oct_levels: Dict[int, List[int]] = {}
+    for li, g in enumerate(geom):
+        oct_levels.setdefault(g["oct"], []).append(li)
+    oct_list = tuple(sorted(oct_levels))
+    oct_pos = {o: i for i, o in enumerate(oct_list)}
+    groups: Dict[int, tuple] = {}
+    cbase_of: Dict[int, int] = {}
+    oct_rows: Dict[int, int] = {}
+    for octv in oct_list:
+        ow = geom[oct_levels[octv][0]]["ow"]
+        oct_rows[octv] = _round_up(geom[oct_levels[octv][0]]["oh"], 8)
+        i0_cat = []
+        for li in oct_levels[octv]:
+            g = geom[li]
+            cbase_of[li] = sum(x.shape[1] for x in i0_cat)
+            i0 = np.asarray(g["i0w"]).reshape(2, g["wq"])
+            pad = (-g["wq"]) % 128
+            if pad:
+                i0 = np.pad(i0, ((0, 0), (0, pad)), constant_values=-1)
+            i0_cat.append(i0)
+        i0_cat = np.concatenate(i0_cat, axis=1)
+        C = i0_cat.shape[1]
+        blocks = []
+        for c0 in range(0, C, 128):
+            i0_blk = i0_cat[:, c0:c0 + 128]
+            valid = i0_blk[i0_blk >= 0]
+            if banded:
+                lo = int(valid.min()) if valid.size else 0
+                hi = int(valid.max()) if valid.size else 0
+                k0 = (min(lo, ow - 1) // 128) * 128
+                k0 = min(k0, max(ow - 128, 0))
+                k1 = min(max(_round_up(hi + 2, 128), k0 + 128), ow)
+            else:
+                k0, k1 = 0, ow
+            arrays.append(jnp.asarray(
+                _sel_corner_rows(i0_blk, ow, k0, k1)))
+            blocks.append((len(arrays) - 1, k0, k1))
+        groups[octv] = tuple(blocks)
+
+    # ---- pass-2: per-shelf stacked lhs pieces + lerp weight stacks
+    RB = 64  # kernel row-block (multiple of the bf16 sublane tile)
+    shelves = []
+    vmem_max = 0
+    for ys, pitch, lis in shelf_rows:
+        lhs_pieces: List[np.ndarray] = []
+        fh_parts: List[np.ndarray] = []
+        fw_rows: List[np.ndarray] = []
+        levels = []
+        row_off = 0
+        fh_off = 0
+        kmax = 0
+        wmax = max(_round_up(geom[li]["wq"], 128) for li in lis)
+        for slot, li in enumerate(lis):
+            g = geom[li]
+            top, pitch_l = band[li]
+            assert pitch_l == pitch
+            hq, wq, oh = g["hq"], g["wq"], g["oh"]
+            oh8 = _round_up(oh, 8)
+            i0_pad = np.pad(np.asarray(g["i0h"]).reshape(2, hq),
+                            ((0, 0), (top, pitch - top - hq)),
+                            constant_values=-1)
+            pieces = []
+            for r0 in range(0, pitch, RB):
+                r1 = min(r0 + RB, pitch)
+                blk_idx = i0_pad[:, r0:r1]
+                valid = blk_idx[blk_idx >= 0]
+                if valid.size == 0:
+                    continue  # all-zero filler rows: band zero-fill covers
+                if banded:
+                    k0 = (int(valid.min()) // 8) * 8
+                    k1 = min(_round_up(int(valid.max()) + 2, 8), oh8)
+                else:
+                    k0, k1 = 0, oh8
+                rb = r1 - r0
+                sel = _sel_corner_rows(blk_idx, oh, k0, k1)
+                lhs_pieces.append(sel.reshape(4 * rb, k1 - k0))
+                pieces.append((row_off, rb, r0, k0, k1 - k0))
+                row_off += 4 * rb
+                kmax = max(kmax, k1 - k0)
+            frh_p = np.pad(np.asarray(g["frh"]).reshape(2, hq),
+                           ((0, 0), (top, pitch - top - hq))).reshape(-1)
+            fh_parts.append(frh_p.astype(np.float32))
+            frw = np.asarray(g["frw"]).reshape(2, wq).astype(np.float32)
+            fw_rows.append(np.pad(frw, ((0, 0), (0, wmax - wq))))
+            xc = packed.levels[li].x - he2 + pc
+            levels.append(LevelPlan(oct_pos[g["oct"]], oh8, cbase_of[li],
+                                    _round_up(wq, 128), wq, xc, fh_off,
+                                    2 * slot, pieces))
+            fh_off += 2 * pitch
+        lhs = np.zeros((max(_round_up(row_off, 8), 8), max(kmax, 128)),
+                       np.float32)
+        for (ro, rb, _r0, _k0, kwp), piece in zip(
+                (p for lv in levels for p in lv.pieces), lhs_pieces):
+            lhs[ro:ro + 4 * rb, :kwp] = piece
+        fh = np.concatenate(fh_parts)[:, None]
+        # lerp col weights at 8-row strides: row (2*slot+q)*8 is an aligned
+        # (1, 128) sublane read in the kernel
+        fw = np.zeros((16 * len(lis), wmax), np.float32)
+        for slot in range(len(lis)):
+            fw[(2 * slot) * 8] = fw_rows[slot][0]
+            fw[(2 * slot + 1) * 8] = fw_rows[slot][1]
+        arrays.append(jnp.asarray(lhs, dtype=jnp.bfloat16))
+        lhs_i = len(arrays) - 1
+        arrays.append(jnp.asarray(fh))
+        fh_i = len(arrays) - 1
+        arrays.append(jnp.asarray(fw))
+        fw_i = len(arrays) - 1
+        ohS = max(lv.oh for lv in levels)
+        cwmax = max(lv.cwpad for lv in levels)
+        plan = ShelfPlan(ys, pitch, ohS, cwmax, levels)
+        shelves.append((lhs_i, fh_i, fw_i, plan))
+        vmem = (len(levels) * 4 * ohS * cwmax * 2 + 4 * pitch * PW * 2
+                + lhs.size * 2 + fh.size * 4 + fw.size * 4)
+        vmem_max = max(vmem_max, vmem)
+
+    spec = dict(geom=pgeom, n_oct=n_oct, oct_list=oct_list,
+                oct_rows=oct_rows, groups=groups, shelves=tuple(shelves),
+                vmem_bytes=vmem_max)
+    return tuple(arrays), spec
+
+
+def _poly_planes_fused(images, mats, spec, interpret: bool = False):
+    """Batched polyphase planes via the fused shelf kernel: XLA pass-1
+    einsums (per-octave, col-first, K-sliced) feed
+    ops.plane_pallas.shelf_pass2_call per shelf, carrying the canvas
+    through input/output aliasing.  Bit-identical to vmapped
+    :func:`_poly_planes` over the mats path for integer images."""
+    from .channels import _compute_octaves_f32
+    from .ops.plane_pallas import shelf_pass2_call
+
+    _pr, _pc, PH, PW = spec["geom"]
+    octs = jax.vmap(
+        lambda im: tuple(_compute_octaves_f32(im, spec["n_oct"])))(images)
+    cols = []
+    for octv in spec["oct_list"]:
+        img = octs[octv]
+        oh8 = spec["oct_rows"][octv]
+        if img.shape[1] < oh8:
+            # zero row pad: keeps every slab DMA 8-aligned; padded rows
+            # emit exact zeros through the einsum
+            img = jnp.pad(img, ((0, 0), (0, oh8 - img.shape[1]), (0, 0)))
+        parts = [
+            # "Bhxqc" is the row-major dot result — no transpose between
+            # the einsum and the kernel's slab DMAs
+            jnp.einsum("Bhw,xqcw->Bhxqc", img[:, :, k0:k1], mats[ai],
+                       preferred_element_type=jnp.bfloat16)
+            for ai, k0, k1 in spec["groups"][octv]
+        ]
+        cols.append(jnp.concatenate(parts, axis=-1)
+                    if len(parts) > 1 else parts[0])
+    cols = tuple(cols)
+    carry = None
+    for lhs_i, fh_i, fw_i, plan in spec["shelves"]:
+        carry = shelf_pass2_call(mats[lhs_i], mats[fh_i], mats[fw_i],
+                                 cols, carry, plan, PH, PW,
+                                 interpret=interpret)
+    return carry
+
+
 def _poly_level_blocks(octaves, cf, packed: PackedPyramidPlan, halo,
                        is_int, mats=None, spec=None):
     """Per-level resized blocks in (2, 2, hq, wq) phase layout, with ``halo``

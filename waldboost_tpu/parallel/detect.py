@@ -103,23 +103,57 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
         # closure-captured arrays would lower as MLIR literals, so they ride
         # the jit boundary as explicit arguments; only the static spec is
         # closed over)
-        from ..model import _poly_mats_cached
+        from ..model import _poly_fused_cached, _poly_mats_cached
         halo_m = packed.halo if (cf.boundary == "reflect" and cf.halo > 0) \
             else 0
-        mats, spec = _poly_mats_cached(packed, halo_m, tuple(image_shape))
+        # fused shelf pass-2 kernel (ops.plane_pallas): pass-2 + lerp +
+        # assembly in VMEM — the 4-corner G tensors and the concat/pad
+        # passes never touch HBM.  Falls back to the XLA mats path when
+        # disabled or when a shelf would exceed the VMEM budget.
+        import os as _os
+        fspec = None
+        if _os.environ.get("WB_PLANE_FUSED", "1") == "1" \
+                and _use_channel_kernel():
+            fmats, fspec = _poly_fused_cached(packed, halo_m,
+                                              tuple(image_shape))
+            if fspec["vmem_bytes"] > 14 * 2 ** 20 or not fspec["shelves"]:
+                fspec = None
+        if fspec is not None:
+            from ..model import _poly_planes_fused
 
-        def canvas_b(images, mats_=None):
-            planes = jax.vmap(
-                lambda im: _poly_planes(im, cf, packed, geom=geom,
-                                        mats=mats_, spec=spec))(images)
-            # alloc_grid (not out_grid): the cascade's halo region is only
-            # ever read for statically-dead windows, so it stays
-            # uninitialized instead of paying zero-fill pad tiles
-            return cf.poly_kernel(planes, interior, smooth, interpret,
-                                  content_hw=(Hc, Wc), alloc_grid=out_grid,
-                                  crop=False)
+            def canvas_b(images, mats_=None):
+                if mats_ is not None and \
+                        jnp.issubdtype(images.dtype, jnp.integer):
+                    planes = _poly_planes_fused(images, mats_, fspec,
+                                                interpret=interpret)
+                else:
+                    # float images are not bf16-exact (selector resize does
+                    # not apply), and mats_=None callers (bare shard_map)
+                    # need the in-program build
+                    planes = jax.vmap(
+                        lambda im: _poly_planes(im, cf, packed,
+                                                geom=geom))(images)
+                return cf.poly_kernel(planes, interior, smooth, interpret,
+                                      content_hw=(Hc, Wc),
+                                      alloc_grid=out_grid, crop=False)
 
-        canvas_b.mats = mats
+            canvas_b.mats = fmats
+        else:
+            mats, spec = _poly_mats_cached(packed, halo_m,
+                                           tuple(image_shape))
+
+            def canvas_b(images, mats_=None):
+                planes = jax.vmap(
+                    lambda im: _poly_planes(im, cf, packed, geom=geom,
+                                            mats=mats_, spec=spec))(images)
+                # alloc_grid (not out_grid): the cascade's halo region is
+                # only ever read for statically-dead windows, so it stays
+                # uninitialized instead of paying zero-fill pad tiles
+                return cf.poly_kernel(planes, interior, smooth, interpret,
+                                      content_hw=(Hc, Wc),
+                                      alloc_grid=out_grid, crop=False)
+
+            canvas_b.mats = mats
 
         content_hw_out = (Hc, Wc)
 
