@@ -846,6 +846,7 @@ def _poly_fused_impl(packed: PackedPyramidPlan, halo: int,
     groups: Dict[int, tuple] = {}
     cbase_of: Dict[int, int] = {}
     oct_rows: Dict[int, int] = {}
+    oct_C: Dict[int, int] = {}
     for octv in oct_list:
         ow = geom[oct_levels[octv][0]]["ow"]
         oct_rows[octv] = _round_up(geom[oct_levels[octv][0]]["oh"], 8)
@@ -860,6 +861,7 @@ def _poly_fused_impl(packed: PackedPyramidPlan, halo: int,
             i0_cat.append(i0)
         i0_cat = np.concatenate(i0_cat, axis=1)
         C = i0_cat.shape[1]
+        oct_C[octv] = C
         blocks = []
         for c0 in range(0, C, 128):
             i0_blk = i0_cat[:, c0:c0 + 128]
@@ -872,8 +874,15 @@ def _poly_fused_impl(packed: PackedPyramidPlan, halo: int,
                 k1 = min(max(_round_up(hi + 2, 128), k0 + 128), ow)
             else:
                 k0, k1 = 0, ow
+            # rows flattened (x, q, c)-major: the einsum's lane order within
+            # a block is then the kernel's canonical corner-slab order, and
+            # every pass-1 intermediate stays 3D — size-2 minor dims would
+            # be PADDED to 8 sublanes by TPU layouts (a 5D (B,h,2,2,C)
+            # intermediate cost ~90 us/img of relayout, measured)
+            blkw = i0_blk.shape[1]
             arrays.append(jnp.asarray(
-                _sel_corner_rows(i0_blk, ow, k0, k1)))
+                _sel_corner_rows(i0_blk, ow, k0, k1)
+                .reshape(4 * blkw, k1 - k0)))
             blocks.append((len(arrays) - 1, k0, k1))
         groups[octv] = tuple(blocks)
 
@@ -923,7 +932,8 @@ def _poly_fused_impl(packed: PackedPyramidPlan, halo: int,
             frw = np.asarray(g["frw"]).reshape(2, wq).astype(np.float32)
             fw_rows.append(np.pad(frw, ((0, 0), (0, wmax - wq))))
             xc = packed.levels[li].x - he2 + pc
-            levels.append(LevelPlan(oct_pos[g["oct"]], oh8, cbase_of[li],
+            levels.append(LevelPlan(oct_pos[g["oct"]], oh8,
+                                    oct_C[g["oct"]], cbase_of[li],
                                     _round_up(wq, 128), wq, xc, fh_off,
                                     2 * slot, pieces))
             fh_off += 2 * pitch
@@ -980,14 +990,18 @@ def _poly_planes_fused(images, mats, spec, interpret: bool = False):
             # emit exact zeros through the einsum
             img = jnp.pad(img, ((0, 0), (0, oh8 - img.shape[1]), (0, 0)))
         parts = [
-            # "Bhxqc" is the row-major dot result — no transpose between
-            # the einsum and the kernel's slab DMAs
-            jnp.einsum("Bhw,xqcw->Bhxqc", img[:, :, k0:k1], mats[ai],
+            # 3D everywhere: block rows are (x, q, c)-flattened, so lanes
+            # [i*128, (i+1)*128) of a part are corner-slab i's columns
+            jnp.einsum("Bhw,kw->Bhk", img[:, :, k0:k1], mats[ai],
                        preferred_element_type=jnp.bfloat16)
             for ai, k0, k1 in spec["groups"][octv]
         ]
-        cols.append(jnp.concatenate(parts, axis=-1)
-                    if len(parts) > 1 else parts[0])
+        # corner-major flat layout (x, q, block, c): slab i of a level is
+        # then ONE contiguous 128-aligned lane window at i*C + cbase; the
+        # concat pieces are all 128-aligned lane slices (full-speed DMA)
+        cols.append(jnp.concatenate(
+            [p[..., i * 128:(i + 1) * 128] for i in range(4)
+             for p in parts], axis=-1))
     cols = tuple(cols)
     carry = None
     for lhs_i, fh_i, fw_i, plan in spec["shelves"]:

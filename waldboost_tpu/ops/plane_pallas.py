@@ -21,11 +21,15 @@ corners never exist in HBM and the assembly passes disappear entirely
 rowblocks — inter-level gap rows — are simply skipped from the piece
 list).
 
-``cols`` rides in the batched pass-1 einsum's NATURAL layout
-(B, oh, 2, 2, C) — "Bhw,xqcw->Bhxqc" is the row-major dot result, so no
-transpose sits between the einsum and the kernel — with the row dim
-padded to a multiple of 8 (zero rows; keeps every slab DMA 8-aligned and
-feeds exact zeros to any tap window that overruns the true row count).
+``cols`` rides in the batched pass-1 einsum's NATURAL layout flattened
+to (B, oh, 4*C) — "Bhw,xqcw->Bhxqc" is the row-major dot result and the
+(x, q, c)->4C reshape is free, so no transpose sits between the einsum
+and the kernel.  The corner dims MUST live in the lane axis: slicing a
+size-2 dim to 1 on a bf16 HBM memref breaks its (2,1) packed tiling
+(Mosaic rejects it), whereas slab i of level L is the 128-aligned lane
+window [i*cstride + cbase, +cwpad).  The row dim is padded to a multiple
+of 8 (zero rows; keeps every slab DMA 8-aligned and feeds exact zeros to
+any tap window that overruns the true row count).
 
 Bit-exactness: the corner dots consume bf16-exact integer values (uint8
 image content) with f32 accumulation, and the lerp/floor runs the same f32
@@ -53,9 +57,11 @@ __all__ = ["shelf_pass2_call", "ShelfPlan", "LevelPlan"]
 class LevelPlan:
     """Static per-level kernel plan (hashable, host-side)."""
 
-    def __init__(self, oct_idx, oh, cbase, cwpad, wq, xc, fh0, fw0, pieces):
+    def __init__(self, oct_idx, oh, cstride, cbase, cwpad, wq, xc, fh0,
+                 fw0, pieces):
         self.oct_idx = int(oct_idx)   # which cols array feeds this level
         self.oh = int(oh)             # cols rows (source rows, 8-padded)
+        self.cstride = int(cstride)   # octave C (corner-slab lane stride)
         self.cbase = int(cbase)       # 128-aligned col offset into cols
         self.cwpad = int(cwpad)       # 128-mult slab width (>= wq)
         self.wq = int(wq)             # true level width (store width)
@@ -67,8 +73,9 @@ class LevelPlan:
         self.pieces = tuple(tuple(int(x) for x in p) for p in pieces)
 
     def key(self):
-        return (self.oct_idx, self.oh, self.cbase, self.cwpad, self.wq,
-                self.xc, self.fh0, self.fw0, self.pieces)
+        return (self.oct_idx, self.oh, self.cstride, self.cbase,
+                self.cwpad, self.wq, self.xc, self.fh0, self.fw0,
+                self.pieces)
 
 
 class ShelfPlan:
@@ -107,9 +114,8 @@ def _make_shelf_kernel(plan: ShelfPlan, n_cols: int, has_carry: bool):
         b = pl.program_id(0)
 
         def slab_dma(li, lv, i):
-            x, q = divmod(i, 2)
-            src = cols_refs[lv.oct_idx].at[b, :, x, q,
-                                           pl.ds(lv.cbase, lv.cwpad)]
+            src = cols_refs[lv.oct_idx].at[
+                b, :, pl.ds(i * lv.cstride + lv.cbase, lv.cwpad)]
             dst = rhs_ref.at[li, i, 0:lv.oh, 0:lv.cwpad]
             return pltpu.make_async_copy(src, dst, sem.at[li, i])
 
@@ -178,8 +184,9 @@ def shelf_pass2_call(lhs: jax.Array, fh: jax.Array, fw: jax.Array,
                      interpret: bool = False) -> jax.Array:
     """Run one shelf's fused pass-2 over the batch.
 
-    ``cols``: per-octave pass-1 products (B, oh8, 2, 2, Cpad) bf16 with
-    rows padded to a multiple of 8 (zeros).
+    ``cols``: per-octave pass-1 products (B, oh8, 4*Cpad) bf16 — the
+    (x, q) corner dims flattened into the lane axis — with rows padded to
+    a multiple of 8 (zeros).
     ``carry``: the canvas written so far (aliased through; None for the
     first shelf — its other rows stay uninitialized until later shelves
     write them, and every row is covered once all shelves have run).
