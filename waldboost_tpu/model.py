@@ -846,7 +846,7 @@ def _poly_fused_impl(packed: PackedPyramidPlan, halo: int,
     groups: Dict[int, tuple] = {}
     cbase_of: Dict[int, int] = {}
     oct_rows: Dict[int, int] = {}
-    oct_C: Dict[int, int] = {}
+    blk_flat: Dict[tuple, int] = {}  # (octave, local 128-block) -> flat idx
     for octv in oct_list:
         ow = geom[oct_levels[octv][0]]["ow"]
         oct_rows[octv] = _round_up(geom[oct_levels[octv][0]]["oh"], 8)
@@ -861,7 +861,6 @@ def _poly_fused_impl(packed: PackedPyramidPlan, halo: int,
             i0_cat.append(i0)
         i0_cat = np.concatenate(i0_cat, axis=1)
         C = i0_cat.shape[1]
-        oct_C[octv] = C
         blocks = []
         for c0 in range(0, C, 128):
             i0_blk = i0_cat[:, c0:c0 + 128]
@@ -883,6 +882,8 @@ def _poly_fused_impl(packed: PackedPyramidPlan, halo: int,
             arrays.append(jnp.asarray(
                 _sel_corner_rows(i0_blk, ow, k0, k1)
                 .reshape(4 * blkw, k1 - k0)))
+            blk_flat[(octv, c0 // 128)] = len(blocks) + sum(
+                len(groups[o]) for o in groups)
             blocks.append((len(arrays) - 1, k0, k1))
         groups[octv] = tuple(blocks)
 
@@ -932,11 +933,22 @@ def _poly_fused_impl(packed: PackedPyramidPlan, halo: int,
             frw = np.asarray(g["frw"]).reshape(2, wq).astype(np.float32)
             fw_rows.append(np.pad(frw, ((0, 0), (0, wmax - wq))))
             xc = packed.levels[li].x - he2 + pc
-            levels.append(LevelPlan(oct_pos[g["oct"]], oh8,
-                                    oct_C[g["oct"]], cbase_of[li],
-                                    _round_up(wq, 128), wq, xc, fh_off,
-                                    2 * slot, pieces))
+            # the level's slab spans whole 128-col blocks of its octave's
+            # selector concat (every level is 128-padded); record FLAT
+            # block ids, remapped to shelf-local cols positions below
+            b0 = cbase_of[li] // 128
+            fblks = tuple(blk_flat[(g["oct"], b0 + j)]
+                          for j in range(_round_up(wq, 128) // 128))
+            levels.append((fblks, LevelPlan(
+                (), oh8, _round_up(wq, 128), wq, xc, fh_off,
+                2 * slot, pieces)))
             fh_off += 2 * pitch
+        used = tuple(sorted({f for fblks, _ in levels for f in fblks}))
+        local = {f: i for i, f in enumerate(used)}
+        levels = [LevelPlan(tuple(local[f] for f in fblks), lv.oh,
+                            lv.cwpad, lv.wq, lv.xc, lv.fh0, lv.fw0,
+                            lv.pieces)
+                  for fblks, lv in levels]
         lhs = np.zeros((max(_round_up(row_off, 8), 8), max(kmax, 128)),
                        np.float32)
         for (ro, rb, _r0, _k0, kwp), piece in zip(
@@ -958,7 +970,7 @@ def _poly_fused_impl(packed: PackedPyramidPlan, halo: int,
         ohS = max(lv.oh for lv in levels)
         cwmax = max(lv.cwpad for lv in levels)
         plan = ShelfPlan(ys, pitch, ohS, cwmax, levels)
-        shelves.append((lhs_i, fh_i, fw_i, plan))
+        shelves.append((lhs_i, fh_i, fw_i, plan, used))
         vmem = (len(levels) * 4 * ohS * cwmax * 2 + 4 * pitch * PW * 2
                 + lhs.size * 2 + fh.size * 4 + fw.size * 4)
         vmem_max = max(vmem_max, vmem)
@@ -981,7 +993,11 @@ def _poly_planes_fused(images, mats, spec, interpret: bool = False):
     _pr, _pc, PH, PW = spec["geom"]
     octs = jax.vmap(
         lambda im: tuple(_compute_octaves_f32(im, spec["n_oct"])))(images)
-    cols = []
+    # raw per-block parts, flat-indexed in octave/block order (the order
+    # _poly_fused_impl's blk_flat assigns): each is (B, oh8, 4*128) with
+    # lanes (x, q, c)-flattened, consumed DIRECTLY by the kernel's slab
+    # DMAs — no assembly concat between the einsum and the kernel
+    parts_flat = []
     for octv in spec["oct_list"]:
         img = octs[octv]
         oh8 = spec["oct_rows"][octv]
@@ -989,22 +1005,13 @@ def _poly_planes_fused(images, mats, spec, interpret: bool = False):
             # zero row pad: keeps every slab DMA 8-aligned; padded rows
             # emit exact zeros through the einsum
             img = jnp.pad(img, ((0, 0), (0, oh8 - img.shape[1]), (0, 0)))
-        parts = [
-            # 3D everywhere: block rows are (x, q, c)-flattened, so lanes
-            # [i*128, (i+1)*128) of a part are corner-slab i's columns
-            jnp.einsum("Bhw,kw->Bhk", img[:, :, k0:k1], mats[ai],
-                       preferred_element_type=jnp.bfloat16)
-            for ai, k0, k1 in spec["groups"][octv]
-        ]
-        # corner-major flat layout (x, q, block, c): slab i of a level is
-        # then ONE contiguous 128-aligned lane window at i*C + cbase; the
-        # concat pieces are all 128-aligned lane slices (full-speed DMA)
-        cols.append(jnp.concatenate(
-            [p[..., i * 128:(i + 1) * 128] for i in range(4)
-             for p in parts], axis=-1))
-    cols = tuple(cols)
+        for ai, k0, k1 in spec["groups"][octv]:
+            parts_flat.append(
+                jnp.einsum("Bhw,kw->Bhk", img[:, :, k0:k1], mats[ai],
+                           preferred_element_type=jnp.bfloat16))
     carry = None
-    for lhs_i, fh_i, fw_i, plan in spec["shelves"]:
+    for lhs_i, fh_i, fw_i, plan, used in spec["shelves"]:
+        cols = tuple(parts_flat[f] for f in used)
         carry = shelf_pass2_call(mats[lhs_i], mats[fh_i], mats[fw_i],
                                  cols, carry, plan, PH, PW,
                                  interpret=interpret)

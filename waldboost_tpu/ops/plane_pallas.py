@@ -21,15 +21,20 @@ corners never exist in HBM and the assembly passes disappear entirely
 rowblocks — inter-level gap rows — are simply skipped from the piece
 list).
 
-``cols`` rides in the batched pass-1 einsum's NATURAL layout flattened
-to (B, oh, 4*C) — "Bhw,xqcw->Bhxqc" is the row-major dot result and the
-(x, q, c)->4C reshape is free, so no transpose sits between the einsum
-and the kernel.  The corner dims MUST live in the lane axis: slicing a
-size-2 dim to 1 on a bf16 HBM memref breaks its (2,1) packed tiling
-(Mosaic rejects it), whereas slab i of level L is the 128-aligned lane
-window [i*cstride + cbase, +cwpad).  The row dim is padded to a multiple
-of 8 (zero rows; keeps every slab DMA 8-aligned and feeds exact zeros to
-any tap window that overruns the true row count).
+``cols`` are the RAW per-block pass-1 einsum outputs — each 128-col
+selector block's (B, oh, 4*128) bf16 product, lanes (x, q, c)-flattened
+so the einsum's row-major lane order IS the kernel's corner-slab order —
+passed straight into the kernel with NO assembly pass between the einsum
+and the slab DMAs (an XLA interleave-concat into per-octave (B, oh, 4C)
+arrays cost ~28 us/img of dynamic-update-slice traffic).  The corner
+dims MUST live in the lane axis: slicing a size-2 dim to 1 on a bf16 HBM
+memref breaks its (2,1) packed tiling (Mosaic rejects it), whereas
+corner i of a block is the 128-aligned lane window [i*128, +128).  A
+level's slab spans whole blocks (every level's selector columns are
+128-padded), so slab i of level L is one DMA per block in ``blks``.
+The row dim is padded to a multiple of 8 (zero rows; keeps every slab
+DMA 8-aligned and feeds exact zeros to any tap window that overruns the
+true row count).
 
 Bit-exactness: the corner dots consume bf16-exact integer values (uint8
 image content) with f32 accumulation, and the lerp/floor runs the same f32
@@ -57,12 +62,11 @@ __all__ = ["shelf_pass2_call", "ShelfPlan", "LevelPlan"]
 class LevelPlan:
     """Static per-level kernel plan (hashable, host-side)."""
 
-    def __init__(self, oct_idx, oh, cstride, cbase, cwpad, wq, xc, fh0,
-                 fw0, pieces):
-        self.oct_idx = int(oct_idx)   # which cols array feeds this level
+    def __init__(self, blks, oh, cwpad, wq, xc, fh0, fw0, pieces):
+        # cols ref index (local to this shelf's call) of each 128-col
+        # block of the level's slab, in slab lane order
+        self.blks = tuple(int(b) for b in blks)
         self.oh = int(oh)             # cols rows (source rows, 8-padded)
-        self.cstride = int(cstride)   # octave C (corner-slab lane stride)
-        self.cbase = int(cbase)       # 128-aligned col offset into cols
         self.cwpad = int(cwpad)       # 128-mult slab width (>= wq)
         self.wq = int(wq)             # true level width (store width)
         self.xc = int(xc)             # canvas col of the level's first col
@@ -73,9 +77,8 @@ class LevelPlan:
         self.pieces = tuple(tuple(int(x) for x in p) for p in pieces)
 
     def key(self):
-        return (self.oct_idx, self.oh, self.cstride, self.cbase,
-                self.cwpad, self.wq, self.xc, self.fh0, self.fw0,
-                self.pieces)
+        return (self.blks, self.oh, self.cwpad, self.wq, self.xc,
+                self.fh0, self.fw0, self.pieces)
 
 
 class ShelfPlan:
@@ -113,24 +116,32 @@ def _make_shelf_kernel(plan: ShelfPlan, n_cols: int, has_carry: bool):
 
         b = pl.program_id(0)
 
-        def slab_dma(li, lv, i):
-            src = cols_refs[lv.oct_idx].at[
-                b, :, pl.ds(i * lv.cstride + lv.cbase, lv.cwpad)]
-            dst = rhs_ref.at[li, i, 0:lv.oh, 0:lv.cwpad]
-            return pltpu.make_async_copy(src, dst, sem.at[li, i])
+        def slab_dmas(li, lv, i):
+            # one copy per 128-col block of the slab; all ride one
+            # (li, i) semaphore and are waited once each
+            return [
+                pltpu.make_async_copy(
+                    cols_refs[ref_i].at[b, :, pl.ds(i * 128, 128)],
+                    rhs_ref.at[li, i, 0:lv.oh,
+                               pl.ds(j * 128, 128)],
+                    sem.at[li, i])
+                for j, ref_i in enumerate(lv.blks)
+            ]
 
         # start every level's slab fetches up front; the first dots then
         # overlap the later levels' transfers
         for li, lv in enumerate(plan.levels):
             for i in range(4):
-                slab_dma(li, lv, i).start()
+                for cp in slab_dmas(li, lv, i):
+                    cp.start()
 
         # gap rows/columns come from the zero fill; level strips overwrite
         band_ref[...] = jnp.zeros_like(band_ref)
 
         for li, lv in enumerate(plan.levels):
             for i in range(4):
-                slab_dma(li, lv, i).wait()
+                for cp in slab_dmas(li, lv, i):
+                    cp.wait()
             ncb = -(-lv.wq // 128)
             for ci in range(ncb):
                 cs = ci * 128
@@ -184,9 +195,10 @@ def shelf_pass2_call(lhs: jax.Array, fh: jax.Array, fw: jax.Array,
                      interpret: bool = False) -> jax.Array:
     """Run one shelf's fused pass-2 over the batch.
 
-    ``cols``: per-octave pass-1 products (B, oh8, 4*Cpad) bf16 — the
-    (x, q) corner dims flattened into the lane axis — with rows padded to
-    a multiple of 8 (zeros).
+    ``cols``: this shelf's per-block pass-1 products, each (B, oh8,
+    4*128) bf16 — the (x, q) corner dims flattened into the lane axis —
+    with rows padded to a multiple of 8 (zeros); levels reference them
+    by local index via ``LevelPlan.blks``.
     ``carry``: the canvas written so far (aliased through; None for the
     first shelf — its other rows stay uninitialized until later shelves
     write them, and every row is covered once all shelves have run).
