@@ -971,9 +971,9 @@ def _poly_fused_impl(packed: PackedPyramidPlan, halo: int,
         cwmax = max(lv.cwpad for lv in levels)
         plan = ShelfPlan(ys, pitch, ohS, cwmax, levels)
         shelves.append((lhs_i, fh_i, fw_i, plan, used))
-        vmem = (len(levels) * 4 * ohS * cwmax * 2 + 4 * pitch * PW * 2
-                + lhs.size * 2 + fh.size * 4 + fw.size * 4)
-        vmem_max = max(vmem_max, vmem)
+        from .ops.plane_pallas import shelf_vmem_bytes
+        vmem_max = max(vmem_max, shelf_vmem_bytes(
+            plan, PW, lhs.size, fh.size, fw.size))
 
     spec = dict(geom=pgeom, n_oct=n_oct, oct_list=oct_list,
                 oct_rows=oct_rows, groups=groups, shelves=tuple(shelves),

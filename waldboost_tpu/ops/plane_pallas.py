@@ -10,8 +10,8 @@ canvas several more times.  Measured on VGA batch serving this tail is
 This kernel collapses pass-2 for a whole SHELF (one horizontal band of the
 packed plane canvas) into one fused pass per image:
 
-  cols (pass-1 product, HBM)  --DMA-->  VMEM slabs (per level, 4 corner
-  x phase combos) --MXU dots per (rowblock, colblock)--> f32 corner blocks
+  cols (pass-1 product, HBM)  --piece-window DMA-->  VMEM (double
+  buffered) --MXU dots per (piece, colblock)--> f32 corner blocks
   --VPU lerp+floor--> bf16 --static-offset stores--> shelf band scratch
   --one DMA--> the shelf's rows of the plane canvas.
 
@@ -25,16 +25,25 @@ list).
 selector block's (B, oh, 4*128) bf16 product, lanes (x, q, c)-flattened
 so the einsum's row-major lane order IS the kernel's corner-slab order —
 passed straight into the kernel with NO assembly pass between the einsum
-and the slab DMAs (an XLA interleave-concat into per-octave (B, oh, 4C)
+and the DMAs (an XLA interleave-concat into per-octave (B, oh, 4C)
 arrays cost ~28 us/img of dynamic-update-slice traffic).  The corner
 dims MUST live in the lane axis: slicing a size-2 dim to 1 on a bf16 HBM
 memref breaks its (2,1) packed tiling (Mosaic rejects it), whereas
-corner i of a block is the 128-aligned lane window [i*128, +128).  A
-level's slab spans whole blocks (every level's selector columns are
-128-padded), so slab i of level L is one DMA per block in ``blks``.
-The row dim is padded to a multiple of 8 (zero rows; keeps every slab
-DMA 8-aligned and feeds exact zeros to any tap window that overruns the
-true row count).
+corner i of a block is the 128-aligned lane window [i*128, +128).
+
+Slab staging is PER PIECE, not per level: a piece (one 64-target-row
+block of one level) reads only its own source-row window [k0, k0+kwp)
+— kwp stays small (<= ~250 rows at any image size, it scales with the
+per-octave resize ratio, never with the image) — so the staging scratch
+is a 2-slot ring of (nblk, kwp, 512) windows, double buffered across the
+piece sequence (piece t+1's fetch rides under piece t's dots).  VMEM use
+is therefore RESOLUTION-INDEPENDENT: 1080p's 540-row octaves fuse in the
+same few MB as VGA's, where whole-level slabs needed 19 MB and fell back
+to the XLA path.  One DMA per (piece, 128-col block) moves all 4 corner
+slabs at once (they are adjacent lane windows of the same block rows).
+Piece row windows are 8-aligned (banded k0 rounds down to 8, widths are
+8-mult) and the row dim is padded to a multiple of 8 (zero rows; exact
+zeros for any tap window that overruns the true row count).
 
 Bit-exactness: the corner dots consume bf16-exact integer values (uint8
 image content) with f32 accumulation, and the lerp/floor runs the same f32
@@ -56,7 +65,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["shelf_pass2_call", "ShelfPlan", "LevelPlan"]
+__all__ = ["shelf_pass2_call", "shelf_vmem_bytes", "ShelfPlan", "LevelPlan"]
 
 
 class LevelPlan:
@@ -87,9 +96,20 @@ class ShelfPlan:
     def __init__(self, ys, pitch, ohS, cwmax, levels: Sequence[LevelPlan]):
         self.ys = int(ys)             # canvas row of the band start (8-mult)
         self.pitch = int(pitch)       # band height (8-mult)
-        self.ohS = int(ohS)           # rhs scratch rows (>= max k0+kwp)
-        self.cwmax = int(cwmax)       # rhs scratch lanes (128-mult)
+        self.ohS = int(ohS)           # max level source rows (8-mult)
+        self.cwmax = int(cwmax)       # max level slab lanes (128-mult)
         self.levels = tuple(levels)
+
+    @property
+    def kwpS(self) -> int:
+        """Staging rows: the widest piece source-row window."""
+        return max((p[4] for lv in self.levels for p in lv.pieces),
+                   default=8)
+
+    @property
+    def nblkS(self) -> int:
+        """Staging blocks: the widest level's 128-col block count."""
+        return max((len(lv.blks) for lv in self.levels), default=1)
 
     def key(self):
         return (self.ys, self.pitch, self.ohS, self.cwmax,
@@ -102,8 +122,21 @@ class ShelfPlan:
         return isinstance(other, ShelfPlan) and self.key() == other.key()
 
 
+def shelf_vmem_bytes(plan: ShelfPlan, PW: int,
+                     lhs_size: int, fh_size: int, fw_size: int) -> int:
+    """Kernel VMEM footprint: 2-slot piece staging ring + band scratch +
+    the resident lhs/weight arrays."""
+    return (2 * plan.nblkS * plan.kwpS * 512 * 2
+            + 4 * plan.pitch * PW * 2
+            + lhs_size * 2 + fh_size * 4 + fw_size * 4)
+
+
 def _make_shelf_kernel(plan: ShelfPlan, n_cols: int, has_carry: bool):
     pitch = plan.pitch
+    # flat static piece sequence (level-major); the DMA ring alternates
+    # slots along it
+    work = [(li, lv, piece)
+            for li, lv in enumerate(plan.levels) for piece in lv.pieces]
 
     def kernel(*refs):
         lhs_ref, fh_ref, fw_ref = refs[0:3]
@@ -116,68 +149,71 @@ def _make_shelf_kernel(plan: ShelfPlan, n_cols: int, has_carry: bool):
 
         b = pl.program_id(0)
 
-        def slab_dmas(li, lv, i):
-            # one copy per 128-col block of the slab; all ride one
-            # (li, i) semaphore and are waited once each
+        def piece_dmas(t):
+            # one copy per 128-col block: block rows [k0, k0+kwp) carry
+            # ALL 4 corner slabs as adjacent 128-lane windows
+            sl = t % 2
+            _li, lv, (_ro, _rb, _r0, k0, kwp) = work[t]
             return [
                 pltpu.make_async_copy(
-                    cols_refs[ref_i].at[b, :, pl.ds(i * 128, 128)],
-                    rhs_ref.at[li, i, 0:lv.oh,
-                               pl.ds(j * 128, 128)],
-                    sem.at[li, i])
+                    cols_refs[ref_i].at[b, pl.ds(k0, kwp), :],
+                    rhs_ref.at[sl, j, 0:kwp, :],
+                    sem.at[sl, j])
                 for j, ref_i in enumerate(lv.blks)
             ]
-
-        # start every level's slab fetches up front; the first dots then
-        # overlap the later levels' transfers
-        for li, lv in enumerate(plan.levels):
-            for i in range(4):
-                for cp in slab_dmas(li, lv, i):
-                    cp.start()
 
         # gap rows/columns come from the zero fill; level strips overwrite
         band_ref[...] = jnp.zeros_like(band_ref)
 
-        for li, lv in enumerate(plan.levels):
-            for i in range(4):
-                for cp in slab_dmas(li, lv, i):
-                    cp.wait()
+        if work:
+            for cp in piece_dmas(0):
+                cp.start()
+
+        for t, (li, lv, piece) in enumerate(work):
+            sl = t % 2
+            if t + 1 < len(work):
+                # prefetch the next piece's windows into the other slot;
+                # the transfer rides under this piece's dots
+                for cp in piece_dmas(t + 1):
+                    cp.start()
+            for cp in piece_dmas(t):
+                cp.wait()
+            row_off, rb, r0, k0, kwp = piece
+            lhs = lhs_ref[row_off:row_off + 4 * rb, 0:kwp]
             ncb = -(-lv.wq // 128)
             for ci in range(ncb):
                 cs = ci * 128
                 w = min(128, lv.wq - cs)
                 fwq = [fw_ref[(lv.fw0 + q) * 8:(lv.fw0 + q) * 8 + 1,
                               cs:cs + 128] for q in (0, 1)]
-                for row_off, rb, r0, k0, kwp in lv.pieces:
-                    lhs = lhs_ref[row_off:row_off + 4 * rb, 0:kwp]
-                    outs = [
-                        jax.lax.dot_general(
-                            lhs,
-                            rhs_ref[li, i, k0:k0 + kwp, cs:cs + 128],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        for i in range(4)
-                    ]
-                    for p in (0, 1):
-                        fh = fh_ref[lv.fh0 + p * pitch + r0:
-                                    lv.fh0 + p * pitch + r0 + rb, 0:1]
-                        for q in (0, 1):
-                            # outs[x*2+q] rows are (a*2+p)-grouped: slice
-                            # the (h-corner a, w-corner x) blocks and run
-                            # model._lerp_block's exact f32 association
-                            def gco(a, x, q=q, p=p):
-                                o = outs[x * 2 + q]
-                                return o[(a * 2 + p) * rb:
-                                         (a * 2 + p + 1) * rb, :]
-                            g00, g10 = gco(0, 0), gco(1, 0)
-                            g01, g11 = gco(0, 1), gco(1, 1)
-                            ta = g00 * (1.0 - fh) + g10 * fh
-                            tb = g01 * (1.0 - fh) + g11 * fh
-                            blk = ta * (1.0 - fwq[q]) + tb * fwq[q]
-                            blk = jnp.floor(blk + 1e-4).astype(jnp.bfloat16)
-                            band_ref[p, q, r0:r0 + rb,
-                                     lv.xc + cs:lv.xc + cs + w] = \
-                                blk[:, :w] if w < 128 else blk
+                outs = [
+                    jax.lax.dot_general(
+                        lhs,
+                        rhs_ref[sl, ci, 0:kwp, i * 128:(i + 1) * 128],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    for i in range(4)
+                ]
+                for p in (0, 1):
+                    fh = fh_ref[lv.fh0 + p * pitch + r0:
+                                lv.fh0 + p * pitch + r0 + rb, 0:1]
+                    for q in (0, 1):
+                        # outs[x*2+q] rows are (a*2+p)-grouped: slice
+                        # the (h-corner a, w-corner x) blocks and run
+                        # model._lerp_block's exact f32 association
+                        def gco(a, x, q=q, p=p):
+                            o = outs[x * 2 + q]
+                            return o[(a * 2 + p) * rb:
+                                     (a * 2 + p + 1) * rb, :]
+                        g00, g10 = gco(0, 0), gco(1, 0)
+                        g01, g11 = gco(0, 1), gco(1, 1)
+                        ta = g00 * (1.0 - fh) + g10 * fh
+                        tb = g01 * (1.0 - fh) + g11 * fh
+                        blk = ta * (1.0 - fwq[q]) + tb * fwq[q]
+                        blk = jnp.floor(blk + 1e-4).astype(jnp.bfloat16)
+                        band_ref[p, q, r0:r0 + rb,
+                                 lv.xc + cs:lv.xc + cs + w] = \
+                            blk[:, :w] if w < 128 else blk
 
         ocopy = pltpu.make_async_copy(
             band_ref, out_ref.at[b, :, :, pl.ds(plan.ys, pitch), :], osem)
@@ -208,7 +244,6 @@ def shelf_pass2_call(lhs: jax.Array, fh: jax.Array, fw: jax.Array,
     n_cols = len(cols)
     kernel = _make_shelf_kernel(plan, n_cols, carry is not None)
 
-    nlev = len(plan.levels)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),   # lhs
         pl.BlockSpec(memory_space=pltpu.VMEM),   # fh
@@ -228,9 +263,9 @@ def shelf_pass2_call(lhs: jax.Array, fh: jax.Array, fw: jax.Array,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((B, 2, 2, PH, PW), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((nlev, 4, plan.ohS, plan.cwmax), jnp.bfloat16),
+            pltpu.VMEM((2, plan.nblkS, plan.kwpS, 512), jnp.bfloat16),
             pltpu.VMEM((2, 2, plan.pitch, PW), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((nlev, 4)),
+            pltpu.SemaphoreType.DMA((2, plan.nblkS)),
             pltpu.SemaphoreType.DMA,
         ],
         input_output_aliases=io_aliases,
