@@ -34,8 +34,12 @@ def test_poly_canvas_exact(hw, smooth):
     assert np.array_equal(poly, old)
 
 
-@pytest.mark.parametrize("hw", [(48, 64), (96, 128)])
-def test_poly_planes_fused_exact(hw):
+@pytest.mark.parametrize("hw,npo", [((48, 64), 2), ((96, 128), 2),
+                                    # multi-block levels (nblkS=2) + several
+                                    # pieces per shelf: exercises the
+                                    # piece-staged DMA ring's slot cycling
+                                    ((160, 256), 4)])
+def test_poly_planes_fused_exact(hw, npo):
     """The fused shelf pass-2 kernel (ops.plane_pallas) emits a canvas
     bitwise identical to the XLA mats path: same one-hot corner dots, same
     f32 lerp association, gap strips zero-filled."""
@@ -44,7 +48,7 @@ def test_poly_planes_fused_exact(hw):
     from waldboost_tpu.ops.channels_pallas import plane_pad_geometry
 
     h, w = hw
-    opts = dict(shrink=2, n_per_oct=2, smooth=1, channels="grad_hist")
+    opts = dict(shrink=2, n_per_oct=npo, smooth=1, channels="grad_hist")
     shrink, n_per_oct, sm, cf = _normalize_opts(opts)
     packed = M._packed_plan_cached(h, w, shrink, n_per_oct, (8, 8),
                                    halo=cf.halo)
