@@ -82,3 +82,57 @@ def test_reflect_halos_poly_matches_interleaved():
     inter[1::2, 0::2] = out[1, 0]
     inter[1::2, 1::2] = out[1, 1]
     assert np.array_equal(inter, ref)
+
+
+@pytest.mark.parametrize("hw,npo", [((96, 128), 2), ((160, 256), 4),
+                                    ((240, 320), 8)])
+def test_poly_fused_plan_invariants(hw, npo):
+    """Host-side invariants of the fused-shelf plan builder
+    (model._poly_fused_impl): shelves tile the canvas rows exactly once,
+    pieces tile each shelf's pitch, every level's block refs resolve to
+    selector blocks of its own octave, and staging windows stay within the
+    octave row pad."""
+    h, w = hw
+    opts = dict(shrink=2, n_per_oct=npo, smooth=1, channels="grad_hist")
+    shrink, n_per_oct, sm, cf = _normalize_opts(opts)
+    packed = M._packed_plan_cached(h, w, shrink, n_per_oct, (8, 8),
+                                   halo=cf.halo)
+    halo_m = packed.halo if (cf.boundary == "reflect" and cf.halo > 0) else 0
+    mats, spec = M._poly_fused_cached(packed, halo_m, (h, w))
+    _pr, _pc, PH, PW = spec["geom"]
+
+    # shelves tile [0, PH) exactly once, in order, 8-aligned
+    rows = sorted((p.ys, p.pitch) for _, _, _, p, _ in spec["shelves"])
+    cur = 0
+    for ys, pitch in rows:
+        assert ys == cur and ys % 8 == 0 and pitch % 8 == 0
+        cur += pitch
+    assert cur == PH
+
+    # flat part order: octave-major then block-major (what
+    # _poly_planes_fused produces); blocks per octave
+    n_parts = []
+    for octv in spec["oct_list"]:
+        n_parts.append(len(spec["groups"][octv]))
+    total_parts = sum(n_parts)
+
+    for _, _, _, plan, used in spec["shelves"]:
+        assert plan.kwpS >= 8 and plan.nblkS >= 1
+        # shelf-local cols selection maps into the flat part range
+        assert all(0 <= f < total_parts for f in used)
+        assert list(used) == sorted(set(used))
+        for lv in plan.levels:
+            # block refs are local positions into `used`
+            assert all(0 <= r < len(used) for r in lv.blks)
+            assert len(lv.blks) == lv.cwpad // 128
+            assert lv.cwpad >= lv.wq and lv.cwpad % 128 == 0
+            # every piece window is 8-aligned and inside the octave rows
+            pitch_cover = np.zeros(plan.pitch, bool)
+            for row_off, rb, r0, k0, kwp in lv.pieces:
+                assert k0 % 8 == 0 and kwp % 8 == 0 and kwp <= plan.kwpS
+                assert 0 <= k0 and k0 + kwp <= lv.oh
+                assert not pitch_cover[r0:r0 + rb].any()
+                pitch_cover[r0:r0 + rb] = True
+            # pieces cover a prefix-contiguous subset of band rows (gap
+            # filler rows may be skipped, but no double coverage)
+            assert pitch_cover.any()
