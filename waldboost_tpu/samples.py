@@ -177,8 +177,8 @@ class SamplePool:
         sample_tp = max(self.min_tp - stats["num_tp"], 0)
         sample_fp = max(self.min_fp - stats["num_fp"], 0)
         self.logger.log(
-            15, f"Pool size: tp: {stats['num_tp']}/{self.min_tp}, "
-                f"fp: {stats['num_fp']}/{self.min_fp}")
+            15, "pool fill tp=%d/%d fp=%d/%d", stats["num_tp"], self.min_tp,
+            stats["num_fp"], self.min_fp)
         if sample_tp or sample_fp:
             new_samples = []
             for gt_dict in iterable:
@@ -220,7 +220,8 @@ class SamplePool:
             mask = self.samples.get_field("scores") > min_score
             self.samples = self.samples[np.flatnonzero(mask)]
             self.logger.log(
-                15, f"Removed {int((~mask).sum())}/{mask.size} samples")
+                15, "rescore dropped %d of %d pooled samples",
+                int((~mask).sum()), mask.size)
 
     def get_samples(self, label: int) -> Tuple[np.ndarray, np.ndarray]:
         labels = self.samples.get_field("tp_label")

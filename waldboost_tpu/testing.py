@@ -84,25 +84,46 @@ class Evaluator:
     def add_detections(self, idx, boxes: Boxes):
         self.eval_data.setdefault(idx, dict()).update(dt=boxes)
 
+    @staticmethod
+    def _gt_ignore_mask(gt_boxes: Boxes, image_hw, min_gt_area,
+                        min_gt_area_in_image) -> np.ndarray:
+        """A GT box is excluded from scoring when flagged ``ignore``, when
+        smaller than ``min_gt_area``, or when less than
+        ``min_gt_area_in_image`` of it lies inside the image."""
+        if not len(gt_boxes):
+            return np.zeros(0, bool)
+        h, w = image_hw
+        out = np.zeros(len(gt_boxes), bool)
+        if gt_boxes.has_field("ignore"):
+            out |= np.asarray(gt_boxes.get_field("ignore")).reshape(-1) != 0
+        out |= gt_boxes.area() < min_gt_area
+        frame = Boxes(np.array([0, 0, w, h], "f"))
+        out |= ~bbx.boxes_in_window(gt_boxes, frame,
+                                    min_overlap=min_gt_area_in_image)
+        return out
+
+    @staticmethod
+    def _score_one_image(gt_boxes, gt_ignore, dt_boxes, dt_scores,
+                         match_iou_threshold):
+        """Greedy best-IoU assignment: each detection claims its best GT;
+        detections whose best GT is ignored drop out of the PR pool, the
+        rest are TP iff the best IoU clears the threshold."""
+        overlaps = bbx.iou(gt_boxes, dt_boxes)
+        if overlaps.shape[0] == 0:
+            return np.zeros(len(dt_boxes), bool), dt_scores
+        best_gt = overlaps.argmax(axis=0)
+        keep = ~gt_ignore[best_gt]
+        is_tp = overlaps.max(axis=0) > match_iou_threshold
+        return is_tp[keep], dt_scores[keep]
+
     def evaluate(self, match_iou_threshold=0.5, dt_iou_threshold=0.5,
                  min_gt_area=0, min_gt_area_in_image=1, normalize_ar=None):
-        labels, scores, ignored = [], [], []
+        pool_tp, pool_score, pool_ign = [], [], []
         for img_result in self.eval_data.values():
             gt_boxes = img_result["gt"]
-            h, w = img_result["shape"]
-            img_box = Boxes(np.array([0, 0, w, h], "f"))
-            if len(gt_boxes):
-                gt_ign_field = (np.asarray(gt_boxes.get_field("ignore")).reshape(-1) != 0
-                                if gt_boxes.has_field("ignore")
-                                else np.zeros(len(gt_boxes), bool))
-                gt_ignore = np.logical_or.reduce([
-                    gt_ign_field,
-                    gt_boxes.area() < min_gt_area,
-                    ~bbx.boxes_in_window(gt_boxes, img_box,
-                                         min_overlap=min_gt_area_in_image),
-                ])
-            else:
-                gt_ignore = np.zeros(0, bool)
+            gt_ignore = self._gt_ignore_mask(
+                gt_boxes, img_result["shape"], min_gt_area,
+                min_gt_area_in_image)
 
             dt_boxes = bbx.non_max_suppression(img_result["dt"],
                                                iou_threshold=dt_iou_threshold)
@@ -112,26 +133,18 @@ class Evaluator:
                 dt_boxes = bbx.set_aspect_ratio(dt_boxes, normalize_ar)
                 gt_boxes = bbx.set_aspect_ratio(gt_boxes, normalize_ar)
 
-            iou = bbx.iou(gt_boxes, dt_boxes)
+            is_tp, score = self._score_one_image(
+                gt_boxes, gt_ignore, dt_boxes, dt_scores,
+                match_iou_threshold)
+            pool_tp.append(is_tp)
+            pool_score.append(score)
+            pool_ign.append(gt_ignore)
 
-            if iou.shape[0] > 0:
-                assigned_gt = iou.argmax(axis=0)
-                ign = gt_ignore[assigned_gt]
-                tp = (iou.max(axis=0) > match_iou_threshold)[~ign]
-                score = dt_scores[~ign]
-            else:
-                tp = np.zeros(len(dt_boxes), bool)
-                score = dt_scores
+        y_true = np.concatenate(pool_tp) if pool_tp else np.zeros(0, bool)
+        y_score = np.concatenate(pool_score) if pool_score else np.zeros(0)
+        ignored = np.concatenate(pool_ign) if pool_ign else np.zeros(0, bool)
 
-            ignored.append(gt_ignore)
-            labels.append(tp)
-            scores.append(score)
-
-        y_true = np.concatenate(labels) if labels else np.zeros(0, bool)
-        scores = np.concatenate(scores) if scores else np.zeros(0)
-        ignored = np.concatenate(ignored) if ignored else np.zeros(0, bool)
-
-        p, r, t = precision_recall(y_true, scores)
+        p, r, t = precision_recall(y_true, y_score)
         return dict(
             precision=p.tolist(), recall=r.tolist(), threshold=t.tolist(),
             auc=auc(r, p),
