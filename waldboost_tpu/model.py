@@ -1485,9 +1485,11 @@ class Model:
         if n == 0:
             return np.zeros(0, np.float32), np.zeros(0, bool)
         casc, depth = self._get_cascade()
-        # bucket the batch size (pools grow/shrink every stage — padding
-        # keeps the jit cache to O(log N) entries)
-        pad = _round_up(max(n, 256), 256) - n
+        # power-of-2 batch-size buckets, min 256 (pools grow/shrink every
+        # stage — each padded size is a fresh XLA compile, seconds to
+        # minutes each on the TPU compile relay; true O(log N) bucketing
+        # keeps it to a handful per training run)
+        pad = max(256, 1 << (n - 1).bit_length()) - n
         Xp = np.pad(X, ((0, pad),) + ((0, 0),) * (X.ndim - 1))
         valid = np.zeros(n + pad, bool)
         valid[:n] = True

@@ -142,7 +142,11 @@ class DTree:
         if s1 > 0:
             Wb[Y == 1] /= s1 * 2
         N = X.shape[0]
-        Np = _round_up(max(N, 1), 256)
+        # power-of-2 size buckets (min 256): the pool's size drifts every
+        # stage, and each new padded size is a fresh XLA compile — on the
+        # TPU compile relay that costs seconds to minutes PER STAGE.
+        # O(log N) buckets amortize to a handful of compiles per run.
+        Np = max(256, 1 << (max(N, 1) - 1).bit_length())
         pad = Np - N
         Xp = np.pad(X, ((0, pad), (0, 0)))
         Yp = np.pad(Y, (0, pad))
