@@ -123,6 +123,11 @@ def get_samples_from_image(model: Model, image, gt_boxes: Optional[Boxes],
     m, n, _ = model.shape
     level_id_map, _ = packed.level_maps((m, n))
     lid = level_id_map[rs, cs]
+    # labeling and candidate caps stay per pyramid level (the reference's
+    # per-level loop), but the window crop batches into ONE device gather
+    # per image: crops are canvas-coordinate (level-agnostic), and each
+    # per-level gather is a separate ~1 ms dispatch through the tunnel
+    pending = []
     for i, pl in enumerate(packed.levels):
         sel = np.flatnonzero(lid == i)
         if sel.size == 0:
@@ -143,11 +148,20 @@ def get_samples_from_image(model: Model, image, gt_boxes: Optional[Boxes],
         dt_boxes = dt_boxes[sample_indices]
         if len(dt_boxes) == 0:
             continue
-        # device-side crop: transfers only the selected windows
-        samples = model.gather_windows_device(
-            canvas_dev, dt_boxes.get_field("row").flatten(),
-            dt_boxes.get_field("col").flatten(), is_canvas=True)
-        dt_boxes.set_field("samples", samples)
+        pending.append(dt_boxes)
+    if not pending:
+        return
+    rows = np.concatenate(
+        [b.get_field("row").flatten() for b in pending])
+    cols = np.concatenate(
+        [b.get_field("col").flatten() for b in pending])
+    samples = model.gather_windows_device(canvas_dev, rows, cols,
+                                          is_canvas=True)
+    off = 0
+    for dt_boxes in pending:
+        k = len(dt_boxes)
+        dt_boxes.set_field("samples", samples[off:off + k])
+        off += k
         yield dt_boxes
 
 
