@@ -122,21 +122,41 @@ class ShelfPlan:
         return isinstance(other, ShelfPlan) and self.key() == other.key()
 
 
+#: row-stripe height of the band ring (== model._poly_fused_impl's RB
+#: row-block: pieces never cross stripe boundaries by construction)
+STRIPE = 64
+
+
 def shelf_vmem_bytes(plan: ShelfPlan, PW: int,
                      lhs_size: int, fh_size: int, fw_size: int) -> int:
-    """Kernel VMEM footprint: 2-slot piece staging ring + band scratch +
-    the resident lhs/weight arrays."""
+    """Kernel VMEM footprint: 2-slot piece staging ring + 2-slot row-stripe
+    band ring + the resident lhs/weight arrays.  Neither term scales with
+    the shelf pitch or the image height, so the fused path fits the VMEM
+    budget at any resolution (only PW — the canvas width — enters)."""
+    sh = min(STRIPE, plan.pitch)
     return (2 * plan.nblkS * plan.kwpS * 512 * 2
-            + 4 * plan.pitch * PW * 2
+            + 2 * 4 * sh * PW * 2
             + lhs_size * 2 + fh_size * 4 + fw_size * 4)
 
 
 def _make_shelf_kernel(plan: ShelfPlan, n_cols: int, has_carry: bool):
     pitch = plan.pitch
-    # flat static piece sequence (level-major); the DMA ring alternates
-    # slots along it
-    work = [(li, lv, piece)
-            for li, lv in enumerate(plan.levels) for piece in lv.pieces]
+    SH = min(STRIPE, pitch)
+    stripes = list(range(0, pitch, SH))
+    # flat static piece sequence in STRIPE-major order (all levels' pieces
+    # for band rows [sr0, sr0+SH) run together, then the stripe is
+    # out-copied while the next stripe computes); the staging ring
+    # alternates slots along the flat order
+    work = []
+    for s_idx, sr0 in enumerate(stripes):
+        for li, lv in enumerate(plan.levels):
+            for piece in lv.pieces:
+                if piece[2] == sr0:
+                    assert piece[1] <= min(SH, pitch - sr0), \
+                        (piece, sr0, pitch)
+                    work.append((s_idx, li, lv, piece))
+    assert len(work) == sum(len(lv.pieces) for lv in plan.levels), \
+        "piece row-block grid must match the stripe grid"
 
     def kernel(*refs):
         lhs_ref, fh_ref, fw_ref = refs[0:3]
@@ -153,7 +173,7 @@ def _make_shelf_kernel(plan: ShelfPlan, n_cols: int, has_carry: bool):
             # one copy per 128-col block: block rows [k0, k0+kwp) carry
             # ALL 4 corner slabs as adjacent 128-lane windows
             sl = t % 2
-            _li, lv, (_ro, _rb, _r0, k0, kwp) = work[t]
+            _si, _li, lv, (_ro, _rb, _r0, k0, kwp) = work[t]
             return [
                 pltpu.make_async_copy(
                     cols_refs[ref_i].at[b, pl.ds(k0, kwp), :],
@@ -162,63 +182,83 @@ def _make_shelf_kernel(plan: ShelfPlan, n_cols: int, has_carry: bool):
                 for j, ref_i in enumerate(lv.blks)
             ]
 
-        # gap rows/columns come from the zero fill; level strips overwrite
-        band_ref[...] = jnp.zeros_like(band_ref)
+        def stripe_copy(s_idx):
+            sr0 = stripes[s_idx]
+            sh = min(SH, pitch - sr0)
+            return pltpu.make_async_copy(
+                band_ref.at[s_idx % 2, :, :, 0:sh, :],
+                out_ref.at[b, :, :, pl.ds(plan.ys + sr0, sh), :],
+                osem.at[s_idx % 2])
 
         if work:
             for cp in piece_dmas(0):
                 cp.start()
 
-        for t, (li, lv, piece) in enumerate(work):
-            sl = t % 2
-            if t + 1 < len(work):
-                # prefetch the next piece's windows into the other slot;
-                # the transfer rides under this piece's dots
-                for cp in piece_dmas(t + 1):
-                    cp.start()
-            for cp in piece_dmas(t):
-                cp.wait()
-            row_off, rb, r0, k0, kwp = piece
-            lhs = lhs_ref[row_off:row_off + 4 * rb, 0:kwp]
-            ncb = -(-lv.wq // 128)
-            for ci in range(ncb):
-                cs = ci * 128
-                w = min(128, lv.wq - cs)
-                fwq = [fw_ref[(lv.fw0 + q) * 8:(lv.fw0 + q) * 8 + 1,
-                              cs:cs + 128] for q in (0, 1)]
-                outs = [
-                    jax.lax.dot_general(
-                        lhs,
-                        rhs_ref[sl, ci, 0:kwp, i * 128:(i + 1) * 128],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    for i in range(4)
-                ]
-                for p in (0, 1):
-                    fh = fh_ref[lv.fh0 + p * pitch + r0:
-                                lv.fh0 + p * pitch + r0 + rb, 0:1]
-                    for q in (0, 1):
-                        # outs[x*2+q] rows are (a*2+p)-grouped: slice
-                        # the (h-corner a, w-corner x) blocks and run
-                        # model._lerp_block's exact f32 association
-                        def gco(a, x, q=q, p=p):
-                            o = outs[x * 2 + q]
-                            return o[(a * 2 + p) * rb:
-                                     (a * 2 + p + 1) * rb, :]
-                        g00, g10 = gco(0, 0), gco(1, 0)
-                        g01, g11 = gco(0, 1), gco(1, 1)
-                        ta = g00 * (1.0 - fh) + g10 * fh
-                        tb = g01 * (1.0 - fh) + g11 * fh
-                        blk = ta * (1.0 - fwq[q]) + tb * fwq[q]
-                        blk = jnp.floor(blk + 1e-4).astype(jnp.bfloat16)
-                        band_ref[p, q, r0:r0 + rb,
-                                 lv.xc + cs:lv.xc + cs + w] = \
-                            blk[:, :w] if w < 128 else blk
+        t = 0
+        for s_idx, sr0 in enumerate(stripes):
+            bsl = s_idx % 2
+            if s_idx >= 2:
+                # this slot's copy from two stripes ago must land before
+                # the zero-fill below overwrites the scratch
+                stripe_copy(s_idx - 2).wait()
+            # gap rows/columns come from the zero fill; level strips
+            # overwrite
+            band_ref[bsl] = jnp.zeros(band_ref.shape[1:], band_ref.dtype)
 
-        ocopy = pltpu.make_async_copy(
-            band_ref, out_ref.at[b, :, :, pl.ds(plan.ys, pitch), :], osem)
-        ocopy.start()
-        ocopy.wait()
+            while t < len(work) and work[t][0] == s_idx:
+                sl = t % 2
+                _si, li, lv, piece = work[t]
+                if t + 1 < len(work):
+                    # prefetch the next piece's windows into the other
+                    # slot; the transfer rides under this piece's dots
+                    for cp in piece_dmas(t + 1):
+                        cp.start()
+                for cp in piece_dmas(t):
+                    cp.wait()
+                row_off, rb, r0, k0, kwp = piece
+                lhs = lhs_ref[row_off:row_off + 4 * rb, 0:kwp]
+                ncb = -(-lv.wq // 128)
+                for ci in range(ncb):
+                    cs = ci * 128
+                    w = min(128, lv.wq - cs)
+                    fwq = [fw_ref[(lv.fw0 + q) * 8:(lv.fw0 + q) * 8 + 1,
+                                  cs:cs + 128] for q in (0, 1)]
+                    outs = [
+                        jax.lax.dot_general(
+                            lhs,
+                            rhs_ref[sl, ci, 0:kwp, i * 128:(i + 1) * 128],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        for i in range(4)
+                    ]
+                    for p in (0, 1):
+                        fh = fh_ref[lv.fh0 + p * pitch + r0:
+                                    lv.fh0 + p * pitch + r0 + rb, 0:1]
+                        for q in (0, 1):
+                            # outs[x*2+q] rows are (a*2+p)-grouped: slice
+                            # the (h-corner a, w-corner x) blocks and run
+                            # model._lerp_block's exact f32 association
+                            def gco(a, x, q=q, p=p):
+                                o = outs[x * 2 + q]
+                                return o[(a * 2 + p) * rb:
+                                         (a * 2 + p + 1) * rb, :]
+                            g00, g10 = gco(0, 0), gco(1, 0)
+                            g01, g11 = gco(0, 1), gco(1, 1)
+                            ta = g00 * (1.0 - fh) + g10 * fh
+                            tb = g01 * (1.0 - fh) + g11 * fh
+                            blk = ta * (1.0 - fwq[q]) + tb * fwq[q]
+                            blk = jnp.floor(blk + 1e-4).astype(jnp.bfloat16)
+                            # stripe-local rows: piece r0 == stripe sr0
+                            band_ref[bsl, p, q, 0:rb,
+                                     lv.xc + cs:lv.xc + cs + w] = \
+                                blk[:, :w] if w < 128 else blk
+                t += 1
+            # the stripe write rides under the next stripe's compute
+            stripe_copy(s_idx).start()
+
+        stripe_copy(len(stripes) - 1).wait()
+        if len(stripes) >= 2:
+            stripe_copy(len(stripes) - 2).wait()
 
     return kernel
 
@@ -264,9 +304,10 @@ def shelf_pass2_call(lhs: jax.Array, fh: jax.Array, fw: jax.Array,
         out_shape=jax.ShapeDtypeStruct((B, 2, 2, PH, PW), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((2, plan.nblkS, plan.kwpS, 512), jnp.bfloat16),
-            pltpu.VMEM((2, 2, plan.pitch, PW), jnp.bfloat16),
+            pltpu.VMEM((2, 2, 2, min(STRIPE, plan.pitch), PW),
+                       jnp.bfloat16),  # 2-slot row-stripe band ring
             pltpu.SemaphoreType.DMA((2, plan.nblkS)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         input_output_aliases=io_aliases,
         interpret=interpret,
