@@ -45,10 +45,17 @@ Piece row windows are 8-aligned (banded k0 rounds down to 8, widths are
 8-mult) and the row dim is padded to a multiple of 8 (zero rows; exact
 zeros for any tap window that overruns the true row count).
 
-Bit-exactness: the corner dots consume bf16-exact integer values (uint8
-image content) with f32 accumulation, and the lerp/floor runs the same f32
-expression as model._lerp_block, so the canvas is bitwise identical to the
-XLA path (tests/test_polyphase.py pins this).
+Bit-exactness: the corner dots consume the same bf16 corner values as the
+XLA mats path with f32 accumulation (one-hot selectors: the dot is an
+exact gather), and the lerp/floor runs the same f32 expression as
+model._lerp_block, so the canvas is bitwise identical to the XLA path at
+the pinned test sizes (tests/test_polyphase.py).  At FHD scale a ~1e-6
+fraction of values (19 of 19.7M measured) flip by exactly one uint8
+quantum: lerp results landing within one float-rounding of an integer
+boundary resolve differently under the two op graphs' fusion choices —
+the same floor-tie deviation class PARITY.md documents for the resize
+itself (the f64 reference is the arbiter there, and BOTH device paths
+deviate from it only at such ties).
 
 Reference anchor: /root/reference/waldboost/channels.py:111-132 (per-level
 bilinear resize feeding the channel pyramid); the packed-canvas polyphase
