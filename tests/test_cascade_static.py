@@ -165,13 +165,15 @@ def test_masked_kernel_serving_variants(setup):
                                                 tile=(64, 128),
                                                 interpret=True)
     ref = np.asarray(ref)
-    for ps, lazy, mu in [(False, False, 2), (True, False, 2),
-                         (True, True, 2), (True, True, 4),
-                         (True, False, 1000)]:
+    for ps, lazy, mu, me in [(False, False, 2, False), (True, False, 2, False),
+                             (True, True, 2, False), (True, True, 4, False),
+                             (True, False, 1000, False),
+                             (False, False, 2, True), (True, False, 2, True),
+                             (True, True, 2, True)]:
         mk, _, count = cascade_masked_grid_static(
             cvs, sc, valid, window, tile=(64, 128), interpret=True,
             with_n_weak=False, preshift=ps, preshift_lazy=lazy,
-            preshift_min_uses=mu, block=4)
-        assert np.array_equal(np.asarray(mk), ref), (ps, lazy, mu)
+            preshift_min_uses=mu, block=4, margin_enc=me)
+        assert np.array_equal(np.asarray(mk), ref), (ps, lazy, mu, me)
         assert np.array_equal(np.asarray(count), np.asarray(count0)), \
-            (ps, lazy, mu)
+            (ps, lazy, mu, me)

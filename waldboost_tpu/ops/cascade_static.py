@@ -111,7 +111,8 @@ def static_cascade_from_model(model) -> StaticCascade:
 def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                         n_stages_cap=None, block=BLOCK, bands=1,
                         masked_out=False, with_nweak=True,
-                        preshift_min_uses=2, preshift_lazy=False):
+                        preshift_min_uses=2, preshift_lazy=False,
+                        margin_enc=False):
     """Generate the specialized kernel body: unrolled stages, static slices,
     immediate-constant thresholds/predictions, blockwise tile early exit.
 
@@ -169,7 +170,16 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
     # cmp+astype+mul), half the early-exit cond carry, and the output IS
     # the carry (no final where pass).  Survivors and scores are identical:
     # -inf + resp stays -inf, so the latch is permanent.
-    inf_enc = masked_out and not with_nweak
+    inf_enc = masked_out and not with_nweak and not margin_enc
+    # margin encoding: instead of latching hs to -inf on rejection, carry the
+    # running margin  mg = min_t (hs_t - theta_t)  alongside the UNLATCHED
+    # prefix sum hs.  A window survives iff mg >= 0 (same set as the latch:
+    # rejection is "some prefix fell below its theta"), and survivors'
+    # scores are the plain prefix sum, untouched by masking.  Same vector-op
+    # count per stage (add+sub+min vs add+cmp+select) but the add chain and
+    # the min chain are INDEPENDENT — the latch's add->cmp->select is one
+    # serial 3-op dependency chain per stage, which stalls the VPU.
+    mg_enc = masked_out and not with_nweak and margin_enc
 
     def kernel_masked(mask_ref, canvas_hbm, out_ref, stats_ref,
                       tile_ref, dma_sem, pre_ref=None):
@@ -210,7 +220,10 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
 
         def make_block(ts, b0, bh, blk_i=None):
             def block_fn(carry):
-                if inf_enc:
+                if mg_enc:
+                    hs, mg = carry
+                    alive = None
+                elif inf_enc:
                     (hs,) = carry
                     alive = None
                 elif with_nweak:
@@ -253,10 +266,14 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                     hs = hs + resp
                     th = float(sc.theta[t])
                     if np.isfinite(th):
-                        if inf_enc:
+                        if mg_enc:
+                            mg = jnp.minimum(mg, hs - th)
+                        elif inf_enc:
                             hs = jnp.where(hs >= th, hs, -jnp.inf)
                         else:
                             alive = alive * (hs >= th).astype(jnp.float32)
+                if mg_enc:
+                    return (hs, mg)
                 if inf_enc:
                     return (hs,)
                 return (hs, alive, nweak_acc) if with_nweak else (hs, alive)
@@ -278,7 +295,11 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
             for band in range(bands):
                 b0 = band * BH
                 bh = BH if band < bands - 1 else TU - b0
-                if inf_enc:
+                if mg_enc:
+                    carry = (jnp.zeros((bh, TV), jnp.float32),
+                             jnp.where(mask[b0:b0 + bh, :] > 0.0,
+                                       jnp.inf, -jnp.inf))
+                elif inf_enc:
                     carry = (jnp.where(mask[b0:b0 + bh, :] > 0.0,
                                        0.0, -jnp.inf),)
                 else:
@@ -303,12 +324,21 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                         bi += 1
                 for blk_i, (s0, sz) in enumerate(zip(starts, sizes)):
                     ts = range(s0, min(s0 + sz, T))
-                    pred = (jnp.max(carry[0]) > -jnp.inf) if inf_enc \
-                        else (jnp.sum(carry[1]) > 0.0)
+                    if mg_enc:
+                        pred = jnp.max(carry[1]) >= 0.0
+                    elif inf_enc:
+                        pred = jnp.max(carry[0]) > -jnp.inf
+                    else:
+                        pred = jnp.sum(carry[1]) > 0.0
                     carry = jax.lax.cond(pred,
                                          make_block(ts, b0, bh, blk_i),
                                          lambda c: c, carry)
-                if inf_enc:
+                if mg_enc:
+                    hs, mg = carry
+                    ok = mg >= 0.0
+                    out_ref[b0:b0 + bh, :] = jnp.where(ok, hs, -jnp.inf)
+                    cnt_b = jnp.sum(ok.astype(jnp.float32)).astype(jnp.int32)
+                elif inf_enc:
                     hs = carry[0]
                     out_ref[b0:b0 + bh, :] = hs
                     alive_f = (hs > -jnp.inf).astype(jnp.float32)
@@ -550,7 +580,8 @@ def cascade_response_grid_static(
     jax.jit,
     static_argnames=("sc", "window", "tile", "interpret", "n_stages_cap",
                      "content_hw", "block", "with_n_weak", "preshift",
-                     "bands", "preshift_min_uses", "preshift_lazy"),
+                     "bands", "preshift_min_uses", "preshift_lazy",
+                     "margin_enc"),
 )
 def cascade_masked_grid_static(
     canvas: jax.Array, sc: StaticCascade, valid_mask: jax.Array,
@@ -559,6 +590,7 @@ def cascade_masked_grid_static(
     content_hw: Optional[Tuple[int, int]] = None, block: int = BLOCK,
     with_n_weak: bool = True, preshift: bool = False, bands: int = 1,
     preshift_min_uses: int = 2, preshift_lazy: bool = False,
+    margin_enc: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Serving-extraction form of :func:`cascade_response_grid_static`.
 
@@ -606,7 +638,8 @@ def cascade_masked_grid_static(
                                  masked_out=True, with_nweak=with_n_weak,
                                  bands=bands,
                                  preshift_min_uses=preshift_min_uses,
-                                 preshift_lazy=preshift_lazy)
+                                 preshift_lazy=preshift_lazy,
+                                 margin_enc=margin_enc)
 
     grid = (B, gi, gj)
     mask_spec = pl.BlockSpec((TU, TV), lambda b, i, j: (i, j),
