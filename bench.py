@@ -162,9 +162,11 @@ def bench_train_loop(n_stages=6):
 
 def main():
     only = os.environ.get("BENCH_CONFIGS", "all")
-    # batch 64 amortizes per-batch dispatch best (measured: 632 MP/s at 64
-    # vs 611 at 32 and 587 at 128 on the headline config)
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    # batch 96 amortizes the ~2 ms per-batch dispatch gap best at the
+    # round-5 kernel speeds (measured on the headline config: 992 MP/s at
+    # 96 vs 968 at 64 and 981 at 128; the round-3 sweep favored 64 when
+    # kernels were 1.5x slower)
+    batch = int(os.environ.get("BENCH_BATCH", "96"))
     # 16+ iterations: the axon tunnel's first dispatches after a compile are
     # erratically slow; 8-iter runs under-measure steady state by ~20%
     iters = int(os.environ.get("BENCH_ITERS", "16"))
@@ -187,10 +189,13 @@ def main():
 
     add("single_scale_detection_throughput",
         lambda: bench_vga_single_scale(batch, iters, warmup))
+    # FHD/4K batches stay at their measured optima (16 / 8) independent of
+    # the headline batch default
     add("fhd_depth2_stream_throughput",
-        lambda: bench_fhd_stream_depth2(max(batch // 4, 2), iters, warmup))
+        lambda: bench_fhd_stream_depth2(max(batch // 6, 2), iters, warmup))
     add("fpga_4k_quantized_throughput",
-        lambda: bench_fpga_4k(max(batch // 8, 2), max(iters // 2, 2), warmup))
+        lambda: bench_fpga_4k(max(batch // 12, 2), max(iters // 2, 2),
+                              warmup))
     add("training_loop_throughput", bench_train_loop, unit="stages/min",
         baseline=NORTH_STAR)
     # headline LAST (the driver parses the final JSON line)
