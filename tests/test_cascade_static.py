@@ -167,6 +167,7 @@ def test_masked_kernel_serving_variants(setup):
     ref = np.asarray(ref)
     for ps, lazy, mu, me in [(False, False, 2, False), (True, False, 2, False),
                              (True, True, 2, False), (True, True, 4, False),
+                             (True, True, 1, False),  # serving default
                              (True, False, 1000, False),
                              (False, False, 2, True), (True, False, 2, True),
                              (True, True, 2, True)]:

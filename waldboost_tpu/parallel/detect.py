@@ -172,6 +172,13 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                               with_n_weak=with_n_weak,
                                               preshift=True,
                                               preshift_lazy=True,
+                                              # materialize even single-use
+                                              # pairs: direct misaligned
+                                              # reads in the unrolled stage
+                                              # loop measured 6% slower
+                                              # than one slab copy
+                                              # (scripts/exp_r5_pshift.py)
+                                              preshift_min_uses=1,
                                               block=_serving_block())
     elif backend == "static":
         # cascade-specialized kernel with the batch as a grid dimension:
@@ -194,6 +201,13 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                               with_n_weak=with_n_weak,
                                               preshift=True,
                                               preshift_lazy=True,
+                                              # materialize even single-use
+                                              # pairs: direct misaligned
+                                              # reads in the unrolled stage
+                                              # loop measured 6% slower
+                                              # than one slab copy
+                                              # (scripts/exp_r5_pshift.py)
+                                              preshift_min_uses=1,
                                               block=_serving_block())
     elif backend == "pallas":
         # the generic fused kernel cannot be vmapped (unblocked ANY-space
