@@ -188,16 +188,36 @@ def non_max_suppression(boxes: Boxes, iou_threshold: float = 0.5, score_field: s
         return boxes
     scores = np.asarray(boxes.get_field(score_field)).reshape(-1)
     order = np.argsort(-scores, kind="stable")
-    rects = boxes.get()[order]
-    m = iou_matrix(rects, rects)
+    rects = np.asarray(boxes.get(), np.float32)[order].reshape(-1, 4)
+    # matrix-free greedy: one IoU ROW per kept box (an untrained cascade can
+    # emit tens of thousands of boxes per image — the full n x n matrix and
+    # its broadcast temporaries are O(n^2) memory and thrash at that scale).
+    # The keep set is identical: a kept box suppresses exactly the rows its
+    # matrix row would have.
+    area = np.maximum(rects[:, 2] - rects[:, 0], 0) \
+        * np.maximum(rects[:, 3] - rects[:, 1], 0)
     keep_order_idx = []
     suppressed = np.zeros(n, bool)
     for i in range(n):
         if suppressed[i]:
             continue
         keep_order_idx.append(i)
-        suppressed |= m[i] > iou_threshold
         suppressed[i] = True
+        rest = ~suppressed
+        if not rest.any():
+            break
+        rr = rects[rest]
+        x1 = np.maximum(rects[i, 0], rr[:, 0])
+        y1 = np.maximum(rects[i, 1], rr[:, 1])
+        x2 = np.minimum(rects[i, 2], rr[:, 2])
+        y2 = np.minimum(rects[i, 3], rr[:, 3])
+        inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+        union = area[i] + area[rest] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            iou_row = np.where(union > 0, inter / union, 0.0)
+        sup = np.zeros(n, bool)
+        sup[rest] = iou_row.astype(np.float32) > iou_threshold
+        suppressed |= sup
     keep = order[np.array(keep_order_idx, int)]
     keep = np.sort(keep)
     return boxes[keep]
