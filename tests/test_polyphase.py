@@ -34,16 +34,21 @@ def test_poly_canvas_exact(hw, smooth):
     assert np.array_equal(poly, old)
 
 
+@pytest.mark.parametrize("merged", ["0", "1"])
 @pytest.mark.parametrize("hw,npo", [((48, 64), 2), ((96, 128), 2),
                                     # multi-block levels (nblkS=2) + several
                                     # pieces per shelf: exercises the
                                     # piece-staged DMA ring's slot cycling
                                     ((160, 256), 4)])
-def test_poly_planes_fused_exact(hw, npo):
+def test_poly_planes_fused_exact(hw, npo, merged, monkeypatch):
     """The fused shelf pass-2 kernel (ops.plane_pallas) emits a canvas
     bitwise identical to the XLA mats path: same one-hot corner dots, same
-    f32 lerp association, gap strips zero-filled."""
+    f32 lerp association, gap strips zero-filled.  merged=1 runs the
+    single-launch multi-shelf kernel, merged=0 the chained per-shelf
+    calls — both must be bitwise."""
     import jax
+
+    monkeypatch.setenv("WB_SHELF_MERGED", merged)
 
     from waldboost_tpu.ops.channels_pallas import plane_pad_geometry
 

@@ -975,9 +975,32 @@ def _poly_fused_impl(packed: PackedPyramidPlan, halo: int,
         vmem_max = max(vmem_max, shelf_vmem_bytes(
             plan, PW, lhs.size, fh.size, fw.size))
 
+    # merged single-call variant: every shelf's level blks remapped to the
+    # GLOBAL union of pass-1 block products (ops.plane_pallas.
+    # multi_shelf_pass2_call); gated on ALL shelves' lhs/fh/fw fitting
+    # VMEM together alongside the shared rings
+    merged = None
+    if shelves:
+        from .ops.plane_pallas import multi_shelf_vmem_bytes
+        used_all = tuple(sorted({f for *_ , used in shelves for f in used}))
+        gpos = {f: i for i, f in enumerate(used_all)}
+        plans_g = []
+        arr_bytes = 0
+        for lhs_i, fh_i, fw_i, plan, used in shelves:
+            plans_g.append(ShelfPlan(
+                plan.ys, plan.pitch, plan.ohS, plan.cwmax,
+                [LevelPlan(tuple(gpos[used[b]] for b in lv.blks), lv.oh,
+                           lv.cwpad, lv.wq, lv.xc, lv.fh0, lv.fw0,
+                           lv.pieces)
+                 for lv in plan.levels]))
+            arr_bytes += (arrays[lhs_i].size * 2 + arrays[fh_i].size * 4
+                          + arrays[fw_i].size * 4)
+        if multi_shelf_vmem_bytes(plans_g, PW, arr_bytes) <= 14 * 2 ** 20:
+            merged = (tuple(plans_g), used_all)
+
     spec = dict(geom=pgeom, n_oct=n_oct, oct_list=oct_list,
                 oct_rows=oct_rows, groups=groups, shelves=tuple(shelves),
-                vmem_bytes=vmem_max)
+                vmem_bytes=vmem_max, merged=merged)
     return tuple(arrays), spec
 
 
@@ -1009,6 +1032,21 @@ def _poly_planes_fused(images, mats, spec, interpret: bool = False):
             parts_flat.append(
                 jnp.einsum("Bhw,kw->Bhk", img[:, :, k0:k1], mats[ai],
                            preferred_element_type=jnp.bfloat16))
+    # WB_SHELF_MERGED=1: single-launch multi-shelf kernel.  Bitwise equal
+    # (TPU-validated, scripts/exp_r5_fusedbisect.py) but measured ~2%
+    # SLOWER on the VGA headline (1009/1021 vs 1035 MP/s): the merged
+    # kernel serializes on ALL pass-1 cols, while the per-shelf chain lets
+    # shelf k's kernel overlap later shelves' einsums — the 8 launch
+    # drains it saves were already hidden under that overlap.
+    merged = spec.get("merged")
+    if merged is not None and os.environ.get("WB_SHELF_MERGED", "0") == "1":
+        from .ops.plane_pallas import multi_shelf_pass2_call
+        plans_g, used_g = merged
+        shelf_arrays = tuple(mats[i] for s in spec["shelves"]
+                             for i in s[:3])
+        cols = tuple(parts_flat[f] for f in used_g)
+        return multi_shelf_pass2_call(shelf_arrays, cols, plans_g, PH, PW,
+                                      interpret=interpret)
     carry = None
     for lhs_i, fh_i, fw_i, plan, used in spec["shelves"]:
         cols = tuple(parts_flat[f] for f in used)

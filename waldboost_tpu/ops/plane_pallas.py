@@ -72,7 +72,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["shelf_pass2_call", "shelf_vmem_bytes", "ShelfPlan", "LevelPlan"]
+__all__ = ["shelf_pass2_call", "shelf_vmem_bytes", "ShelfPlan", "LevelPlan",
+           "multi_shelf_pass2_call", "multi_shelf_vmem_bytes"]
 
 
 class LevelPlan:
@@ -144,6 +145,49 @@ def shelf_vmem_bytes(plan: ShelfPlan, PW: int,
     return (2 * plan.nblkS * plan.kwpS * 512 * 2
             + 2 * 4 * sh * PW * 2
             + lhs_size * 2 + fh_size * 4 + fw_size * 4)
+
+
+def _piece_compute(lhs_ref, fh_ref, fw_ref, rhs_ref, band_ref, sl, bsl,
+                   lv: LevelPlan, piece, pitch: int):
+    """One piece's corner dots + lerp + bf16 stores into the band scratch
+    (shared by the per-shelf and merged kernels; bit-exactness pinned by
+    tests/test_polyphase.py)."""
+    row_off, rb, r0, k0, kwp = piece
+    lhs = lhs_ref[row_off:row_off + 4 * rb, 0:kwp]
+    ncb = -(-lv.wq // 128)
+    for ci in range(ncb):
+        cs = ci * 128
+        w = min(128, lv.wq - cs)
+        fwq = [fw_ref[(lv.fw0 + q) * 8:(lv.fw0 + q) * 8 + 1,
+                      cs:cs + 128] for q in (0, 1)]
+        outs = [
+            jax.lax.dot_general(
+                lhs,
+                rhs_ref[sl, ci, 0:kwp, i * 128:(i + 1) * 128],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for i in range(4)
+        ]
+        for p in (0, 1):
+            fh = fh_ref[lv.fh0 + p * pitch + r0:
+                        lv.fh0 + p * pitch + r0 + rb, 0:1]
+            for q in (0, 1):
+                # outs[x*2+q] rows are (a*2+p)-grouped: slice the
+                # (h-corner a, w-corner x) blocks and run
+                # model._lerp_block's exact f32 association
+                def gco(a, x, q=q, p=p):
+                    o = outs[x * 2 + q]
+                    return o[(a * 2 + p) * rb:(a * 2 + p + 1) * rb, :]
+                g00, g10 = gco(0, 0), gco(1, 0)
+                g01, g11 = gco(0, 1), gco(1, 1)
+                ta = g00 * (1.0 - fh) + g10 * fh
+                tb = g01 * (1.0 - fh) + g11 * fh
+                blk = ta * (1.0 - fwq[q]) + tb * fwq[q]
+                blk = jnp.floor(blk + 1e-4).astype(jnp.bfloat16)
+                # stripe-local rows: piece r0 == stripe sr0
+                band_ref[bsl, p, q, 0:rb,
+                         lv.xc + cs:lv.xc + cs + w] = \
+                    blk[:, :w] if w < 128 else blk
 
 
 def _make_shelf_kernel(plan: ShelfPlan, n_cols: int, has_carry: bool):
@@ -222,43 +266,8 @@ def _make_shelf_kernel(plan: ShelfPlan, n_cols: int, has_carry: bool):
                         cp.start()
                 for cp in piece_dmas(t):
                     cp.wait()
-                row_off, rb, r0, k0, kwp = piece
-                lhs = lhs_ref[row_off:row_off + 4 * rb, 0:kwp]
-                ncb = -(-lv.wq // 128)
-                for ci in range(ncb):
-                    cs = ci * 128
-                    w = min(128, lv.wq - cs)
-                    fwq = [fw_ref[(lv.fw0 + q) * 8:(lv.fw0 + q) * 8 + 1,
-                                  cs:cs + 128] for q in (0, 1)]
-                    outs = [
-                        jax.lax.dot_general(
-                            lhs,
-                            rhs_ref[sl, ci, 0:kwp, i * 128:(i + 1) * 128],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        for i in range(4)
-                    ]
-                    for p in (0, 1):
-                        fh = fh_ref[lv.fh0 + p * pitch + r0:
-                                    lv.fh0 + p * pitch + r0 + rb, 0:1]
-                        for q in (0, 1):
-                            # outs[x*2+q] rows are (a*2+p)-grouped: slice
-                            # the (h-corner a, w-corner x) blocks and run
-                            # model._lerp_block's exact f32 association
-                            def gco(a, x, q=q, p=p):
-                                o = outs[x * 2 + q]
-                                return o[(a * 2 + p) * rb:
-                                         (a * 2 + p + 1) * rb, :]
-                            g00, g10 = gco(0, 0), gco(1, 0)
-                            g01, g11 = gco(0, 1), gco(1, 1)
-                            ta = g00 * (1.0 - fh) + g10 * fh
-                            tb = g01 * (1.0 - fh) + g11 * fh
-                            blk = ta * (1.0 - fwq[q]) + tb * fwq[q]
-                            blk = jnp.floor(blk + 1e-4).astype(jnp.bfloat16)
-                            # stripe-local rows: piece r0 == stripe sr0
-                            band_ref[bsl, p, q, 0:rb,
-                                     lv.xc + cs:lv.xc + cs + w] = \
-                                blk[:, :w] if w < 128 else blk
+                _piece_compute(lhs_ref, fh_ref, fw_ref, rhs_ref, band_ref,
+                               sl, bsl, lv, piece, pitch)
                 t += 1
             # the stripe write rides under the next stripe's compute
             stripe_copy(s_idx).start()
@@ -319,3 +328,144 @@ def shelf_pass2_call(lhs: jax.Array, fh: jax.Array, fw: jax.Array,
         input_output_aliases=io_aliases,
         interpret=interpret,
     )(*args)
+
+
+def multi_shelf_vmem_bytes(plans: Sequence[ShelfPlan], PW: int,
+                           arr_bytes: int) -> int:
+    """Merged-kernel VMEM footprint: ALL shelves' lhs/fh/fw stay resident
+    (``arr_bytes``), the staging/band rings are sized at the per-shelf
+    maxima.  The per-shelf rings don't sum — the merged kernel reuses one
+    ring across the whole flat work list."""
+    kwpS = max(p.kwpS for p in plans)
+    nblkS = max(p.nblkS for p in plans)
+    SHmax = max(min(STRIPE, p.pitch) for p in plans)
+    return (2 * nblkS * kwpS * 512 * 2
+            + 2 * 4 * SHmax * PW * 2
+            + arr_bytes)
+
+
+def _make_multi_shelf_kernel(plans: Tuple[ShelfPlan, ...], n_cols: int):
+    """All shelves in ONE kernel: a flat (shelf, stripe, piece) work list
+    sharing one staging ring and one band ring.  Kills the per-shelf call
+    overhead (8 pipeline drains per image at the VGA pyramid: the first
+    piece DMA and the last stripe write of every call ran unoverlapped)
+    and lets shelf k+1's first fetch ride under shelf k's tail compute.
+    LevelPlan.blks index the GLOBAL cols tuple here."""
+    stripe_list = []  # (shelf idx, sr0, sh)
+    work = []         # (global stripe idx, lv, piece)
+    for si, plan in enumerate(plans):
+        SH = min(STRIPE, plan.pitch)
+        for sr0 in range(0, plan.pitch, SH):
+            gs = len(stripe_list)
+            stripe_list.append((si, sr0, min(SH, plan.pitch - sr0)))
+            for lv in plan.levels:
+                for piece in lv.pieces:
+                    if piece[2] == sr0:
+                        assert piece[1] <= min(SH, plan.pitch - sr0), \
+                            (piece, sr0, plan.pitch)
+                        work.append((gs, si, lv, piece))
+    assert len(work) == sum(len(lv.pieces) for p in plans
+                            for lv in p.levels), \
+        "piece row-block grid must match the stripe grid"
+
+    def kernel(*refs):
+        shelf_refs = refs[:3 * len(plans)]  # lhs/fh/fw per shelf
+        cols_refs = refs[3 * len(plans):3 * len(plans) + n_cols]
+        out_ref = refs[3 * len(plans) + n_cols]
+        rhs_ref, band_ref, sem, osem = refs[-4:]
+
+        b = pl.program_id(0)
+
+        def piece_dmas(t):
+            sl = t % 2
+            _gs, _si, lv, (_ro, _rb, _r0, k0, kwp) = work[t]
+            return [
+                pltpu.make_async_copy(
+                    cols_refs[ref_i].at[b, pl.ds(k0, kwp), :],
+                    rhs_ref.at[sl, j, 0:kwp, :],
+                    sem.at[sl, j])
+                for j, ref_i in enumerate(lv.blks)
+            ]
+
+        def stripe_copy(gs):
+            si, sr0, sh = stripe_list[gs]
+            return pltpu.make_async_copy(
+                band_ref.at[gs % 2, :, :, 0:sh, :],
+                out_ref.at[b, :, :, pl.ds(plans[si].ys + sr0, sh), :],
+                osem.at[gs % 2])
+
+        if work:
+            for cp in piece_dmas(0):
+                cp.start()
+
+        t = 0
+        for gs, (si, _sr0, _sh) in enumerate(stripe_list):
+            bsl = gs % 2
+            if gs >= 2:
+                # this slot's copy from two stripes ago must land before
+                # the zero-fill below overwrites the scratch
+                stripe_copy(gs - 2).wait()
+            band_ref[bsl] = jnp.zeros(band_ref.shape[1:], band_ref.dtype)
+
+            while t < len(work) and work[t][0] == gs:
+                sl = t % 2
+                _gs, tsi, lv, piece = work[t]
+                if t + 1 < len(work):
+                    for cp in piece_dmas(t + 1):
+                        cp.start()
+                for cp in piece_dmas(t):
+                    cp.wait()
+                _piece_compute(shelf_refs[3 * tsi], shelf_refs[3 * tsi + 1],
+                               shelf_refs[3 * tsi + 2], rhs_ref, band_ref,
+                               sl, bsl, lv, piece, plans[tsi].pitch)
+                t += 1
+            # the stripe write rides under the next stripe's compute
+            stripe_copy(gs).start()
+
+        stripe_copy(len(stripe_list) - 1).wait()
+        if len(stripe_list) >= 2:
+            stripe_copy(len(stripe_list) - 2).wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("plans", "PH", "PW", "interpret"))
+def multi_shelf_pass2_call(shelf_arrays: Tuple[jax.Array, ...],
+                           cols: Tuple[jax.Array, ...],
+                           plans: Tuple[ShelfPlan, ...], PH: int, PW: int,
+                           interpret: bool = False) -> jax.Array:
+    """Run EVERY shelf's fused pass-2 in one kernel launch.
+
+    ``shelf_arrays``: (lhs, fh, fw) per shelf, flattened shelf-major.
+    ``cols``: the union of all shelves' pass-1 block products;
+    ``LevelPlan.blks`` index this tuple directly.  Shelf bands tile
+    [0, PH) disjointly, so no carry aliasing is needed — one call writes
+    the whole canvas.  Bitwise-identical to chaining
+    :func:`shelf_pass2_call` per shelf (same pieces, same dots, same lerp;
+    only the launch structure differs)."""
+    assert len(shelf_arrays) == 3 * len(plans)
+    B = cols[0].shape[0]
+    n_cols = len(cols)
+    kernel = _make_multi_shelf_kernel(plans, n_cols)
+    kwpS = max(p.kwpS for p in plans)
+    nblkS = max(p.nblkS for p in plans)
+    SHmax = max(min(STRIPE, p.pitch) for p in plans)
+
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * len(shelf_arrays)
+                + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_cols)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, 2, 2, PH, PW), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((2, nblkS, kwpS, 512), jnp.bfloat16),
+            pltpu.VMEM((2, 2, 2, SHmax, PW), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, nblkS)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(*shelf_arrays, *cols)
