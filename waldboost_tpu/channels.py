@@ -106,6 +106,13 @@ class ChannelFunction:
     #: interpret) -> (C, Hc, Wc).  Bit-identical to canvas_fn_poly + smooth;
     #: used on TPU where it avoids materializing intermediates in HBM.
     poly_kernel: Optional[Callable] = None
+    #: mask array fed to poly_kernel: (packed_plan) -> array, or None to pass
+    #: the smooth interior mask (the grad_hist contract).  The FPGA kernels
+    #: take the polyphase stencil ring mask instead.
+    poly_kernel_mask: Optional[Callable] = None
+    #: whether poly_kernel implements the smooth == 1 tail itself; when
+    #: False, smooth configs fall back to the XLA polyphase chain.
+    poly_kernel_smooth: bool = True
 
     def __call__(self, image: jax.Array) -> jax.Array:
         return self.fn(image)

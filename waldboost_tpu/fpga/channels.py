@@ -119,6 +119,32 @@ def _grad_mag_u1_poly_fn(planes, ctx):
     return _fpga_poly_channels(planes, ctx, [y])
 
 
+def _stencil_border_mask_poly(packed):
+    """(2, 2, Hc, Wc) f32 polyphase stencil ring mask of a packed plan
+    (mask[a, b, i, j] = border_mask[2i+a, 2j+b]) — the fused kernel's mask
+    input (see model._poly_channels for the XLA-side construction)."""
+    import numpy as np
+    bm = packed.stencil_border_mask()
+    H2, W2 = bm.shape
+    return jnp.asarray(bm.reshape(H2 // 2, 2, W2 // 2, 2)
+                       .transpose(1, 3, 0, 2).astype(np.float32))
+
+
+def _fpga_poly_kernel(kind):
+    """poly_kernel adapter: the fused Pallas FPGA channel kernel
+    (ops.channels_pallas.fpga_poly_pallas).  ``mask`` is the polyphase
+    stencil ring mask (poly_kernel_mask); smooth == 1 never reaches here
+    (poly_kernel_smooth=False routes it to the XLA chain)."""
+    def k(planes, mask, smooth, interpret, content_hw=None, out_grid=None,
+          crop=True, alloc_grid=None):
+        assert smooth == 0, "fused FPGA kernel is smooth=0 only"
+        from ..ops.channels_pallas import fpga_poly_pallas
+        return fpga_poly_pallas(planes, mask, kind=kind, interpret=interpret,
+                                content_hw=content_hw, out_grid=out_grid,
+                                crop=crop, alloc_grid=alloc_grid)
+    return k
+
+
 def _grad_hist_4_u1_canvas_fn(canvas, ctx):
     """Canvas mode: one Sobel pass over the packed canvas; the numba-stencil
     zero-border convention is restored by masking each level's 1px ring."""
@@ -146,6 +172,9 @@ grad_hist_4_u1 = register_channel_function(
         boundary="stencil_zero",
         canvas_fn=_grad_hist_4_u1_canvas_fn,
         canvas_fn_poly=_grad_hist_4_u1_poly_fn,
+        poly_kernel=_fpga_poly_kernel("grad_hist_4_u1"),
+        poly_kernel_mask=_stencil_border_mask_poly,
+        poly_kernel_smooth=False,
     )
 )
 
@@ -160,5 +189,8 @@ grad_mag_u1 = register_channel_function(
         boundary="stencil_zero",
         canvas_fn=_grad_mag_u1_canvas_fn,
         canvas_fn_poly=_grad_mag_u1_poly_fn,
+        poly_kernel=_fpga_poly_kernel("grad_mag_u1"),
+        poly_kernel_mask=_stencil_border_mask_poly,
+        poly_kernel_smooth=False,
     )
 )

@@ -316,9 +316,10 @@ def _channel_canvas_fast(image, shrink, smooth, cf, packed: PackedPyramidPlan):
     return chns
 
 
-def _poly_pad_geometry(cf, packed: PackedPyramidPlan):
+def _poly_pad_geometry(cf, packed: PackedPyramidPlan, smooth: int = 0):
     """Pre-pad geometry for the fused channel kernel (or None for XLA)."""
-    if cf.poly_kernel is not None and _use_channel_kernel():
+    if (cf.poly_kernel is not None and _use_channel_kernel()
+            and (smooth == 0 or cf.poly_kernel_smooth)):
         from .ops.channels_pallas import plane_pad_geometry
         return plane_pad_geometry(packed.canvas_h, packed.canvas_w)
     return None
@@ -326,7 +327,7 @@ def _poly_pad_geometry(cf, packed: PackedPyramidPlan):
 
 def _channel_canvas_poly(image, smooth, cf, packed: PackedPyramidPlan):
     """Polyphase canvas pipeline (shrink=2 fast path), single image."""
-    geom = _poly_pad_geometry(cf, packed)
+    geom = _poly_pad_geometry(cf, packed, smooth)
     planes = _poly_planes(image, cf, packed, geom=geom)
     return _poly_channels(planes, smooth, cf, packed, padded=geom is not None)
 
@@ -340,7 +341,7 @@ def _channel_canvas_batch(images, shrink, n_per_oct, smooth, cf,
     batched callers must come through here rather than vmapping the
     single-image canvas."""
     if shrink == 2 and cf.canvas_fn_poly is not None:
-        geom = _poly_pad_geometry(cf, packed)
+        geom = _poly_pad_geometry(cf, packed, smooth)
         planes = jax.vmap(
             lambda im: _poly_planes(im, cf, packed, geom=geom,
                                     mats=mats, spec=spec))(images)
@@ -1167,12 +1168,15 @@ def _poly_channels(planes, smooth, cf, packed: PackedPyramidPlan,
 
     interior = jnp.asarray(packed.smooth_interior_mask()) if smooth == 1 \
         else None
-    if cf.poly_kernel is not None and _use_channel_kernel():
+    if (cf.poly_kernel is not None and _use_channel_kernel()
+            and (smooth == 0 or cf.poly_kernel_smooth)):
         # fused Pallas chain (channels + pool + smooth + mask in one pass);
         # handles the batch as a grid dimension
         interpret = jax.default_backend() != "tpu"
         content_hw = (packed.canvas_h, packed.canvas_w) if padded else None
-        return cf.poly_kernel(planes, interior, smooth, interpret,
+        kmask = cf.poly_kernel_mask(packed) \
+            if cf.poly_kernel_mask is not None else interior
+        return cf.poly_kernel(planes, kmask, smooth, interpret,
                               content_hw=content_hw)
 
     bmp = None
@@ -1188,6 +1192,12 @@ def _poly_channels(planes, smooth, cf, packed: PackedPyramidPlan,
         if smooth == 1:
             from .ops.image import smooth_3x3
             chns = smooth_3x3(chns)
+            if cf.boundary == "stencil_zero":
+                # integer channels (uint8 in the canvas path) truncate the
+                # /16 back — the numba-stencil uint8 assignment semantics
+                # (/root/reference/waldboost/channels.py:78-90 applied to
+                # fpga channels); values are nonneg so floor == trunc
+                chns = jnp.floor(chns)
             zero = jnp.zeros((), chns.dtype)
             chns = jnp.where(interior[None], chns, zero)
         return chns

@@ -29,7 +29,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["grad_hist_poly_pallas", "TILE", "PAD_R", "PAD_C", "plane_pad_geometry"]
+__all__ = ["grad_hist_poly_pallas", "fpga_poly_pallas", "TILE", "PAD_R",
+           "PAD_C", "plane_pad_geometry"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -350,6 +351,227 @@ def grad_hist_poly_pallas(
         ],
         interpret=interpret,
     )(*args)
+
+    if crop:
+        out = out[:, :, :Hc, :Wc]
+    return out if batched else out[0]
+
+
+def _make_fpga_kernel(TU, TV, n_out, kind, content_grid=None):
+    """FPGA integer-channel kernel body: polyphase Sobel, fixed-orientation
+    responses, ``min(|y|//4, 255)`` quantization, stencil-ring mask select,
+    and the uint8-wraparound 2x2 pool — all in VMEM.  Term-for-term the same
+    expressions as fpga.channels._sobel_poly/_fpga_poly_channels (integer
+    values are exact in f32), so outputs are bitwise identical to the XLA
+    polyphase chain.  Reference semantics:
+    /root/reference/waldboost/fpga/channels.py:5-53 (stencil Sobel, zero
+    borders, orientation quantization), /root/reference/waldboost/channels.py
+    :55-64 (uint8 avg pool with mod-256 wraparound)."""
+    HR, HC = 8, 128  # fetched halo (alignment); compute uses 1 plane px
+
+    def kernel(mask_ref, planes_hbm, out_ref, tile_ref, dma_sem):
+        bb = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        gi_n = pl.num_programs(1)
+        gj_n = pl.num_programs(2)
+        total = pl.num_programs(0) * gi_n * gj_n
+        step = (bb * gi_n + i) * gj_n + j
+        slot = jax.lax.rem(step, 2)
+
+        def is_content(ii, jj):
+            if content_grid is None:
+                return True
+            return jnp.logical_and(ii < content_grid[0],
+                                   jj < content_grid[1])
+
+        def tile_dma(sl, b2, ii, jj):
+            src = planes_hbm.at[b2, :, :, pl.ds(ii * TU, TU + 2 * HR),
+                                pl.ds(jj * TV, TV + 2 * HC)]
+            return pltpu.make_async_copy(src, tile_ref.at[sl],
+                                         dma_sem.at[sl])
+
+        # double buffering across grid steps (the proven scaffold of
+        # _make_kernel): each CONTENT tile's DMA is started by the
+        # predecessor step and waited exactly once by its own step
+        ic_cur = is_content(i, j)
+
+        @pl.when(jnp.logical_and(step == 0, ic_cur)
+                 if content_grid is not None else step == 0)
+        def _first():
+            tile_dma(slot, bb, i, j).start()
+
+        s1 = step + 1
+        b1 = s1 // (gi_n * gj_n)
+        r1 = jax.lax.rem(s1, gi_n * gj_n)
+        i1 = r1 // gj_n
+        j1 = jax.lax.rem(r1, gj_n)
+        nxt = s1 < total
+        if content_grid is not None:
+            nxt = jnp.logical_and(nxt, is_content(i1, j1))
+
+        @pl.when(nxt)
+        def _prefetch_next():
+            tile_dma(jax.lax.rem(s1, 2),
+                     jnp.minimum(b1, pl.num_programs(0) - 1), i1, j1).start()
+
+        @pl.when(ic_cur if content_grid is not None else step >= 0)
+        def _wait_own():
+            tile_dma(slot, bb, i, j).wait()
+
+        def compute():
+            s = 1  # Sobel radius in plane px
+
+            def at1(a, b, dr, dc):
+                v = tile_ref[slot, a, b,
+                             HR - s + dr:HR - s + dr + TU + 2 * s,
+                             HC - s + dc:HC - s + dc + TV + 2 * s]
+                return v.astype(jnp.float32)
+
+            def sl2(x, dr, dc):
+                """center (TU, TV) view of a (TU+2, TV+2) array."""
+                return x[1 + dr:1 + dr + TU, 1 + dc:1 + dc + TV]
+
+            # vertical [1,2,1] prefilter, then horizontal difference -> dx
+            # (term order = fpga.channels._sobel_poly)
+            sy = [[at1(1, b, -1, 0) + 2.0 * at1(0, b, 0, 0) + at1(1, b, 0, 0)
+                   for b in (0, 1)],
+                  [at1(0, b, 0, 0) + 2.0 * at1(1, b, 0, 0) + at1(0, b, 1, 0)
+                   for b in (0, 1)]]
+            dx = [[sl2(sy[a][1], 0, 0) - sl2(sy[a][1], 0, -1),
+                   sl2(sy[a][0], 0, 1) - sl2(sy[a][0], 0, 0)]
+                  for a in (0, 1)]
+            # horizontal [1,2,1] prefilter, then vertical difference -> dy
+            sx = [[at1(a, 1, 0, -1) + 2.0 * at1(a, 0, 0, 0) + at1(a, 1, 0, 0),
+                   at1(a, 0, 0, 0) + 2.0 * at1(a, 1, 0, 0) + at1(a, 0, 0, 1)]
+                  for a in (0, 1)]
+            dy = [[sl2(sx[1][b], 0, 0) - sl2(sx[1][b], -1, 0) for b in (0, 1)],
+                  [sl2(sx[0][b], 1, 0) - sl2(sx[0][b], 0, 0) for b in (0, 1)]]
+
+            def responses(a, b):
+                gx, gy = dx[a][b], dy[a][b]
+                if kind == "grad_mag_u1":
+                    return [jnp.maximum(jnp.abs(gx), jnp.abs(gy))]
+                # grad_hist_4_u1: {dx, (dx-dy)/2, dy, (dx+dy)/2}; the
+                # half-integer orientations truncate toward zero
+                y1 = jnp.trunc(0.5 * gx - 0.5 * gy)
+                y3 = jnp.trunc(0.5 * gx + 0.5 * gy)
+                return [gx, y1, gy, y3]
+
+            rs = [[responses(a, b) for b in (0, 1)] for a in (0, 1)]
+            for k in range(n_out):
+                def q(a, b):
+                    v = jnp.minimum(jnp.floor(jnp.abs(rs[a][b][k]) * 0.25),
+                                    255.0)
+                    # select (not multiply): fused-assembly gap planes may
+                    # hold garbage (incl. NaN); ring zeros must stay exact
+                    return jnp.where(mask_ref[a, b] > 0, v, 0.0)
+
+                sk = (q(0, 0) + q(1, 0)) + (q(0, 1) + q(1, 1))
+                sk = sk - 256.0 * jnp.floor(sk * (1.0 / 256.0))  # u8 wrap
+                out_ref[k] = jnp.floor(sk * 0.25)
+
+        live = jnp.sum(mask_ref[...]) > 0.0
+        if content_grid is not None:
+            live = jnp.logical_and(
+                live, jnp.logical_and(i < content_grid[0],
+                                      j < content_grid[1]))
+
+        @pl.when(live)
+        def _live_tile():
+            compute()
+
+        @pl.when(jnp.logical_not(live))
+        def _dead_tile():
+            for k in range(n_out):
+                out_ref[k] = jnp.zeros((TU, TV), jnp.float32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "tile", "interpret", "content_hw", "out_grid",
+                     "crop", "alloc_grid"),
+)
+def fpga_poly_pallas(
+    planes: jax.Array, border_mask_poly: jax.Array, kind: str,
+    tile: Tuple[int, int] = TILE, interpret: bool = False,
+    content_hw: Optional[Tuple[int, int]] = None,
+    out_grid: Optional[Tuple[int, int]] = None, crop: bool = True,
+    alloc_grid: Optional[Tuple[int, int]] = None,
+) -> jax.Array:
+    """Pooled FPGA integer channel canvas from polyphase planes, fused.
+
+    ``planes``: (2, 2, Hc, Wc) or (B, 2, 2, Hc, Wc) bf16/f32 polyphase image
+    canvas.  ``border_mask_poly``: (2, 2, Hc, Wc) stencil ring mask (the
+    numba-stencil zero-border convention of the reference, applied to the
+    quantized responses BEFORE the pool — model._poly_channels builds it).
+    ``kind``: "grad_hist_4_u1" (4 channels) or "grad_mag_u1" (1).  The
+    content_hw / out_grid / crop / alloc_grid contract matches
+    :func:`grad_hist_poly_pallas`.  Output values are integers in [0, 255]
+    as f32, bitwise equal to the XLA chain
+    (fpga.channels._grad_hist_4_u1_poly_fn et al.).
+    """
+    n_out = 1 if kind == "grad_mag_u1" else 4
+    batched = planes.ndim == 5
+    if not batched:
+        planes = planes[None]
+    B = planes.shape[0]
+    HR, HC = PAD_R, PAD_C
+    if content_hw is not None:
+        Hc, Wc = content_hw
+    else:
+        Hc, Wc = planes.shape[-2], planes.shape[-1]
+    assert out_grid is None or alloc_grid is None
+    TU, TV, gi, gj = channel_grid(Hc, Wc, tile, out_grid)
+    gi_p = max(-(-Hc // TU), 1)
+    gj_p = max(-(-Wc // TV), 1)
+    if content_hw is not None:
+        assert planes.shape[-2:] == (gi_p * TU + 2 * HR,
+                                     gj_p * TV + 2 * HC), \
+            (planes.shape, gi_p * TU + 2 * HR, gj_p * TV + 2 * HC)
+        planes_p = planes
+    else:
+        planes_p = jnp.pad(planes,
+                           ((0, 0), (0, 0), (0, 0),
+                            (HR, gi_p * TU + HR - Hc),
+                            (HC, gj_p * TV + HC - Wc)))
+    if planes_p.dtype not in (jnp.bfloat16, jnp.float32):
+        planes_p = planes_p.astype(jnp.float32)
+    mask_p = jnp.pad(border_mask_poly.astype(jnp.float32),
+                     ((0, 0), (0, 0), (0, gi * TU - Hc), (0, gj * TV - Wc)))
+    gi_c = max(-(-Hc // TU), 1)
+    gj_c = max(-(-Wc // TV), 1)
+    content_grid = (gi_c, gj_c) if (gi, gj) != (gi_c, gj_c) else None
+    kernel = _make_fpga_kernel(TU, TV, n_out, kind,
+                               content_grid=content_grid)
+
+    def kernel_b(mask_ref, planes_hbm, out_ref, tile_ref, dma_sem):
+        kernel(mask_ref, planes_hbm, out_ref.at[0], tile_ref, dma_sem)
+
+    agi = max(gi, alloc_grid[0]) if alloc_grid is not None else gi
+    agj = max(gj, alloc_grid[1]) if alloc_grid is not None else gj
+
+    out = pl.pallas_call(
+        kernel_b,
+        grid=(B, gi, gj),
+        in_specs=[
+            pl.BlockSpec((2, 2, TU, TV), lambda b, i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # planes (manual DMA)
+        ],
+        out_specs=pl.BlockSpec((1, n_out, TU, TV),
+                               lambda b, i, j: (b, 0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_out, agi * TU, agj * TV),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 2, TU + 2 * HR, TV + 2 * HC), planes_p.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(mask_p, planes_p)
 
     if crop:
         out = out[:, :, :Hc, :Wc]

@@ -74,6 +74,7 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
     fused = bool(backend == "static" and shrink == 2
                  and cf.canvas_fn_poly is not None
                  and cf.poly_kernel is not None and _use_channel_kernel()
+                 and (smooth == 0 or cf.poly_kernel_smooth)
                  and packed.levels)
     content_hw_out = None
     if fused:
@@ -97,8 +98,13 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
         # planes stay content-grid sized: the channel kernel's pad tiles
         # (out_grid enlargement for the cascade's halo fetch) skip their DMA
         geom = plane_pad_geometry(Hc, Wc)
-        interior = jnp.asarray(packed.smooth_interior_mask()) if smooth == 1 \
-            else None
+        # grad_hist takes the smooth interior mask; the FPGA kernels take
+        # the polyphase stencil ring mask (poly_kernel_mask)
+        if cf.poly_kernel_mask is not None:
+            interior = cf.poly_kernel_mask(packed)
+        else:
+            interior = jnp.asarray(packed.smooth_interior_mask()) \
+                if smooth == 1 else None
         # one-time device-resident selector matrices (see _poly_mats_cached:
         # closure-captured arrays would lower as MLIR literals, so they ride
         # the jit boundary as explicit arguments; only the static spec is
