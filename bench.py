@@ -12,7 +12,9 @@ Configs (BASELINE.json:6-12):
      depth-2 cascade, on-device box extraction + NMS  [HEADLINE]
   3. fhd_stream_depth2 — depth-2 trees, batched 1920x1080 stream
   4. train_loop — SamplePool + Learner.fit_stage (alpha=0.2), synthetic data
-  5. fpga_4k — quantized integer channels (grad_hist_4_u1), 3840x2160
+  5. fpga_4k — quantized integer channels, multi-channel
+     grad_hist_4_u1+grad_mag_u1 (C=5), 3840x2160, NMS on; plus a smooth=1
+     variant (fpga_4k_smooth)
 
 Every iteration uses distinct inputs (the axon runtime dedupes identical
 executions); timing drains the FIFO by fetching a scalar from the last
@@ -133,12 +135,17 @@ def bench_fhd_stream_depth2(batch, iters, warmup):
     return _detect_mps(model, 1080, 1920, batch, iters, warmup, nms_iou=0.5)
 
 
-def bench_fpga_4k(batch, iters, warmup):
-    """Config 5: FPGA quantized integer channels on 4K frames."""
+def bench_fpga_4k(batch, iters, warmup, smooth=0):
+    """Config 5 as written (BASELINE.json:11): FPGA quantized integer
+    channels + multi-channel (grad_hist_4_u1 + grad_mag_u1, C=5) on 4K
+    frames, NMS on.  ``smooth=1`` additionally measures the in-kernel
+    3x3/16 smooth variant (the full reference channel contract)."""
     from __graft_entry__ import _flagship_model
-    opts = dict(shrink=2, n_per_oct=4, smooth=0, channels="grad_hist_4_u1")
-    model = _flagship_model(channel_opts=opts, image_hw=(540, 960))
-    return _detect_mps(model, 2160, 3840, batch, iters, warmup)
+    opts = dict(shrink=2, n_per_oct=4, smooth=smooth,
+                channels="grad_hist_4_u1+grad_mag_u1")
+    model = _flagship_model(channel_opts=opts, image_hw=(540, 960),
+                            shape=(12, 12, 5))
+    return _detect_mps(model, 2160, 3840, batch, iters, warmup, nms_iou=0.5)
 
 
 def bench_train_loop(n_stages=6):
@@ -180,10 +187,10 @@ def main():
             # print immediately (a crashing later config must not lose
             # earlier results); the headline runs last so the driver's
             # last-JSON-line parse still lands on it
-            print(json.dumps({"metric": name, "value": round(value, 2),
-                              "unit": unit,
-                              "vs_baseline": round(value / baseline, 4)}),
-                  flush=True)
+            rec = {"metric": name, "value": round(value, 2), "unit": unit,
+                   "vs_baseline": (round(value / baseline, 4)
+                                   if baseline else None)}
+            print(json.dumps(rec), flush=True)
         except Exception:
             traceback.print_exc()
 
@@ -196,8 +203,13 @@ def main():
     add("fpga_4k_quantized_throughput",
         lambda: bench_fpga_4k(max(batch // 12, 2), max(iters // 2, 2),
                               warmup))
+    add("fpga_4k_smooth_throughput",
+        lambda: bench_fpga_4k(max(batch // 12, 2), max(iters // 2, 2),
+                              warmup, smooth=1))
+    # no meaningful reference baseline exists for stages/min (the CPU
+    # reference publishes no training numbers): vs_baseline is null
     add("training_loop_throughput", bench_train_loop, unit="stages/min",
-        baseline=NORTH_STAR)
+        baseline=None)
     # headline LAST (the driver parses the final JSON line)
     add("full_pyramid_detection_throughput",
         lambda: bench_vga_full_pyramid(batch, iters, warmup))

@@ -71,29 +71,56 @@ def max_pool_2(arr):
 
 def smooth_image_3d(arr):
     """3x3 binomial/16; border rows/cols of the output are 0 (numba stencil
-    default boundary)."""
-    work = arr.astype(np.int64) if np.issubdtype(arr.dtype, np.integer) else arr
-    k = np.array([1, 2, 1], "f8")
+    default boundary).  Float inputs sum the nine taps in the stencil
+    expression's left-to-right f32 order (the association is observable for
+    irrational channel values); integer inputs compute exactly in int64."""
     out = np.zeros_like(arr)
     u, v = arr.shape[:2]
-    for ch in range(arr.shape[2]):
-        x = work[..., ch].astype("f8")
-        r = x[:-2, :] + 2 * x[1:-1, :] + x[2:, :]
-        s = r[:, :-2] + 2 * r[:, 1:-1] + r[:, 2:]
-        interior = s / 16
-        if np.issubdtype(arr.dtype, np.integer):
-            interior = interior.astype(arr.dtype)
-        out[1:u - 1, 1:v - 1, ch] = interior
+    is_int = np.issubdtype(arr.dtype, np.integer)
+    work = arr.astype(np.int64) if is_int else arr.astype(np.float32)
+
+    def at(dr, dc):
+        return work[1 + dr:u - 1 + dr, 1 + dc:v - 1 + dc]
+
+    s = at(-1, -1) + 2 * at(-1, 0) + at(-1, 1) \
+        + 2 * at(0, -1) + 4 * at(0, 0) + 2 * at(0, 1) \
+        + at(1, -1) + 2 * at(1, 0) + at(1, 1)
+    interior = s / np.float32(16) if not is_int else s / 16
+    if is_int:
+        interior = interior.astype(arr.dtype)
+    out[1:u - 1, 1:v - 1] = interior
     return out
 
 
 def resize_bilinear(image, nh, nw):
     """skimage resize(order=1, anti_aliasing=False, preserve_range=True)
-    semantics: half-pixel-centre sampling, edge clamped, computed in float64,
-    truncate-cast back to the input dtype."""
+    semantics: half-pixel-centre sampling, edge clamped, truncate-cast back
+    to the input dtype.  Integer images are interpolated in EXACT integer
+    arithmetic (int64 tap numerators, one final floor division) so the
+    truncation has no float ties — the same convention as the device
+    (waldboost_tpu.ops.exact) and the reference shim (PARITY.md §1)."""
     h, w = image.shape
     if (nh, nw) == (h, w):
         return image.copy()
+
+    def exact_axis(n_in, n_out):
+        k = np.arange(n_out, dtype=np.int64)
+        den = 2 * n_out
+        c_num = np.clip((2 * k + 1) * n_in - n_out, 0, (n_in - 1) * den)
+        i0 = np.minimum(c_num // den, n_in - 2) if n_in > 1 \
+            else np.zeros_like(c_num)
+        return i0, c_num - i0 * den, den
+
+    if np.issubdtype(image.dtype, np.integer):
+        x = image.astype(np.int64)
+        i0, fr, den_r = exact_axis(h, nh)
+        j0, fc, den_c = exact_axis(w, nw)
+        a = (den_r - fr)[:, None] * x[i0, :] \
+            + fr[:, None] * x[np.minimum(i0 + 1, h - 1), :]
+        num = (den_c - fc)[None, :] * a[:, j0] \
+            + fc[None, :] * a[:, np.minimum(j0 + 1, w - 1)]
+        return (num // (den_r * den_c)).astype(image.dtype)
+
     x = image.astype("f8")
 
     def coords(n_in, n_out):
@@ -110,10 +137,6 @@ def resize_bilinear(image, nh, nw):
     left = x[:, j0]
     right = x[:, np.minimum(j0 + 1, w - 1)]
     x = left * (1 - fc[None, :]) + right * fc[None, :]
-    if np.issubdtype(image.dtype, np.integer):
-        # resolve exact-integer trunc ambiguity toward the exact-arithmetic
-        # result (see waldboost_tpu.ops.image.resize_bilinear docstring)
-        x = x + 1e-4
     return x.astype(image.dtype)
 
 

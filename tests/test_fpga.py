@@ -227,3 +227,58 @@ def test_fpga_fused_serving_boxes_bitwise():
     assert ref[3].sum() > 0  # some survivors, or the test is vacuous
     for a, b in zip(ref, got):
         np.testing.assert_array_equal(b, a)
+
+
+@pytest.mark.parametrize("chan,smooth", [
+    ("grad_hist_4_u1", 1),
+    ("grad_mag_u1", 1),
+    ("grad_hist_4_u1+grad_mag_u1", 0),
+    ("grad_hist_4_u1+grad_mag_u1", 1),
+])
+def test_fpga_kernel_smooth_and_composite(chan, smooth):
+    """The fused FPGA channel kernel handles smooth==1 (in-kernel 3x3/16 +
+    uint8 truncation + interior mask; haloed ring-mask DMA) and
+    "+"-composite kinds (BASELINE config 5's grad_hist+grad_mag C=5
+    pipeline) bitwise-identically to the XLA polyphase chain."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from waldboost_tpu import model as M
+    from waldboost_tpu.channels import _normalize_opts
+
+    opts = dict(shrink=2, n_per_oct=4, smooth=smooth, channels=chan)
+    shrink, n_per_oct, sm, cf = _normalize_opts(opts)
+    packed = M._packed_plan_cached(96, 128, shrink, n_per_oct, (12, 12),
+                                   halo=cf.halo)
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.randint(0, 256, (96, 128)).astype(np.uint8))
+    planes = M._poly_planes(img, cf, packed)
+    kern = np.asarray(M._poly_channels(planes, sm, cf, packed))
+    cf_nok = dataclasses.replace(cf, poly_kernel=None)
+    xla = np.asarray(M._poly_channels(planes, sm, cf_nok, packed))
+    assert kern.shape[0] == cf.n_channels
+    np.testing.assert_array_equal(kern, xla)
+
+
+def test_composed_channels_concat_semantics():
+    """A composed channel function == channel-axis concat of its parts
+    (what a reference user's concatenating lambda produces), across the
+    plain fn, the pyramid, and proto round-trip by name."""
+    from waldboost_tpu.channels import resolve_channel_function
+
+    cf = resolve_channel_function("grad_hist_4_u1+grad_mag_u1")
+    assert cf.n_channels == 5
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (40, 56)).astype(np.uint8)
+    a = np.asarray(resolve_channel_function("grad_hist_4_u1")(img))
+    b = np.asarray(resolve_channel_function("grad_mag_u1")(img))
+    c = np.asarray(cf(img))
+    np.testing.assert_array_equal(c, np.concatenate([a, b], axis=0))
+    # persists + reloads by name (the proto stores the dotted "+" name)
+    from waldboost_tpu.channels import resolve_channel_function as rcf
+    again = rcf(cf.name)
+    assert again is cf
+    # float-family composition resolves too (XLA paths only)
+    f = rcf("grad_hist+grad_mag")
+    assert f.n_channels == 5 and f.poly_kernel is None

@@ -2,14 +2,17 @@
 
 The reference at /root/reference cannot import in this image (bbx, numba,
 skimage are absent), so tests/refshims/ vendors minimal test-only stand-ins
-(numba.njit = pass-through + a tiny @stencil interpreter, a float64 skimage
-resize, bbx = waldboost_tpu.boxes).  With those, the *reference's own code*
-executes and produces golden channels, detections, scores, and model files.
+(numba.njit = pass-through + a tiny @stencil interpreter, an exact-integer
+skimage resize, bbx = waldboost_tpu.boxes).  With those, the *reference's
+own code* executes and produces golden channels, detections, scores, and
+model files.
 
-Deviations asserted here are bounded by the documented f32-vs-f64 channel
-arithmetic difference (PARITY.md "Deliberate deviations"): identical-input
-tree evaluation must be EXACT; resize-dependent paths allow rare
-truncation-tie flips.
+The contract asserted here is EXACTNESS: channel pyramids are bit-equal
+(ops.exact computes the uint8 resize truncation and the f64-promoted
+grad_hist projections exactly; the only tolerated exception is the
+exact-cancellation line where BOTH sides are < 2^-40 — PARITY.md §1c), and
+detection boxes+scores match with ZERO mismatches over a 100+ image corpus
+including structured fake_data_generator images.
 """
 
 import os
@@ -62,38 +65,41 @@ def _to_ref_model(model, ref, tmp_path):
     return rmodel
 
 
+def _assert_channels_bitequal(rc, tc):
+    """Bit-equal except the documented exact-cancellation exception: any
+    differing value must be < 2^-40 on BOTH sides (PARITY.md §1c)."""
+    rc32 = rc.astype(np.float32)
+    tc32 = np.asarray(tc, np.float32)
+    neq = rc32 != tc32
+    if neq.any():
+        tiny = 2.0 ** -40
+        both_tiny = (np.abs(rc32[neq]) < tiny) & (np.abs(tc32[neq]) < tiny)
+        assert both_tiny.all(), (
+            int(neq.sum()), float(np.abs(rc32[neq] - tc32[neq]).max()))
+
+
 def test_reference_channel_pyramid_golden(ref):
-    """Our channel pyramid vs the reference's own code, level by level."""
+    """Our channel pyramid vs the reference's own code: BIT-EQUAL, level by
+    level, on random and structured images."""
     import waldboost_tpu as wb
+    from waldboost_tpu.utils import fake_data_generator
 
     rng = np.random.RandomState(7)
-    img = rng.randint(0, 256, (96, 128)).astype(np.uint8)
+    gen = fake_data_generator(seed=13)
+    images = [rng.randint(0, 256, (96, 128)).astype(np.uint8)
+              for _ in range(3)]
+    images += [np.atleast_3d(next(gen)["image"])[:, :, 0] for _ in range(2)]
     opts_ref = dict(shrink=2, n_per_oct=4, smooth=1,
                     channels=ref.channels.grad_hist)
     opts_tpu = dict(shrink=2, n_per_oct=4, smooth=1, channels="grad_hist")
-    ref_levels = list(ref.channels.channel_pyramid(img, opts_ref))
-    tpu_levels = list(wb.channels.channel_pyramid(img, opts_tpu))
-    assert len(ref_levels) == len(tpu_levels)
-    n_off = 0
-    n_px = 0
-    for (rc, rs), (tc, ts) in zip(ref_levels, tpu_levels):
-        assert rc.shape == tc.shape
-        assert rs == pytest.approx(ts, rel=1e-9)
-        rc64 = rc.astype(np.float64)
-        diff = np.abs(rc64 - tc.astype(np.float64))
-        # f32-vs-f64 arithmetic + resize truncation-tie flips (PARITY.md
-        # "Deliberate deviations" #1: at an exact-integer bilinear value,
-        # skimage's f64 truncates up or down on ~1e-16 wobble; this
-        # implementation resolves ties toward the exact result).  A flipped
-        # uint8 pixel changes neighbouring channel values by <= 8/4 * smooth.
-        assert float(diff.max()) <= 8.0
-        n_off += int((diff > 1e-2).sum())
-        n_px += diff.size
-    # area-weighted across the pyramid: a ~0.1% resize tie-flip rate
-    # amplifies ~50x in channel space (4 bins x gradient+pool+smooth spread),
-    # so a few percent of channel values differ while magnitudes stay <= 8.
-    # Box-level impact is bounded separately (test_reference_detect_golden).
-    assert n_off / n_px < 0.10, (n_off, n_px)
+    for img in images:
+        ref_levels = list(ref.channels.channel_pyramid(img, opts_ref))
+        tpu_levels = list(wb.channels.channel_pyramid(img, opts_tpu))
+        assert len(ref_levels) == len(tpu_levels)
+        for (rc, rs), (tc, ts) in zip(ref_levels, tpu_levels):
+            assert rc.shape == tc.shape
+            assert rs == pytest.approx(ts, rel=1e-9)
+            _assert_channels_bitequal(rc, tc)
 
 
 def test_reference_predict_exact(ref, tmp_path):
@@ -129,14 +135,23 @@ def test_reference_predict_on_image_exact(ref, tmp_path):
 
 
 def test_reference_detect_golden(ref, tmp_path):
-    """End-to-end detection boxes vs the reference's own pipeline."""
+    """End-to-end detection boxes vs the reference's own pipeline: ZERO
+    mismatches (boxes AND scores) over a 100+ image corpus mixing random
+    noise with structured fake_data_generator scenes (north-star contract:
+    detections identical to the CPU reference)."""
+    from waldboost_tpu.utils import fake_data_generator
+
     model = _tiny_model()
     rmodel = _to_ref_model(model, ref, tmp_path)
     rng = np.random.RandomState(5)
+    gen = fake_data_generator(seed=21)
+    images = [rng.randint(0, 256, (72, 96)).astype(np.uint8)
+              for _ in range(64)]
+    images += [np.atleast_3d(next(gen)["image"])[:, :, 0]
+               for _ in range(40)]
     n_total = 0
     n_mismatch = 0
-    for i in range(5):
-        img = rng.randint(0, 256, (72, 96)).astype(np.uint8)
+    for img in images:
         ref_boxes = rmodel.detect(img)
         tpu_boxes = model.detect(img)
         a = np.round(np.concatenate(
@@ -147,8 +162,8 @@ def test_reference_detect_golden(ref, tmp_path):
         sb = set(map(tuple, b))
         n_total += max(len(sa), len(sb), 1)
         n_mismatch += len(sa ^ sb) // 2 + len(sa ^ sb) % 2
-    # documented f32-vs-f64 deviation bound: <1% of boxes may flip
-    assert n_mismatch / n_total < 0.01, (n_mismatch, n_total)
+    assert n_total > 100
+    assert n_mismatch == 0, (n_mismatch, n_total)
 
 
 def test_reference_written_pb_loads_bitcompatible(ref, tmp_path):

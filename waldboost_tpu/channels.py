@@ -68,6 +68,10 @@ class CanvasCtx:
     #: (2, 2, Hc, Wc) polyphase form of ``border_mask`` for canvas_fn_poly
     #: implementations (mask[a, b, i, j] = border_mask[2i+a, 2j+b])
     border_mask_poly: Optional[jax.Array] = None
+    #: True when the (float-typed) canvas holds uint8-valued content — lets
+    #: integer-exact channel paths (ops.exact projections) engage even
+    #: though the canvas dtype is f32/bf16
+    exact_int: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,6 +117,10 @@ class ChannelFunction:
     #: whether poly_kernel implements the smooth == 1 tail itself; when
     #: False, smooth configs fall back to the XLA polyphase chain.
     poly_kernel_smooth: bool = True
+    #: fused-kernel kind name of the FPGA family (ops.channels_pallas.
+    #: fpga_poly_pallas); compositions of such functions fuse into ONE
+    #: kernel launch via the "+"-composite kind.
+    fused_kind: Optional[str] = None
 
     def __call__(self, image: jax.Array) -> jax.Array:
         return self.fn(image)
@@ -141,7 +149,12 @@ def register_channel_function(cf: ChannelFunction) -> ChannelFunction:
 
 def resolve_channel_function(name_or_cf) -> ChannelFunction:
     """Safe registry lookup (replaces the reference's ``eval``-based
-    ``symbol_from_name``, /root/reference/waldboost/model.py:27-29)."""
+    ``symbol_from_name``, /root/reference/waldboost/model.py:27-29).
+
+    ``"a+b"`` names resolve to :func:`compose_channel_functions` — the
+    multi-channel composition facility (e.g.
+    ``"grad_hist_4_u1+grad_mag_u1"``, BASELINE config 5's quantized
+    5-channel pipeline)."""
     if isinstance(name_or_cf, ChannelFunction):
         return name_or_cf
     if name_or_cf not in _REGISTRY:
@@ -149,6 +162,9 @@ def resolve_channel_function(name_or_cf) -> ChannelFunction:
         # saved model loads without the user importing waldboost_tpu.fpga
         import importlib
         importlib.import_module("waldboost_tpu.fpga.channels")
+    if name_or_cf not in _REGISTRY and isinstance(name_or_cf, str) \
+            and "+" in name_or_cf:
+        return compose_channel_functions(*name_or_cf.split("+"))
     try:
         return _REGISTRY[name_or_cf]
     except KeyError:
@@ -156,6 +172,69 @@ def resolve_channel_function(name_or_cf) -> ChannelFunction:
             f"Unknown channel function '{name_or_cf}'. Registered: "
             f"{sorted(set(cf.name for cf in _REGISTRY.values()))}"
         ) from None
+
+
+def compose_channel_functions(*parts) -> ChannelFunction:
+    """Concatenate channel functions along the channel axis into one
+    registry entry (channels stacked in argument order).
+
+    The reference has no built-in facility — a user passes a lambda that
+    ``np.concatenate``s the parts (channel_opts takes any callable,
+    /root/reference/waldboost/channels.py:116-119); this is that, with the
+    canvas/polyphase fast paths composed too, persisted by the "a+b" name.
+    FPGA-family parts (``fused_kind``) keep a single fused kernel launch
+    via the "+"-composite kind of ops.channels_pallas.fpga_poly_pallas.
+    """
+    cfs = [resolve_channel_function(p) for p in parts]
+    assert len(cfs) >= 2
+    name = "+".join(cf.name for cf in cfs)
+    if name in _REGISTRY:
+        return _REGISTRY[name]
+    boundary = cfs[0].boundary
+    assert all(cf.boundary == boundary for cf in cfs), \
+        "composed channel functions must share a boundary convention"
+
+    def fn(image):
+        return jnp.concatenate([cf.fn(image) for cf in cfs], axis=0)
+
+    canvas_fn = None
+    if all(cf.canvas_fn is not None for cf in cfs):
+        def canvas_fn(canvas, ctx):
+            return jnp.concatenate(
+                [cf.canvas_fn(canvas, ctx).astype(jnp.float32)
+                 for cf in cfs], axis=0)
+
+    canvas_fn_poly = None
+    if all(cf.canvas_fn_poly is not None for cf in cfs):
+        def canvas_fn_poly(planes, ctx):
+            return jnp.concatenate(
+                [cf.canvas_fn_poly(planes, ctx) for cf in cfs], axis=0)
+
+    poly_kernel = None
+    poly_kernel_mask = None
+    fused_kind = None
+    if all(cf.fused_kind is not None for cf in cfs):
+        from .fpga.channels import _fpga_kernel_masks, _fpga_poly_kernel
+        fused_kind = "+".join(cf.fused_kind for cf in cfs)
+        poly_kernel = _fpga_poly_kernel(fused_kind)
+        poly_kernel_mask = _fpga_kernel_masks
+
+    composed = ChannelFunction(
+        name=name,
+        fn=fn,
+        n_channels=sum(cf.n_channels for cf in cfs),
+        aliases=("+".join(p if isinstance(p, str) else p.name
+                          for p in parts),),
+        halo=max(cf.halo for cf in cfs),
+        boundary=boundary,
+        canvas_fn=canvas_fn,
+        canvas_fn_poly=canvas_fn_poly,
+        poly_kernel=poly_kernel,
+        poly_kernel_mask=poly_kernel_mask,
+        poly_kernel_smooth=all(cf.poly_kernel_smooth for cf in cfs),
+        fused_kind=fused_kind,
+    )
+    return register_channel_function(composed)
 
 
 # ---------------------------------------------------------------------------
@@ -174,17 +253,42 @@ def _grad_mag_fn(image: jax.Array, norm: int = 5, eps: float = 1e-3) -> jax.Arra
     return mag[None, :, :]
 
 
-def _grad_hist_fn(image: jax.Array, n_bins: int = 4, full: bool = False, bias: float = 0.0) -> jax.Array:
-    """Oriented-gradient projections, ``n_bins`` channels.
-    Mirrors /root/reference/waldboost/channels.py:40-52."""
-    gx, gy = imops.gradients(image.astype(jnp.float32))
-    max_theta = 2 * np.pi if full else np.pi
-    theta = np.linspace(0, max_theta, n_bins + 1)[:-1]
-    cs = np.cos(theta).astype(np.float32)
-    sn = np.sin(theta).astype(np.float32)
-    chns = gx[None] * cs[:, None, None] - gy[None] * sn[:, None, None]
+def _project_hist(gx: jax.Array, gy: jax.Array, n_bins: int, full: bool,
+                  bias: float, exact: bool) -> jax.Array:
+    """Stacked oriented projections of (... H, W) gradients -> (n_bins, ...).
+
+    ``exact``: the gradients are uint8-image integers, so each bin equals
+    the reference's NumPy-2 semantics ``f32(f64(gx*cos - gy*sin))`` via the
+    exhaustively-verified plan of ops.exact.projection_plan (PARITY.md §1c).
+    Non-integer inputs use the plain f32 projection (documented deviation).
+    """
+    plan = None
+    if exact:
+        from .ops.exact import projection_plan
+        plan = projection_plan(n_bins, full)
+    if plan is not None:
+        from .ops.exact import project_bins
+        chns = jnp.stack(project_bins(gx, gy, plan))
+    else:
+        max_theta = 2 * np.pi if full else np.pi
+        theta = np.linspace(0, max_theta, n_bins + 1)[:-1]
+        cs = np.cos(theta).astype(np.float32)
+        sn = np.sin(theta).astype(np.float32)
+        exp = (None,) * gx.ndim
+        chns = gx[None] * cs[(slice(None),) + exp] \
+            - gy[None] * sn[(slice(None),) + exp]
     value = jnp.maximum(jnp.abs(chns) - bias, 0.0)
     return jnp.sign(chns) * value if full else value
+
+
+def _grad_hist_fn(image: jax.Array, n_bins: int = 4, full: bool = False,
+                  bias: float = 0.0, exact: Optional[bool] = None) -> jax.Array:
+    """Oriented-gradient projections, ``n_bins`` channels.
+    Mirrors /root/reference/waldboost/channels.py:40-52."""
+    if exact is None:
+        exact = image.dtype == jnp.uint8
+    gx, gy = imops.gradients(image.astype(jnp.float32))
+    return _project_hist(gx, gy, n_bins, full, bias, exact)
 
 
 def _grad_mag_canvas_fn(canvas: jax.Array, ctx: CanvasCtx, norm: int = 5,
@@ -211,7 +315,8 @@ def _grad_mag_canvas_fn(canvas: jax.Array, ctx: CanvasCtx, norm: int = 5,
 def _grad_hist_canvas_fn(canvas: jax.Array, ctx: CanvasCtx, n_bins: int = 4,
                          full: bool = False, bias: float = 0.0) -> jax.Array:
     # single gradient pass (shifted adds); level halos make edges exact
-    return _grad_hist_fn(canvas, n_bins=n_bins, full=full, bias=bias)
+    return _grad_hist_fn(canvas, n_bins=n_bins, full=full, bias=bias,
+                         exact=ctx.exact_int or None)
 
 
 def _shift(p: jax.Array, dr: int, dc: int) -> jax.Array:
@@ -260,22 +365,17 @@ def _grad_hist_poly_fn(planes: jax.Array, ctx: CanvasCtx, n_bins: int = 4,
                        full: bool = False, bias: float = 0.0) -> jax.Array:
     """Polyphase grad_hist + 2x2 average pool, fused and stride-free.
 
-    The pooled channel value is ((v00 + v10) + (v01 + v11)) / 4 — the same
-    association as ops.image.avg_pool_2's two-pass (rows, then cols) sum.
+    The pooled channel value sums in the reference's f32 order
+    ``((TL + BL) + TR) + BR`` (/root/reference/waldboost/channels.py:55-64)
+    then divides by 4; exact projections apply when the planes carry uint8
+    content (bf16 plane dtype or ctx.exact_int).
     """
+    exact = ctx.exact_int or planes.dtype == jnp.bfloat16
     gx, gy = _gradients_poly(planes.astype(jnp.float32))  # (2,2,H,W) each
-    max_theta = 2 * np.pi if full else np.pi
-    theta = np.linspace(0, max_theta, n_bins + 1)[:-1]
-    cs = np.cos(theta).astype(np.float32)
-    sn = np.sin(theta).astype(np.float32)
     # (C, 2, 2, H, W) projections
-    chns = gx[None] * cs[:, None, None, None, None] \
-        - gy[None] * sn[:, None, None, None, None]
-    value = jnp.maximum(jnp.abs(chns) - bias, 0.0)
-    if full:
-        value = jnp.sign(chns) * value
-    pooled = ((value[:, 0, 0] + value[:, 1, 0])
-              + (value[:, 0, 1] + value[:, 1, 1])) * 0.25
+    value = _project_hist(gx, gy, n_bins, full, bias, exact)
+    pooled = (((value[:, 0, 0] + value[:, 1, 0]) + value[:, 0, 1])
+              + value[:, 1, 1]) / 4.0
     return pooled
 
 

@@ -9,6 +9,8 @@ assignment semantics of the reference, fpga/channels.py:46-48).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -119,27 +121,39 @@ def _grad_mag_u1_poly_fn(planes, ctx):
     return _fpga_poly_channels(planes, ctx, [y])
 
 
-def _stencil_border_mask_poly(packed):
-    """(2, 2, Hc, Wc) f32 polyphase stencil ring mask of a packed plan
-    (mask[a, b, i, j] = border_mask[2i+a, 2j+b]) — the fused kernel's mask
-    input (see model._poly_channels for the XLA-side construction)."""
+@functools.lru_cache(maxsize=32)
+def _fpga_kernel_masks_cached(packed):
     import numpy as np
     bm = packed.stencil_border_mask()
     H2, W2 = bm.shape
-    return jnp.asarray(bm.reshape(H2 // 2, 2, W2 // 2, 2)
+    ring = jnp.asarray(bm.reshape(H2 // 2, 2, W2 // 2, 2)
                        .transpose(1, 3, 0, 2).astype(np.float32))
+    interior = jnp.asarray(
+        packed.smooth_interior_mask().astype(np.float32))
+    return ring, interior
+
+
+def _fpga_kernel_masks(packed):
+    """Masks for the fused FPGA kernel, built once per packed plan:
+    ``(ring, interior)`` — the (2, 2, Hc, Wc) polyphase stencil ring mask
+    (mask[a, b, i, j] = border_mask[2i+a, 2j+b]; numba-stencil zero-border
+    convention) and the (Hc, Wc) smooth interior mask (used by smooth==1
+    only; see model._poly_channels for the XLA-side construction)."""
+    return _fpga_kernel_masks_cached(packed)
 
 
 def _fpga_poly_kernel(kind):
     """poly_kernel adapter: the fused Pallas FPGA channel kernel
-    (ops.channels_pallas.fpga_poly_pallas).  ``mask`` is the polyphase
-    stencil ring mask (poly_kernel_mask); smooth == 1 never reaches here
-    (poly_kernel_smooth=False routes it to the XLA chain)."""
+    (ops.channels_pallas.fpga_poly_pallas).  ``mask`` is the
+    (ring, interior) pair from :func:`_fpga_kernel_masks`."""
     def k(planes, mask, smooth, interpret, content_hw=None, out_grid=None,
           crop=True, alloc_grid=None):
-        assert smooth == 0, "fused FPGA kernel is smooth=0 only"
+        ring, interior = mask
         from ..ops.channels_pallas import fpga_poly_pallas
-        return fpga_poly_pallas(planes, mask, kind=kind, interpret=interpret,
+        return fpga_poly_pallas(planes, ring, kind=kind, smooth=smooth,
+                                interior_mask=interior if smooth == 1
+                                else None,
+                                interpret=interpret,
                                 content_hw=content_hw, out_grid=out_grid,
                                 crop=crop, alloc_grid=alloc_grid)
     return k
@@ -173,8 +187,7 @@ grad_hist_4_u1 = register_channel_function(
         canvas_fn=_grad_hist_4_u1_canvas_fn,
         canvas_fn_poly=_grad_hist_4_u1_poly_fn,
         poly_kernel=_fpga_poly_kernel("grad_hist_4_u1"),
-        poly_kernel_mask=_stencil_border_mask_poly,
-        poly_kernel_smooth=False,
+        poly_kernel_mask=_fpga_kernel_masks,
     )
 )
 
@@ -190,7 +203,6 @@ grad_mag_u1 = register_channel_function(
         canvas_fn=_grad_mag_u1_canvas_fn,
         canvas_fn_poly=_grad_mag_u1_poly_fn,
         poly_kernel=_fpga_poly_kernel("grad_mag_u1"),
-        poly_kernel_mask=_stencil_border_mask_poly,
-        poly_kernel_smooth=False,
+        poly_kernel_mask=_fpga_kernel_masks,
     )
 )

@@ -277,17 +277,23 @@ def _channel_canvas_fast(image, shrink, smooth, cf, packed: PackedPyramidPlan):
         lv = pl.level
         oct_img = octaves[lv.octave].astype(jnp.float32)
         oh, ow = oct_img.shape
-        Rh = build_resize_matrix(*resize_taps(oh, lv.height), oh)
-        Rw = build_resize_matrix(*resize_taps(ow, lv.width), ow)
-        # HIGHEST precision: the TPU default runs f32 matmuls in bf16, whose
-        # ~0.5-unit error breaks the deterministic trunc-tie convention
-        im = jnp.einsum("ah,hw,bw->ab", Rh, oct_img, Rw,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
         if is_int:
-            # truncating cast back to the input dtype with the deterministic
-            # exact-arithmetic convention (ops.image.resize_bilinear)
-            im = jnp.floor(im + 1e-4)
+            # exact-arithmetic resize + floor (integer tap numerators, MXU
+            # matmuls at HIGHEST precision, one exact final floor) — the
+            # truncating uint8 cast of the reference has NO float ties here
+            # (PARITY.md §1, ops.exact)
+            from .ops.exact import axis_taps_exact, resize_exact_matmul
+            im = resize_exact_matmul(oct_img,
+                                     axis_taps_exact(oh, lv.height),
+                                     axis_taps_exact(ow, lv.width))
+        else:
+            Rh = build_resize_matrix(*resize_taps(oh, lv.height), oh)
+            Rw = build_resize_matrix(*resize_taps(ow, lv.width), ow)
+            # HIGHEST precision: the TPU default runs f32 matmuls in bf16,
+            # whose ~0.5-unit error is visible in float channels
+            im = jnp.einsum("ah,hw,bw->ab", Rh, oct_img, Rw,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
         img_canvas = jax.lax.dynamic_update_slice(
             img_canvas, im, (pl.y * shrink, pl.x * shrink))
 
@@ -301,7 +307,8 @@ def _channel_canvas_fast(image, shrink, smooth, cf, packed: PackedPyramidPlan):
     border_mask = None
     if cf.boundary == "stencil_zero":
         border_mask = jnp.asarray(packed.stencil_border_mask())
-    ctx = CanvasCtx(reflect=reflect, border_mask=border_mask)
+    ctx = CanvasCtx(reflect=reflect, border_mask=border_mask,
+                    exact_int=bool(is_int))
     chns = cf.canvas_fn(img_canvas, ctx)
 
     if shrink == 2:
@@ -501,30 +508,35 @@ def _ext_pm_taps(R, size, halo):
     return np.concatenate([R[halo % 2::2], R[(1 + halo) % 2::2]])
 
 
-def _lerp_block(G, frh, frw, hq, wq):
-    """4-corner bilinear combine: EXACTLY ops.image._resize_bilinear_f32's
-    lerp association over the bf16-exact corner gathers, then the uint8
-    truncation."""
-    FH = jnp.asarray(frh).reshape(2, hq)[:, None, :, None]
-    FW = jnp.asarray(frw).reshape(2, wq)[None, :, None, :]
+def _combine_block(G, frn, fcn, den_h, den_w, hq, wq):
+    """Exact 4-corner bilinear combine + floor over the bf16-exact corner
+    gathers: ``frn``/``fcn`` are integer frac NUMERATORS (phase-major) over
+    the static denominators — ops.exact.combine4_exact computes the uint8
+    truncation with no float ties (PARITY.md §1)."""
+    from .ops.exact import combine4_exact
+
+    FH = jnp.asarray(np.asarray(frn, np.float32)
+                     .reshape(2, hq))[:, None, :, None]
+    FW = jnp.asarray(np.asarray(fcn, np.float32)
+                     .reshape(2, wq))[None, :, None, :]
 
     def g(a, b2):
-        # per-slice upcast fuses into the lerp (a full-G astype
+        # per-slice upcast fuses into the combine (a full-G astype
         # would materialize an f32 copy)
         return G[a, b2].astype(jnp.float32)
 
-    tA = g(0, 0) * (1.0 - FH) + g(1, 0) * FH
-    tB = g(0, 1) * (1.0 - FH) + g(1, 1) * FH
-    blk = tA * (1.0 - FW) + tB * FW
-    return jnp.floor(blk + 1e-4)
+    return combine4_exact(g(0, 0), g(0, 1), g(1, 0), g(1, 1),
+                          FH, FW, den_h, den_w)
 
 
 def _poly_geom_levels(packed: PackedPyramidPlan, halo, image_hw):
     """Static per-level resize geometry for the int 4-corner selector path:
-    one dict per packed level with octave shape, phase-major taps, and the
+    one dict per packed level with octave shape, phase-major EXACT taps
+    (integer frac numerators ``frh``/``frw`` over denominators
+    ``den_h``/``den_w``, ops.exact.axis_taps_exact), and the
     contraction-order choice.  Octave o's image shape is the o-fold
     floor-halving of ``image_hw`` (the u8-values octave pool chain)."""
-    from .ops.warp import resize_taps
+    from .ops.exact import axis_taps_exact
 
     oct_hw = {}
     n_oct = max((pl.level.octave for pl in packed.levels), default=0) + 1
@@ -536,17 +548,19 @@ def _poly_geom_levels(packed: PackedPyramidPlan, halo, image_hw):
     for pl in packed.levels:
         lv = pl.level
         oh, ow = oct_hw[lv.octave]
+        th = axis_taps_exact(oh, lv.height)
+        tw = axis_taps_exact(ow, lv.width)
         i0h, frh = (_ext_pm_taps(t, lv.height, halo)
-                    for t in resize_taps(oh, lv.height))
+                    for t in (th[0], th[1].astype(np.float32)))
         i0w, frw = (_ext_pm_taps(t, lv.width, halo)
-                    for t in resize_taps(ow, lv.width))
+                    for t in (tw[0], tw[1].astype(np.float32)))
         hq = (lv.height + 2 * halo) // 2
         wq = (lv.width + 2 * halo) // 2
         row_first = (4 * hq * oh * ow + 16 * hq * wq * ow
                      <= 4 * wq * oh * ow + 16 * hq * wq * oh)
         out.append(dict(oct=lv.octave, oh=oh, ow=ow, i0h=i0h, frh=frh,
-                        i0w=i0w, frw=frw, hq=hq, wq=wq,
-                        row_first=row_first))
+                        i0w=i0w, frw=frw, den_h=th[2], den_w=tw[2],
+                        hq=hq, wq=wq, row_first=row_first))
     return out
 
 
@@ -630,7 +644,7 @@ def _poly_mats_impl(packed: PackedPyramidPlan, halo: int,
                        ((0, 0), (top, bot))).reshape(-1)
         ent = dict(kind="row" if g["row_first"] else "col",
                    oct=g["oct"], frh=frh_p, frw=g["frw"], hq=pitch,
-                   wq=g["wq"])
+                   wq=g["wq"], den_h=g["den_h"], den_w=g["den_w"])
         if banded and not g["row_first"] and pitch > RB:
             # K-sliced pass-2: row block [r0, r1) of the pitched output
             # reads only source rows [k0, k1) (taps are monotone per
@@ -759,8 +773,9 @@ def _poly_level_blocks_mats(octaves, mats, spec):
             else:
                 G = jnp.einsum("aprh,bhqc->abpqrc", mats[ent["sh"]], cols,
                                preferred_element_type=jnp.bfloat16)
-        blocks[li] = _lerp_block(G, ent["frh"], ent["frw"], ent["hq"],
-                                 ent["wq"])
+        blocks[li] = _combine_block(G, ent["frh"], ent["frw"],
+                                    ent["den_h"], ent["den_w"],
+                                    ent["hq"], ent["wq"])
     return blocks
 
 
@@ -942,13 +957,13 @@ def _poly_fused_impl(packed: PackedPyramidPlan, halo: int,
                           for j in range(_round_up(wq, 128) // 128))
             levels.append((fblks, LevelPlan(
                 (), oh8, _round_up(wq, 128), wq, xc, fh_off,
-                2 * slot, pieces)))
+                2 * slot, pieces, den_h=g["den_h"], den_w=g["den_w"])))
             fh_off += 2 * pitch
         used = tuple(sorted({f for fblks, _ in levels for f in fblks}))
         local = {f: i for i, f in enumerate(used)}
         levels = [LevelPlan(tuple(local[f] for f in fblks), lv.oh,
                             lv.cwpad, lv.wq, lv.xc, lv.fh0, lv.fw0,
-                            lv.pieces)
+                            lv.pieces, den_h=lv.den_h, den_w=lv.den_w)
                   for fblks, lv in levels]
         lhs = np.zeros((max(_round_up(row_off, 8), 8), max(kmax, 128)),
                        np.float32)
@@ -992,7 +1007,7 @@ def _poly_fused_impl(packed: PackedPyramidPlan, halo: int,
                 plan.ys, plan.pitch, plan.ohS, plan.cwmax,
                 [LevelPlan(tuple(gpos[used[b]] for b in lv.blks), lv.oh,
                            lv.cwpad, lv.wq, lv.xc, lv.fh0, lv.fw0,
-                           lv.pieces)
+                           lv.pieces, den_h=lv.den_h, den_w=lv.den_w)
                  for lv in plan.levels]))
             arr_bytes += (arrays[lhs_i].size * 2 + arrays[fh_i].size * 4
                           + arrays[fw_i].size * 4)
@@ -1081,10 +1096,21 @@ def _poly_level_blocks(octaves, cf, packed: PackedPyramidPlan, halo,
         # dense matrices as HLO constants makes the compile payload
         # O(sum of n_out*n_in) — 100+ MB for 4K pyramids); the _ext_pm
         # row transforms apply to the tap vectors directly
-        i0h, frh = (
-            _ext_pm(t, lv.height) for t in resize_taps(oh, lv.height))
-        i0w, frw = (
-            _ext_pm(t, lv.width) for t in resize_taps(ow, lv.width))
+        if is_int:
+            # exact integer taps (numerators over static denominators)
+            from .ops.exact import axis_taps_exact
+            th = axis_taps_exact(oh, lv.height)
+            tw = axis_taps_exact(ow, lv.width)
+            den_h, den_w = th[2], tw[2]
+            i0h, frh = (_ext_pm(t, lv.height)
+                        for t in (th[0], th[1].astype(np.float32)))
+            i0w, frw = (_ext_pm(t, lv.width)
+                        for t in (tw[0], tw[1].astype(np.float32)))
+        else:
+            i0h, frh = (
+                _ext_pm(t, lv.height) for t in resize_taps(oh, lv.height))
+            i0w, frw = (
+                _ext_pm(t, lv.width) for t in resize_taps(ow, lv.width))
         hq = (lv.height + 2 * halo) // 2
         wq = (lv.width + 2 * halo) // 2
         if is_int:
@@ -1123,7 +1149,8 @@ def _poly_level_blocks(octaves, cf, packed: PackedPyramidPlan, halo,
                 # the intermediate traffic; the lerp upcasts per slice
                 G = jnp.einsum("aprw,bqcw->abpqrc", rows, Sw,
                                preferred_element_type=jnp.bfloat16)
-                blocks[li] = _lerp_block(G, frh, frw, hq, wq)
+                blocks[li] = _combine_block(G, frh, frw, den_h, den_w,
+                                            hq, wq)
             else:
                 # col-first levels of one octave contract the SAME octave
                 # image over w: their Sw selectors concatenate along the
@@ -1131,7 +1158,7 @@ def _poly_level_blocks(octaves, cf, packed: PackedPyramidPlan, halo,
                 # output element's dot product is unchanged — bit-identical
                 # to the per-level einsum, ~8x fewer MXU dispatches)
                 col_groups.setdefault(lv.octave, []).append(
-                    (li, Sh, Sw, frh, frw, hq, wq))
+                    (li, Sh, Sw, frh, frw, den_h, den_w, hq, wq))
             continue
         Rh_pm = build_resize_matrix(i0h, frh, oh).reshape(2, hq, oh)
         Rw_pm = build_resize_matrix(i0w, frw, ow).reshape(2, wq, ow)
@@ -1151,12 +1178,12 @@ def _poly_level_blocks(octaves, cf, packed: PackedPyramidPlan, halo,
         cols_cat = jnp.einsum("hw,bqcw->bhqc", oct_img, Sw_cat,
                               preferred_element_type=jnp.bfloat16)
         off = 0
-        for li, Sh, _Sw, frh, frw, hq, wq in items:
+        for li, Sh, _Sw, frh, frw, den_h, den_w, hq, wq in items:
             cols = cols_cat[:, :, :, off:off + wq]
             off += wq
             G = jnp.einsum("aprh,bhqc->abpqrc", Sh, cols,
                            preferred_element_type=jnp.bfloat16)
-            blocks[li] = _lerp_block(G, frh, frw, hq, wq)
+            blocks[li] = _combine_block(G, frh, frw, den_h, den_w, hq, wq)
     return blocks
 
 

@@ -74,8 +74,77 @@ def plane_pad_geometry(Hc: int, Wc: int, tile: Tuple[int, int] = TILE):
     return PAD_R, PAD_C, gi * TU + 2 * PAD_R, gj * TV + 2 * PAD_C
 
 
+def _db_fetch(srcs, TU, TV, content_grid):
+    """Grid-sequential double-buffered tile fetch — the proven scaffold
+    (ONE copy shared by every channel kernel; extracted per ADVICE r1).
+
+    ``srcs``: list of ``(hbm_ref, scratch_ref, sem_ref, batched, HR, HC)``;
+    each source's tile ``(.., TU + 2*HR, TV + 2*HC)`` at grid cell (i, j)
+    is DMAd into ``scratch_ref[slot]``.  Double buffering across grid
+    steps: every CONTENT tile's DMAs are started by the predecessor step
+    (pad steps still prefetch for their successor) and waited exactly once
+    by their own step.  Returns ``(slot, ic_cur)``.
+    """
+    bb = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    gi_n = pl.num_programs(1)
+    gj_n = pl.num_programs(2)
+    total = pl.num_programs(0) * gi_n * gj_n
+    step = (bb * gi_n + i) * gj_n + j
+    slot = jax.lax.rem(step, 2)
+
+    def is_content(ii, jj):
+        if content_grid is None:
+            return True
+        return jnp.logical_and(ii < content_grid[0], jj < content_grid[1])
+
+    def tile_dmas(sl, b2, ii, jj):
+        # pad tiles (enlarged out_grid) never form this access — their
+        # source rows/cols lie outside the content-grid-sized planes
+        out = []
+        for hbm, scratch, sem, batched, HR, HC in srcs:
+            src = hbm.at[b2] if batched else hbm
+            src = src.at[..., pl.ds(ii * TU, TU + 2 * HR),
+                         pl.ds(jj * TV, TV + 2 * HC)]
+            out.append(pltpu.make_async_copy(src, scratch.at[sl],
+                                             sem.at[sl]))
+        return out
+
+    ic_cur = is_content(i, j)
+
+    @pl.when(jnp.logical_and(step == 0, ic_cur)
+             if content_grid is not None else step == 0)
+    def _first():
+        for cp in tile_dmas(slot, bb, i, j):
+            cp.start()
+
+    s1 = step + 1
+    b1 = s1 // (gi_n * gj_n)
+    r1 = jax.lax.rem(s1, gi_n * gj_n)
+    i1 = r1 // gj_n
+    j1 = jax.lax.rem(r1, gj_n)
+    nxt = s1 < total
+    if content_grid is not None:
+        nxt = jnp.logical_and(nxt, is_content(i1, j1))
+
+    @pl.when(nxt)
+    def _prefetch_next():
+        for cp in tile_dmas(jax.lax.rem(s1, 2),
+                            jnp.minimum(b1, pl.num_programs(0) - 1),
+                            i1, j1):
+            cp.start()
+
+    @pl.when(ic_cur if content_grid is not None else step >= 0)
+    def _wait_own():
+        for cp in tile_dmas(slot, bb, i, j):
+            cp.wait()
+
+    return slot, ic_cur
+
+
 def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
-                 content_grid=None):
+                 content_grid=None, exact_plan=None):
     HR, HC = 8, 128  # fetched halo (alignment); compute uses 2 plane px
 
     def kernel(*refs):
@@ -84,56 +153,11 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
         else:
             planes_hbm, out_ref, tile_ref, dma_sem = refs
             mask_ref = None
-        bb = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
-        gi_n = pl.num_programs(1)
-        gj_n = pl.num_programs(2)
-        total = pl.num_programs(0) * gi_n * gj_n
-        step = (bb * gi_n + i) * gj_n + j
-        slot = jax.lax.rem(step, 2)
-
-        def is_content(ii, jj):
-            if content_grid is None:
-                return True
-            return jnp.logical_and(ii < content_grid[0],
-                                   jj < content_grid[1])
-
-        def tile_dma(sl, b2, ii, jj):
-            # pad tiles (enlarged out_grid) never form this access — their
-            # source rows/cols lie outside the content-grid-sized planes
-            src = planes_hbm.at[b2, :, :, pl.ds(ii * TU, TU + 2 * HR),
-                                pl.ds(jj * TV, TV + 2 * HC)]
-            return pltpu.make_async_copy(src, tile_ref.at[sl],
-                                         dma_sem.at[sl])
-
-        # double buffering across grid steps: each CONTENT tile's DMA is
-        # started by the predecessor step (pad steps still prefetch for
-        # their successor) and waited exactly once by its own step
-        ic_cur = is_content(i, j)
-
-        @pl.when(jnp.logical_and(step == 0, ic_cur)
-                 if content_grid is not None else step == 0)
-        def _first():
-            tile_dma(slot, bb, i, j).start()
-
-        s1 = step + 1
-        b1 = s1 // (gi_n * gj_n)
-        r1 = jax.lax.rem(s1, gi_n * gj_n)
-        i1 = r1 // gj_n
-        j1 = jax.lax.rem(r1, gj_n)
-        nxt = s1 < total
-        if content_grid is not None:
-            nxt = jnp.logical_and(nxt, is_content(i1, j1))
-
-        @pl.when(nxt)
-        def _prefetch_next():
-            tile_dma(jax.lax.rem(s1, 2), jnp.minimum(b1, pl.num_programs(0) - 1),
-                     i1, j1).start()
-
-        @pl.when(ic_cur if content_grid is not None else step >= 0)
-        def _wait_own():
-            tile_dma(slot, bb, i, j).wait()
+        slot, _ic = _db_fetch(
+            [(planes_hbm, tile_ref, dma_sem, True, HR, HC)],
+            TU, TV, content_grid)
 
         def compute():
             # plane px (I0+dr, J0+dc) lives at tile_ref[slot, a, b,
@@ -175,32 +199,16 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
             if with_mask:
                 mask = mask_ref[...]
 
-            # half-orientation 4-bin specialization (the grad_hist default):
-            # with the ACTUAL f32 constants, bin0 = |gx*1 - gy*0| = |gx| and
-            # bins 1/3 share u = gx*cs1, v = gy*sn1 (cs3 == -cs1, sn3 == sn1,
-            # so ch3 = -(u + v)); bin2's cs2 is 6.1e-17 (cos(pi/2) in f64),
-            # NOT zero, so it stays in generic form (minus the gy*1.0).
-            # Every rewrite is IEEE-f32 bit-exact vs. the generic expression
-            # (x*1 = x, x - 0*g = x, x*(-c) = -(x*c), (-u) - v = -(u + v)) —
-            # it just drops ~half the projection multiplies.
-            special4 = (n_bins == 4 and not full and not bias
-                        and float(css[0]) == 1.0 and float(sns[0]) == 0.0
-                        and float(css[3]) == -float(css[1])
-                        and float(sns[3]) == float(sns[1])
-                        and float(sns[2]) == 1.0)
-            if special4:
-                uv = [[(gx[a][b] * float(css[1]), gy[a][b] * float(sns[1]))
-                       for b in (0, 1)] for a in (0, 1)]
-
             def proj(k, a, b):
-                if special4:
-                    if k == 0:
-                        return jnp.abs(gx[a][b])
-                    if k == 2:
-                        return jnp.abs(gx[a][b] * float(css[2]) - gy[a][b])
-                    u, v = uv[a][b]
-                    return jnp.abs(u - v) if k == 1 else jnp.abs(u + v)
-                ch = gx[a][b] * float(css[k]) - gy[a][b] * float(sns[k])
+                if exact_plan is not None:
+                    # exhaustively-verified f32 chain == the reference's
+                    # f64-promoted NumPy store (ops.exact.projection_plan)
+                    from .exact import _eval_terms_jnp
+                    ch = _eval_terms_jnp(exact_plan.bins[k],
+                                         gx[a][b], gy[a][b])
+                else:
+                    ch = gx[a][b] * float(css[k]) \
+                        - gy[a][b] * float(sns[k])
                 v = jnp.maximum(jnp.abs(ch) - bias, 0.0) if bias \
                     else jnp.abs(ch)
                 if full:
@@ -209,11 +217,20 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
 
             for k in range(n_bins):
                 vs = [[proj(k, a, b) for b in (0, 1)] for a in (0, 1)]
-                pooled = ((vs[0][0] + vs[1][0])
-                          + (vs[0][1] + vs[1][1])) * 0.25
+                # reference f32 pool association ((TL + BL) + TR) + BR
+                # (/root/reference/waldboost/channels.py:55-64)
+                pooled = (((vs[0][0] + vs[1][0]) + vs[0][1])
+                          + vs[1][1]) * 0.25
                 if smooth == 1:
-                    r = pooled[:-2, :] + 2.0 * pooled[1:-1, :] + pooled[2:, :]
-                    v = r[:, :-2] + 2.0 * r[:, 1:-1] + r[:, 2:]
+                    # the numba stencil's left-to-right 9-term f32 order
+                    # (/root/reference/waldboost/channels.py:80-83)
+                    def pat(dr, dc):
+                        return pooled[1 + dr:1 + dr + TU,
+                                      1 + dc:1 + dc + TV]
+                    v = pat(-1, -1) + 2.0 * pat(-1, 0) + pat(-1, 1) \
+                        + 2.0 * pat(0, -1) + 4.0 * pat(0, 0) \
+                        + 2.0 * pat(0, 1) \
+                        + pat(1, -1) + 2.0 * pat(1, 0) + pat(1, 1)
                     outk = v * jnp.float32(1.0 / 16.0)
                     if with_mask:
                         # select (not multiply): gap planes may hold garbage
@@ -307,8 +324,16 @@ def grad_hist_poly_pallas(
     gi_c = max(-(-Hc // TU), 1)
     gj_c = max(-(-Wc // TV), 1)
     content_grid = (gi_c, gj_c) if (gi, gj) != (gi_c, gj_c) else None
+    # bf16 planes mark uint8 image content (model._poly_planes): engage the
+    # exact projection plan so the kernel matches the reference's f64 store
+    # bit for bit (channels._project_hist does the same on the XLA path)
+    exact_plan = None
+    if planes_p.dtype == jnp.bfloat16:
+        from .exact import projection_plan
+        exact_plan = projection_plan(n_bins, full)
     kernel = _make_kernel(TU, TV, smooth, n_bins, full, float(bias),
-                          with_mask, content_grid=content_grid)
+                          with_mask, content_grid=content_grid,
+                          exact_plan=exact_plan)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
     args = [planes_p]
@@ -357,71 +382,68 @@ def grad_hist_poly_pallas(
     return out if batched else out[0]
 
 
-def _make_fpga_kernel(TU, TV, n_out, kind, content_grid=None):
+def _fpga_responses(kind):
+    """Static response list builder for the FPGA kinds.  Composite kinds
+    ("a+b") concatenate their parts' responses — the fused equivalent of
+    channels.compose_channel_functions for the FPGA family."""
+    def one(k):
+        if k == "grad_mag_u1":
+            return [lambda gx, gy: jnp.maximum(jnp.abs(gx), jnp.abs(gy))]
+        assert k == "grad_hist_4_u1", k
+        # {dx, (dx-dy)/2, dy, (dx+dy)/2}; half-integer orientations
+        # truncate toward zero (int32 assignment semantics)
+        return [lambda gx, gy: gx,
+                lambda gx, gy: jnp.trunc(0.5 * gx - 0.5 * gy),
+                lambda gx, gy: gy,
+                lambda gx, gy: jnp.trunc(0.5 * gx + 0.5 * gy)]
+
+    fns = []
+    for part in kind.split("+"):
+        fns += one(part)
+    return fns
+
+
+def _make_fpga_kernel(TU, TV, kind, smooth, content_grid=None):
     """FPGA integer-channel kernel body: polyphase Sobel, fixed-orientation
     responses, ``min(|y|//4, 255)`` quantization, stencil-ring mask select,
-    and the uint8-wraparound 2x2 pool — all in VMEM.  Term-for-term the same
-    expressions as fpga.channels._sobel_poly/_fpga_poly_channels (integer
+    the uint8-wraparound 2x2 pool, and (``smooth == 1``) the 3x3/16 binomial
+    smooth with uint8 truncation + interior masking — all in VMEM.
+    Term-for-term the same expressions as fpga.channels._sobel_poly /
+    _fpga_poly_channels (+ ops.image.smooth_3x3's 9-term order; integer
     values are exact in f32), so outputs are bitwise identical to the XLA
     polyphase chain.  Reference semantics:
     /root/reference/waldboost/fpga/channels.py:5-53 (stencil Sobel, zero
     borders, orientation quantization), /root/reference/waldboost/channels.py
-    :55-64 (uint8 avg pool with mod-256 wraparound)."""
-    HR, HC = 8, 128  # fetched halo (alignment); compute uses 1 plane px
+    :55-64 (uint8 avg pool with mod-256 wraparound), :78-90 (3x3/16 smooth,
+    zero borders, integer truncation).
 
-    def kernel(mask_ref, planes_hbm, out_ref, tile_ref, dma_sem):
-        bb = pl.program_id(0)
+    smooth == 0: the ring mask rides the auto-fetched (2,2,TU,TV) BlockSpec
+    (no halo needed).  smooth == 1: responses are needed on a (TU+2, TV+2)
+    extent, so the ring mask is fetched WITH halo through the same
+    double-buffered manual-DMA scaffold as the planes, and the smooth
+    interior mask arrives as an extra auto-fetched (TU, TV) block."""
+    resp_fns = _fpga_responses(kind)
+    n_out = len(resp_fns)
+    HR, HC = 8, 128  # fetched halo (alignment); compute uses 1-2 plane px
+    s = 2 if smooth == 1 else 1  # Sobel radius + smooth extent, plane px
+    E = 2 * (s - 1)              # extra output extent (TU+E, TV+E)
+
+    def kernel(*refs):
+        if smooth == 1:
+            (interior_ref, planes_hbm, mask_hbm, out_ref,
+             tile_ref, dma_sem, mtile_ref, msem) = refs
+            mask_ref = None
+        else:
+            mask_ref, planes_hbm, out_ref, tile_ref, dma_sem = refs
+            mask_hbm = mtile_ref = msem = interior_ref = None
         i = pl.program_id(1)
         j = pl.program_id(2)
-        gi_n = pl.num_programs(1)
-        gj_n = pl.num_programs(2)
-        total = pl.num_programs(0) * gi_n * gj_n
-        step = (bb * gi_n + i) * gj_n + j
-        slot = jax.lax.rem(step, 2)
-
-        def is_content(ii, jj):
-            if content_grid is None:
-                return True
-            return jnp.logical_and(ii < content_grid[0],
-                                   jj < content_grid[1])
-
-        def tile_dma(sl, b2, ii, jj):
-            src = planes_hbm.at[b2, :, :, pl.ds(ii * TU, TU + 2 * HR),
-                                pl.ds(jj * TV, TV + 2 * HC)]
-            return pltpu.make_async_copy(src, tile_ref.at[sl],
-                                         dma_sem.at[sl])
-
-        # double buffering across grid steps (the proven scaffold of
-        # _make_kernel): each CONTENT tile's DMA is started by the
-        # predecessor step and waited exactly once by its own step
-        ic_cur = is_content(i, j)
-
-        @pl.when(jnp.logical_and(step == 0, ic_cur)
-                 if content_grid is not None else step == 0)
-        def _first():
-            tile_dma(slot, bb, i, j).start()
-
-        s1 = step + 1
-        b1 = s1 // (gi_n * gj_n)
-        r1 = jax.lax.rem(s1, gi_n * gj_n)
-        i1 = r1 // gj_n
-        j1 = jax.lax.rem(r1, gj_n)
-        nxt = s1 < total
-        if content_grid is not None:
-            nxt = jnp.logical_and(nxt, is_content(i1, j1))
-
-        @pl.when(nxt)
-        def _prefetch_next():
-            tile_dma(jax.lax.rem(s1, 2),
-                     jnp.minimum(b1, pl.num_programs(0) - 1), i1, j1).start()
-
-        @pl.when(ic_cur if content_grid is not None else step >= 0)
-        def _wait_own():
-            tile_dma(slot, bb, i, j).wait()
+        srcs = [(planes_hbm, tile_ref, dma_sem, True, HR, HC)]
+        if mask_hbm is not None:
+            srcs.append((mask_hbm, mtile_ref, msem, False, HR, HC))
+        slot, _ic = _db_fetch(srcs, TU, TV, content_grid)
 
         def compute():
-            s = 1  # Sobel radius in plane px
-
             def at1(a, b, dr, dc):
                 v = tile_ref[slot, a, b,
                              HR - s + dr:HR - s + dr + TU + 2 * s,
@@ -429,8 +451,8 @@ def _make_fpga_kernel(TU, TV, n_out, kind, content_grid=None):
                 return v.astype(jnp.float32)
 
             def sl2(x, dr, dc):
-                """center (TU, TV) view of a (TU+2, TV+2) array."""
-                return x[1 + dr:1 + dr + TU, 1 + dc:1 + dc + TV]
+                """(TU+E, TV+E) view of a (TU+2s, TV+2s) array."""
+                return x[1 + dr:1 + dr + TU + E, 1 + dc:1 + dc + TV + E]
 
             # vertical [1,2,1] prefilter, then horizontal difference -> dx
             # (term order = fpga.channels._sobel_poly)
@@ -448,30 +470,45 @@ def _make_fpga_kernel(TU, TV, n_out, kind, content_grid=None):
             dy = [[sl2(sx[1][b], 0, 0) - sl2(sx[1][b], -1, 0) for b in (0, 1)],
                   [sl2(sx[0][b], 1, 0) - sl2(sx[0][b], 0, 0) for b in (0, 1)]]
 
-            def responses(a, b):
-                gx, gy = dx[a][b], dy[a][b]
-                if kind == "grad_mag_u1":
-                    return [jnp.maximum(jnp.abs(gx), jnp.abs(gy))]
-                # grad_hist_4_u1: {dx, (dx-dy)/2, dy, (dx+dy)/2}; the
-                # half-integer orientations truncate toward zero
-                y1 = jnp.trunc(0.5 * gx - 0.5 * gy)
-                y3 = jnp.trunc(0.5 * gx + 0.5 * gy)
-                return [gx, y1, gy, y3]
+            def ringmask(a, b):
+                if smooth != 1:
+                    return mask_ref[a, b]
+                return mtile_ref[slot, a, b,
+                                 HR - 1:HR - 1 + TU + E,
+                                 HC - 1:HC - 1 + TV + E].astype(jnp.float32)
 
-            rs = [[responses(a, b) for b in (0, 1)] for a in (0, 1)]
+            rs = [[[f(dx[a][b], dy[a][b]) for f in resp_fns]
+                   for b in (0, 1)] for a in (0, 1)]
             for k in range(n_out):
                 def q(a, b):
                     v = jnp.minimum(jnp.floor(jnp.abs(rs[a][b][k]) * 0.25),
                                     255.0)
                     # select (not multiply): fused-assembly gap planes may
                     # hold garbage (incl. NaN); ring zeros must stay exact
-                    return jnp.where(mask_ref[a, b] > 0, v, 0.0)
+                    return jnp.where(ringmask(a, b) > 0, v, 0.0)
 
                 sk = (q(0, 0) + q(1, 0)) + (q(0, 1) + q(1, 1))
                 sk = sk - 256.0 * jnp.floor(sk * (1.0 / 256.0))  # u8 wrap
-                out_ref[k] = jnp.floor(sk * 0.25)
+                pooled = jnp.floor(sk * 0.25)
+                if smooth == 1:
+                    # the numba stencil's 9-term order + uint8 truncation
+                    # (integer sums <= 16*255 are exact in f32)
+                    def pat(dr, dc):
+                        return pooled[1 + dr:1 + dr + TU,
+                                      1 + dc:1 + dc + TV]
+                    v = pat(-1, -1) + 2.0 * pat(-1, 0) + pat(-1, 1) \
+                        + 2.0 * pat(0, -1) + 4.0 * pat(0, 0) \
+                        + 2.0 * pat(0, 1) \
+                        + pat(1, -1) + 2.0 * pat(1, 0) + pat(1, 1)
+                    v = jnp.floor(v * jnp.float32(1.0 / 16.0))
+                    out_ref[k] = jnp.where(interior_ref[...] > 0, v, 0.0)
+                else:
+                    out_ref[k] = pooled
 
-        live = jnp.sum(mask_ref[...]) > 0.0
+        if smooth == 1:
+            live = jnp.sum(interior_ref[...]) > 0.0
+        else:
+            live = jnp.sum(mask_ref[...]) > 0.0
         if content_grid is not None:
             live = jnp.logical_and(
                 live, jnp.logical_and(i < content_grid[0],
@@ -491,29 +528,35 @@ def _make_fpga_kernel(TU, TV, n_out, kind, content_grid=None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "tile", "interpret", "content_hw", "out_grid",
-                     "crop", "alloc_grid"),
+    static_argnames=("kind", "smooth", "tile", "interpret", "content_hw",
+                     "out_grid", "crop", "alloc_grid"),
 )
 def fpga_poly_pallas(
     planes: jax.Array, border_mask_poly: jax.Array, kind: str,
+    smooth: int = 0, interior_mask=None,
     tile: Tuple[int, int] = TILE, interpret: bool = False,
     content_hw: Optional[Tuple[int, int]] = None,
     out_grid: Optional[Tuple[int, int]] = None, crop: bool = True,
     alloc_grid: Optional[Tuple[int, int]] = None,
 ) -> jax.Array:
-    """Pooled FPGA integer channel canvas from polyphase planes, fused.
+    """Pooled (and optionally smoothed) FPGA integer channel canvas from
+    polyphase planes, fused.
 
     ``planes``: (2, 2, Hc, Wc) or (B, 2, 2, Hc, Wc) bf16/f32 polyphase image
     canvas.  ``border_mask_poly``: (2, 2, Hc, Wc) stencil ring mask (the
     numba-stencil zero-border convention of the reference, applied to the
     quantized responses BEFORE the pool — model._poly_channels builds it).
-    ``kind``: "grad_hist_4_u1" (4 channels) or "grad_mag_u1" (1).  The
-    content_hw / out_grid / crop / alloc_grid contract matches
-    :func:`grad_hist_poly_pallas`.  Output values are integers in [0, 255]
-    as f32, bitwise equal to the XLA chain
-    (fpga.channels._grad_hist_4_u1_poly_fn et al.).
+    ``kind``: "grad_hist_4_u1" (4 channels), "grad_mag_u1" (1), or a
+    "+"-composite ("grad_hist_4_u1+grad_mag_u1", 5 — BASELINE config 5's
+    multi-channel pipeline).  ``smooth == 1`` additionally applies the
+    3x3/16 binomial smooth with integer truncation and zeroes outside
+    ``interior_mask`` (Hc, Wc).  The content_hw / out_grid / crop /
+    alloc_grid contract matches :func:`grad_hist_poly_pallas`.  Output
+    values are integers in [0, 255] as f32, bitwise equal to the XLA chain
+    (fpga.channels._grad_hist_4_u1_poly_fn et al. + model._poly_channels'
+    smooth tail).
     """
-    n_out = 1 if kind == "grad_mag_u1" else 4
+    n_out = len(_fpga_responses(kind))
     batched = planes.ndim == 5
     if not batched:
         planes = planes[None]
@@ -539,39 +582,71 @@ def fpga_poly_pallas(
                             (HC, gj_p * TV + HC - Wc)))
     if planes_p.dtype not in (jnp.bfloat16, jnp.float32):
         planes_p = planes_p.astype(jnp.float32)
-    mask_p = jnp.pad(border_mask_poly.astype(jnp.float32),
-                     ((0, 0), (0, 0), (0, gi * TU - Hc), (0, gj * TV - Wc)))
     gi_c = max(-(-Hc // TU), 1)
     gj_c = max(-(-Wc // TV), 1)
     content_grid = (gi_c, gj_c) if (gi, gj) != (gi_c, gj_c) else None
-    kernel = _make_fpga_kernel(TU, TV, n_out, kind,
+    kernel = _make_fpga_kernel(TU, TV, kind, smooth,
                                content_grid=content_grid)
-
-    def kernel_b(mask_ref, planes_hbm, out_ref, tile_ref, dma_sem):
-        kernel(mask_ref, planes_hbm, out_ref.at[0], tile_ref, dma_sem)
 
     agi = max(gi, alloc_grid[0]) if alloc_grid is not None else gi
     agj = max(gj, alloc_grid[1]) if alloc_grid is not None else gj
 
-    out = pl.pallas_call(
-        kernel_b,
-        grid=(B, gi, gj),
-        in_specs=[
+    scratch = [
+        pltpu.VMEM((2, 2, 2, TU + 2 * HR, TV + 2 * HC), planes_p.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if smooth == 1:
+        assert interior_mask is not None, "smooth==1 needs interior_mask"
+        # ring mask fetched WITH halo (responses live on a (TU+2, TV+2)
+        # extent): bf16 0/1 values are exact, same padded geometry as planes
+        mask_ext = jnp.pad(border_mask_poly.astype(jnp.bfloat16),
+                           ((0, 0), (0, 0),
+                            (HR, gi_p * TU + HR - Hc),
+                            (HC, gj_p * TV + HC - Wc)))
+        interior_p = jnp.pad(interior_mask.astype(jnp.float32),
+                             ((0, gi * TU - Hc), (0, gj * TV - Wc)))
+        in_specs = [
+            pl.BlockSpec((TU, TV), lambda b, i, j: (i, j),
+                         memory_space=pltpu.VMEM),     # interior mask
+            pl.BlockSpec(memory_space=pltpu.ANY),      # planes (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.ANY),      # ring mask (manual)
+        ]
+        args = [interior_p, planes_p, mask_ext]
+        scratch += [
+            pltpu.VMEM((2, 2, 2, TU + 2 * HR, TV + 2 * HC), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+
+        def kernel_b(interior_ref, planes_hbm, mask_hbm, out_ref,
+                     tile_ref, dma_sem, mtile_ref, msem):
+            kernel(interior_ref, planes_hbm, mask_hbm, out_ref.at[0],
+                   tile_ref, dma_sem, mtile_ref, msem)
+    else:
+        mask_p = jnp.pad(border_mask_poly.astype(jnp.float32),
+                         ((0, 0), (0, 0), (0, gi * TU - Hc),
+                          (0, gj * TV - Wc)))
+        in_specs = [
             pl.BlockSpec((2, 2, TU, TV), lambda b, i, j: (0, 0, i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # planes (manual DMA)
-        ],
+        ]
+        args = [mask_p, planes_p]
+
+        def kernel_b(mask_ref, planes_hbm, out_ref, tile_ref, dma_sem):
+            kernel(mask_ref, planes_hbm, out_ref.at[0], tile_ref, dma_sem)
+
+    out = pl.pallas_call(
+        kernel_b,
+        grid=(B, gi, gj),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, n_out, TU, TV),
                                lambda b, i, j: (b, 0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_out, agi * TU, agj * TV),
                                        jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, 2, 2, TU + 2 * HR, TV + 2 * HC), planes_p.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(mask_p, planes_p)
+    )(*args)
 
     if crop:
         out = out[:, :, :Hc, :Wc]

@@ -63,17 +63,32 @@ def avg_pool_2(arr: jax.Array) -> jax.Array:
     (uint8 wraps — reference parity), divided by 4 in float32, then
     truncate-cast back to the input dtype.
 
-    Two reduce_window passes (rows, then cols) pin the f32 association to
-    ``(x00 + x10) + (x01 + x11)`` — the same order the polyphase canvas path
-    uses (channels._grad_hist_poly_fn), so both pipelines agree to the ULP.
+    Float inputs reproduce the reference's f32 summation association
+    ``((TL + BL) + TR) + BR`` (the left-to-right numba expression at
+    /root/reference/waldboost/channels.py:55-64) term for term — the order
+    is observable for irrational channel values.  Integer inputs sum exactly
+    under any association, so they keep the reduce_window fast path
+    (strided-lane slicing is pathologically slow on TPU).
     """
-    zero = jnp.zeros((), arr.dtype)
-    dims_r = (1,) * (arr.ndim - 2) + (2, 1)
-    dims_c = (1,) * (arr.ndim - 2) + (1, 2)
-    s = jax.lax.reduce_window(arr, zero, jax.lax.add, dims_r, dims_r, "VALID")
-    s = jax.lax.reduce_window(s, zero, jax.lax.add, dims_c, dims_c, "VALID")
-    out = s.astype(jnp.float32) / 4.0
-    return out.astype(arr.dtype)  # float->int converts toward zero
+    if _is_integer(arr.dtype):
+        zero = jnp.zeros((), arr.dtype)
+        dims_r = (1,) * (arr.ndim - 2) + (2, 1)
+        dims_c = (1,) * (arr.ndim - 2) + (1, 2)
+        s = jax.lax.reduce_window(arr, zero, jax.lax.add, dims_r, dims_r,
+                                  "VALID")
+        s = jax.lax.reduce_window(s, zero, jax.lax.add, dims_c, dims_c,
+                                  "VALID")
+        out = s.astype(jnp.float32) / 4.0
+        return out.astype(arr.dtype)  # float->int converts toward zero
+    h = (arr.shape[-2] // 2) * 2
+    w = (arr.shape[-1] // 2) * 2
+    x = arr[..., :h, :w]
+    q = x.reshape(x.shape[:-2] + (h // 2, 2, w // 2, 2))
+    tl = q[..., 0, :, 0]
+    bl = q[..., 1, :, 0]
+    tr = q[..., 0, :, 1]
+    br = q[..., 1, :, 1]
+    return ((((tl + bl) + tr) + br) / 4).astype(arr.dtype)
 
 
 @functools.lru_cache(maxsize=None)
@@ -148,14 +163,22 @@ def smooth_3x3(arr: jax.Array) -> jax.Array:
 
     Border pixels (where the 3x3 window leaves the image) are 0, matching the
     numba stencil default of /root/reference/waldboost/channels.py:78-90.
-    Integer inputs compute exactly (values fit f32) and truncate-cast back.
-    Implemented as an XLA convolution — the TPU-optimized stencil path.
+    The nine taps are summed in the stencil expression's left-to-right f32
+    order (row-major, /root/reference/waldboost/channels.py:80-83) — the
+    association is observable for irrational channel values.  Integer inputs
+    compute exactly (values fit f32) and truncate-cast back.  Shifted adds
+    (VPU): single-channel convs are an MXU-hostile shape.
     """
     dtype = arr.dtype
-    # shifted adds (VPU): single-channel convs are an MXU-hostile shape
     work = arr.astype(jnp.float32)
-    r = work[..., :-2, :] + 2 * work[..., 1:-1, :] + work[..., 2:, :]
-    v = r[..., :, :-2] + 2 * r[..., :, 1:-1] + r[..., :, 2:]
+
+    def at(dr, dc):
+        return work[..., 1 + dr:work.shape[-2] - 1 + dr,
+                    1 + dc:work.shape[-1] - 1 + dc]
+
+    v = at(-1, -1) + 2.0 * at(-1, 0) + at(-1, 1) \
+        + 2.0 * at(0, -1) + 4.0 * at(0, 0) + 2.0 * at(0, 1) \
+        + at(1, -1) + 2.0 * at(1, 0) + at(1, 1)
     v = (v / 16.0).astype(dtype)
     pad = [(0, 0)] * (arr.ndim - 2) + [(1, 1), (1, 1)]
     return jnp.pad(v, pad)
@@ -287,21 +310,47 @@ def _resize_bilinear_f32(image: jax.Array, nh: int, nw: int) -> jax.Array:
     return x
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _resize_bilinear_exact_int(image: jax.Array, nh: int, nw: int) -> jax.Array:
+    """Exact-arithmetic resize + floor for integer-valued images: the
+    truncated bilinear value is ``floor(N / D)`` with an exact integer
+    numerator (taps are rationals), computed via ops.exact.combine4_exact —
+    no epsilon nudges, no float ties (PARITY.md §1)."""
+    from .exact import axis_taps_exact, combine4_exact
+
+    h, w = image.shape[-2], image.shape[-1]
+    x = image.astype(jnp.float32)
+    i0r, fnr, den_r = axis_taps_exact(h, nh)
+    i0c, fnc, den_c = axis_taps_exact(w, nw)
+    i1r = np.minimum(i0r + 1, h - 1)
+    i1c = np.minimum(i0c + 1, w - 1)
+    top = jnp.take(x, i0r, axis=-2)
+    bot = jnp.take(x, i1r, axis=-2)
+    g00 = jnp.take(top, i0c, axis=-1)
+    g01 = jnp.take(top, i1c, axis=-1)
+    g10 = jnp.take(bot, i0c, axis=-1)
+    g11 = jnp.take(bot, i1c, axis=-1)
+    frn = jnp.asarray(fnr, jnp.float32)[..., :, None]
+    fcn = jnp.asarray(fnc, jnp.float32)
+    return combine4_exact(g00, g01, g10, g11, frn, fcn, den_r, den_c)
+
+
 def resize_bilinear(image: jax.Array, nh: int, nw: int) -> jax.Array:
     """Bilinear resize over the last two dims with skimage ``resize(order=1,
     anti_aliasing=False)`` semantics, followed by a truncating cast back to the
     input dtype (the reference does ``.astype(dtype)`` at
     /root/reference/waldboost/channels.py:132).  ``nh``/``nw`` are static.
 
-    Integer truncation note: when the exact interpolated value is itself an
-    integer, truncation is a coin flip in any finite precision (skimage's own
-    float64 truncates up or down depending on 1e-16 rounding).  This
-    implementation resolves the ambiguity deterministically toward the
-    *exact-arithmetic* result by nudging with an epsilon below the smallest
-    nonzero fractional part a bilinear blend of uint8 values can produce at
-    realistic scale ratios.
+    Integer dtypes: the truncated value is computed in EXACT arithmetic
+    (integer tap numerators, one final floor — ops.exact.combine4_exact), so
+    exact-integer interpolation ties resolve deterministically toward the
+    exact result; the f64 reference shims and oracle adopt the same
+    convention (PARITY.md §1).  Float dtypes keep the f32 lerp (the reference
+    computes in f64 and keeps floats unrounded — documented deviation).
     """
-    out = _resize_bilinear_f32(image, int(nh), int(nw))
+    nh, nw = int(nh), int(nw)
     if _is_integer(image.dtype):
-        return (out + 1e-4).astype(image.dtype)  # trunc toward zero
-    return out.astype(image.dtype)
+        if (nh, nw) == (image.shape[-2], image.shape[-1]):
+            return image
+        return _resize_bilinear_exact_int(image, nh, nw).astype(image.dtype)
+    return _resize_bilinear_f32(image, nh, nw).astype(image.dtype)

@@ -79,7 +79,8 @@ __all__ = ["shelf_pass2_call", "shelf_vmem_bytes", "ShelfPlan", "LevelPlan",
 class LevelPlan:
     """Static per-level kernel plan (hashable, host-side)."""
 
-    def __init__(self, blks, oh, cwpad, wq, xc, fh0, fw0, pieces):
+    def __init__(self, blks, oh, cwpad, wq, xc, fh0, fw0, pieces,
+                 den_h=None, den_w=None):
         # cols ref index (local to this shelf's call) of each 128-col
         # block of the level's slab, in slab lane order
         self.blks = tuple(int(b) for b in blks)
@@ -89,13 +90,17 @@ class LevelPlan:
         self.xc = int(xc)             # canvas col of the level's first col
         self.fh0 = int(fh0)           # row offset into the FH array
         self.fw0 = int(fw0)           # row-block offset into the FW array
+        # exact-resize denominators: FH/FW arrays hold integer frac
+        # NUMERATORS over these (ops.exact.axis_taps_exact)
+        self.den_h = int(den_h) if den_h is not None else 0
+        self.den_w = int(den_w) if den_w is not None else 0
         # pieces: tuple of (row_off, rb, r0, k0, kwp) — lhs stack row
         # offset, rowblock height, band row start, source-row window
         self.pieces = tuple(tuple(int(x) for x in p) for p in pieces)
 
     def key(self):
         return (self.blks, self.oh, self.cwpad, self.wq, self.xc,
-                self.fh0, self.fw0, self.pieces)
+                self.fh0, self.fw0, self.den_h, self.den_w, self.pieces)
 
 
 class ShelfPlan:
@@ -149,9 +154,13 @@ def shelf_vmem_bytes(plan: ShelfPlan, PW: int,
 
 def _piece_compute(lhs_ref, fh_ref, fw_ref, rhs_ref, band_ref, sl, bsl,
                    lv: LevelPlan, piece, pitch: int):
-    """One piece's corner dots + lerp + bf16 stores into the band scratch
-    (shared by the per-shelf and merged kernels; bit-exactness pinned by
-    tests/test_polyphase.py)."""
+    """One piece's corner dots + exact 4-corner combine + bf16 stores into
+    the band scratch (shared by the per-shelf and merged kernels;
+    bit-exactness vs the XLA mats path pinned by tests/test_polyphase.py).
+    FH/FW hold integer frac numerators over the level's static
+    denominators; ops.exact.combine4_exact floors with no float ties."""
+    from .exact import combine4_exact
+
     row_off, rb, r0, k0, kwp = piece
     lhs = lhs_ref[row_off:row_off + 4 * rb, 0:kwp]
     ncb = -(-lv.wq // 128)
@@ -173,17 +182,15 @@ def _piece_compute(lhs_ref, fh_ref, fw_ref, rhs_ref, band_ref, sl, bsl,
                         lv.fh0 + p * pitch + r0 + rb, 0:1]
             for q in (0, 1):
                 # outs[x*2+q] rows are (a*2+p)-grouped: slice the
-                # (h-corner a, w-corner x) blocks and run
-                # model._lerp_block's exact f32 association
+                # (h-corner a, w-corner x) blocks
                 def gco(a, x, q=q, p=p):
                     o = outs[x * 2 + q]
                     return o[(a * 2 + p) * rb:(a * 2 + p + 1) * rb, :]
                 g00, g10 = gco(0, 0), gco(1, 0)
                 g01, g11 = gco(0, 1), gco(1, 1)
-                ta = g00 * (1.0 - fh) + g10 * fh
-                tb = g01 * (1.0 - fh) + g11 * fh
-                blk = ta * (1.0 - fwq[q]) + tb * fwq[q]
-                blk = jnp.floor(blk + 1e-4).astype(jnp.bfloat16)
+                blk = combine4_exact(g00, g01, g10, g11, fh, fwq[q],
+                                     lv.den_h, lv.den_w)
+                blk = blk.astype(jnp.bfloat16)
                 # stripe-local rows: piece r0 == stripe sr0
                 band_ref[bsl, p, q, 0:rb,
                          lv.xc + cs:lv.xc + cs + w] = \
