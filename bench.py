@@ -148,6 +148,19 @@ def bench_fpga_4k(batch, iters, warmup, smooth=0):
     return _detect_mps(model, 2160, 3840, batch, iters, warmup, nms_iou=0.5)
 
 
+def bench_trained_cascade(batch, iters, warmup):
+    """Config 6: the committed REALLY-TRAINED 64-stage cascade
+    (models/flagship_synth_64.pb, scripts/train_flagship.py) on the headline
+    VGA full-pyramid pipeline — confirms the synthetic-calibration headline
+    survives trained rejection dynamics."""
+    import waldboost_tpu as wb
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "models", "flagship_synth_64.pb")
+    model = wb.load(path)
+    return _detect_mps(model, 480, 640, batch, iters, warmup, nms_iou=0.5)
+
+
 def bench_train_loop(n_stages=6):
     """Config 4: WaldBoost training-loop throughput (stages/min) on the
     synthetic dataset — pool mining + device histogram tree fit + SPRT."""
@@ -210,6 +223,8 @@ def main():
     # reference publishes no training numbers): vs_baseline is null
     add("training_loop_throughput", bench_train_loop, unit="stages/min",
         baseline=None)
+    add("trained_cascade_throughput",
+        lambda: bench_trained_cascade(batch, iters, warmup))
     # headline LAST (the driver parses the final JSON line)
     add("full_pyramid_detection_throughput",
         lambda: bench_vga_full_pyramid(batch, iters, warmup))

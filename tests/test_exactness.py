@@ -150,7 +150,8 @@ def test_projection_plan_exhaustive():
     gy32 = gy64.astype(np.float32)
     for k in range(4):
         ref = (gx64 * cs[k] - gy64 * sn[k]).astype(np.float32)
-        got = _eval_terms_np(plan.bins[k], gx32, gy32)
+        mode, terms = plan.bins[k]
+        got = _eval_terms_np(terms, gx32, gy32, mode)
         neq = ref != got
         assert int(neq.sum()) == plan.exceptions[k]
         if neq.any():
@@ -170,7 +171,8 @@ def test_projection_jnp_matches_np_sim():
     gx[0] = gy[0]
     gx[1] = -gy[1]
     for k in range(4):
-        a = _eval_terms_np(plan.bins[k], gx, gy)
-        b = np.asarray(_eval_terms_jnp(plan.bins[k], jnp.asarray(gx),
-                                       jnp.asarray(gy)))
+        mode, terms = plan.bins[k]
+        a = _eval_terms_np(terms, gx, gy, mode)
+        b = np.asarray(_eval_terms_jnp(terms, jnp.asarray(gx),
+                                       jnp.asarray(gy), mode))
         assert np.array_equal(a, b), k

@@ -282,3 +282,55 @@ def test_composed_channels_concat_semantics():
     # float-family composition resolves too (XLA paths only)
     f = rcf("grad_hist+grad_mag")
     assert f.n_channels == 5 and f.poly_kernel is None
+
+
+def test_fpga_train_sharded_mesh():
+    """fpga.train's mesh path: device-pool sharded training with per-stage
+    bank feature masks and in-step clip/quantize/integer-threshold
+    transforms (the FPGA contract of
+    /root/reference/waldboost/fpga/training.py:160-168,249-259)."""
+    import jax
+
+    import waldboost_tpu as wb
+    from waldboost_tpu import fpga
+    from waldboost_tpu.fpga.banks import BankScheduler, PixelBanks
+    from waldboost_tpu.parallel.mesh import make_mesh
+    from waldboost_tpu.utils import fake_data_generator
+
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs >= 4 virtual devices")
+    mesh = make_mesh(4)
+    gen = fake_data_generator(seed=5)
+    model = wb.Model((12, 12, 4), dict(shrink=2, n_per_oct=2, smooth=0,
+                                       channels="grad_hist_4_u1"))
+    pool = wb.SamplePool(min_tp=100, min_fp=100, seed=2)
+    quantizer = 32
+    learner = fpga.train(model, gen, pool=pool, length=4, max_depth=2,
+                         quantizer=quantizer, mesh=mesh)
+    assert len(model) == len(learner) == 4
+
+    # replay the round-robin schedule to know each stage's banks
+    banks = PixelBanks(model.shape, (2, 2))
+    sched = BankScheduler(4)
+    for weak, _theta in model:
+        stage_banks = sched.schedule(2)
+        allowed = [set(banks.bank_pixels(b).tolist()) for b in stage_banks]
+        # depth of each internal node in the flat layout
+        depth = {0: 0}
+        for k, (lf, rt) in enumerate(zip(weak.left, weak.right)):
+            if lf >= 0:
+                depth[int(lf)] = depth[k] + 1
+                depth[int(rt)] = depth[k] + 1
+        m, n, C = model.shape
+        for k, f in enumerate(weak.feature):
+            if f is None or weak.left[k] < 0:
+                continue
+            flat = int(np.ravel_multi_index(f, (m, n, C)))
+            assert flat in allowed[depth[k]], (k, f, depth[k])
+        # integer thresholds + quantized responses
+        for k in range(len(weak.left)):
+            if weak.left[k] >= 0:
+                assert float(weak.threshold[k]) == int(weak.threshold[k])
+        q = weak.prediction * quantizer
+        np.testing.assert_allclose(q, np.round(q), atol=1e-4)

@@ -364,3 +364,32 @@ def test_masked_serving_mats_path_matches_detect(monkeypatch, fused_planes):
         got = got[np.lexsort(got.T)]
         exp = exp[np.lexsort(exp.T)]
         np.testing.assert_array_equal(got, exp)
+
+
+def test_tile_sharded_boxes_extraction():
+    """Tile-sharded detection with boxes=True: on-device extraction over
+    the sharded grid matches the unsharded serving extraction."""
+    from waldboost_tpu.parallel.detect import (make_batched_detector_boxes,
+                                               make_tile_sharded_detector)
+
+    mesh = _mesh_or_skip(4)
+    model = make_model(n_stages=4, shape=(8, 8, 4),
+                       opts=dict(shrink=2, n_per_oct=2, smooth=1,
+                                 channels="grad_hist"))
+    rng = np.random.RandomState(9)
+    image = rng.randint(0, 256, (96, 128)).astype(np.uint8)
+    fn_t, _ = make_tile_sharded_detector(model, image.shape, mesh=mesh,
+                                         boxes=True, k=4096)
+    rects_t, scores_t, valid_t, count_t, nw_t = \
+        [np.asarray(x) for x in fn_t(image)]
+    fn_u, _ = make_batched_detector_boxes(model, image.shape, k=4096,
+                                          nms_iou=None, with_n_weak=False)
+    rects_u, scores_u, valid_u, count_u, _ = \
+        [np.asarray(x) for x in fn_u(jnp.asarray(image[None]))]
+    assert count_t == count_u[0] and count_t >= 0
+
+    def box_set(r, s, v):
+        return set(map(tuple, np.round(
+            np.concatenate([r[v], s[v][:, None]], 1), 3)))
+    assert box_set(rects_t, scores_t, valid_t) \
+        == box_set(rects_u[0], scores_u[0], valid_u[0])

@@ -65,21 +65,17 @@ def detect(image: np.ndarray, *models: Model, channel_opts: dict = None,
     if response_scale.size != len(models):
         raise ValueError("Wrong response_scale parameter")
 
-    # fast path: all models share window shape + channel opts -> build the
-    # packed channel canvas once and run each model's cascade over it
+    # fast path: all models share window shape + channel opts -> the packed
+    # channel canvas program EXECUTES once and each model's cascade scans
+    # the same device-resident canvas (model.detect_multi)
     from .channels import _normalize_opts
     opts_key = _normalize_opts(channel_opts)
     shared = all(m.shape == models[0].shape
                  and _normalize_opts(m.channel_opts) == opts_key
                  for m in models)
     if shared:
-        dt_boxes = []
-        for k, model in enumerate(models):
-            out = (model.detect(image) if k == 0 else _detect_on_shared(model, image))
-            out.set_field("scores", out.get_field("scores") * response_scale[k])
-            out.set_field("label", np.full(len(out), k, dtype=np.int64))
-            dt_boxes.append(out)
-        return bbx.concatenate(dt_boxes, ["scores", "label"])
+        from .model import detect_multi
+        return detect_multi(models, image, response_scale=response_scale)
 
     dt_boxes = []
     for chns, scale in channels.channel_pyramid(image, channel_opts):
@@ -92,12 +88,6 @@ def detect(image: np.ndarray, *models: Model, channel_opts: dict = None,
             b.set_field("label", np.full(r.size, k, dtype=np.int64))
             dt_boxes.append(b)
     return bbx.concatenate(dt_boxes, ["scores", "label"])
-
-
-def _detect_on_shared(model: Model, image) -> Boxes:
-    """Model.detect — the packed canvas is rebuilt by the jit cache (same
-    image + opts => cache hit on the canvas program, only the cascade runs)."""
-    return model.detect(image)
 
 
 def train_softcascade(shape, channel_opts, length, training_images,
@@ -147,7 +137,8 @@ def train(model: Model,
           theta_schedule=None,
           callbacks=(),
           logger: logging.Logger = None,
-          mesh=None):
+          mesh=None,
+          prefetch: int = 16):
     """Train or continue training a detection model.
 
     Baseline pipeline with parity to /root/reference/waldboost/__init__.py:133-227:
@@ -163,15 +154,26 @@ def train(model: Model,
     data axis, with the whole per-stage numeric step (weights, histogram
     tree fit, SPRT threshold, pruning) as one sharded device program —
     see waldboost_tpu.parallel.trainer.train_sharded.
+
+    ``prefetch``: depth of the background-thread record prefetcher wrapped
+    around ``training_images`` (io.prefetch_iterable) — the producer decodes
+    while the device computes.  0 disables it.  Record order is preserved;
+    note that up to ``prefetch`` already-queued records are dropped when
+    this call returns (irrelevant for infinite generators; pass 0 for small
+    finite datasets reused across calls).
     """
     logger = logger or logging.getLogger("Training")
+    if prefetch:
+        from .io import prefetch_iterable
+        training_images = prefetch_iterable(training_images, depth=prefetch)
 
     if mesh is not None:
         from .parallel.trainer import train_sharded
         pool_kwargs = {}
         if pool is not None:
             pool_kwargs = dict(min_tp=pool.min_tp, min_fp=pool.min_fp,
-                               seed=pool.seed, **pool.label_boxes_args)
+                               seed=pool.seed, mine_batch=pool.mine_batch,
+                               **pool.label_boxes_args)
         learner = learner or Learner(alpha=0.2, max_depth=2)
         wh_args = dict(learner.wh_args)
         return train_sharded(model, training_images, mesh=mesh,

@@ -46,6 +46,9 @@ def detect_main(argv=None):
     p.add_argument("--iou-threshold", type=float, default=0.2,
                    help="NMS IoU threshold")
     p.add_argument("--score-threshold", type=float, default=0.0)
+    p.add_argument("--bucket", type=int, default=128,
+                   help="Image-size bucket granularity (one compiled "
+                        "program per bucket; images are zero-padded up)")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -58,10 +61,21 @@ def detect_main(argv=None):
             model.channel_opts["n_per_oct"] = args.n_per_oct
         models.append(model)
 
+    images = [_load_gray(f) for f in args.files]
+    if len(models) == 1:
+        # framework serving path: device-batched detection with one compiled
+        # program per size bucket (the reference CLI's multiprocessing
+        # fan-out becomes accelerator batching)
+        from waldboost_tpu.parallel.detect import BucketedDetector
+
+        det = BucketedDetector(models[0], bucket=args.bucket)
+        boxes_per_image = det.detect_many(images)
+    else:
+        # multi-model: one shared channel canvas, K cascades (wb.detect)
+        boxes_per_image = [wb.detect(im, *models) for im in images]
+
     results = []
-    for filename in args.files:
-        image = _load_gray(filename)
-        boxes = wb.detect(image, *models)
+    for filename, boxes in zip(args.files, boxes_per_image):
         if len(boxes):
             keep = boxes.get_field("scores") >= args.score_threshold
             boxes = boxes[np.flatnonzero(keep)]

@@ -57,18 +57,55 @@ def train(model,
           clip: float = 3,
           quantizer: int = 32,
           callbacks=(),
-          logger_: logging.Logger = None):
+          logger_: logging.Logger = None,
+          mesh=None):
     """Train a model with FPGA-friendly feature access patterns
     (/root/reference/waldboost/fpga/training.py:174-264).
 
     ``bank_pattern_shape``: window pixels are tiled into this many banks;
     each stage's tree reads one scheduled bank per depth.  ``quantizer``:
     responses become integers when multiplied by it.
+
+    With ``mesh``, training runs the sharded device-pool path
+    (parallel.trainer.train_sharded) with the bank restriction as per-stage
+    feature masks and the clip/quantize/integer-threshold transforms
+    applied in-step.
     """
     log = logger_ or logging.getLogger("WaldBoost/FPGA")
 
     if len(model) >= length:
         return learner
+
+    if mesh is not None:
+        from ..parallel.trainer import train_sharded
+
+        m, n, C = model.shape
+        F = m * n * C
+        masks_fn = None
+        if bank_pattern_shape is not None:
+            banks = PixelBanks(model.shape, bank_pattern_shape)
+            scheduler = BankScheduler(int(np.prod(bank_pattern_shape)))
+
+            def masks_fn(stage):
+                mask = np.zeros((max_depth, F), bool)
+                for d, b in enumerate(scheduler.schedule(max_depth)):
+                    mask[d, banks.bank_pixels(b)] = True
+                return mask
+
+        pool_kwargs = {}
+        if pool is not None:
+            pool_kwargs = dict(min_tp=pool.min_tp, min_fp=pool.min_fp,
+                               seed=pool.seed, mine_batch=pool.mine_batch,
+                               **pool.label_boxes_args)
+        return train_sharded(
+            model, training_images, mesh=mesh,
+            learner=learner or Learner(alpha=0.2, wh=DTree, clip=clip,
+                                       quantizer=quantizer,
+                                       max_depth=max_depth),
+            length=length, theta_schedule=theta_schedule,
+            max_depth=max_depth, callbacks=callbacks, logger=log,
+            feature_masks_fn=masks_fn, clip=clip, quantizer=quantizer,
+            integer_thresholds=True, **pool_kwargs)
 
     learner = learner or Learner(wh=DTree, clip=clip, quantizer=quantizer)
     if theta_schedule is None:

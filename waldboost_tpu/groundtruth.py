@@ -26,11 +26,12 @@ def bbox_list(rects: np.ndarray, format: RectFormat = RectFormat.XYXY,
     """Create a Boxes list from rects in the given format
     (/root/reference/waldboost/groundtruth.py:14-46)."""
     if not isinstance(rects, np.ndarray):
-        raise ValueError("Rects must be numpy array")
+        raise ValueError("bbox_list expects an ndarray of rects, got "
+                         f"{type(rects).__name__}")
     if rects.size == 0:
         rects = rects.reshape(0, 4)
     if rects.ndim != 2 or rects.shape[1] != 4:
-        raise ValueError("Rects must be 2D array with 4 columns")
+        raise ValueError(f"bbox_list expects an (N, 4) rect array, got shape {rects.shape}")
     if format != RectFormat.XYXY:
         a, b, c, d = np.split(rects, 4, axis=1)
         if format == RectFormat.XYWH:
@@ -46,7 +47,7 @@ def read_bbgt(filename: str) -> Boxes:
     with open(filename, "r") as f:
         signature = f.readline()
         if not signature.startswith("% bbGt version=3"):
-            raise ValueError("Wrong file signature")
+            raise ValueError(f"not a bbGt v3 annotation file: {filename!r}")
         rects, ignore, labels = [], [], []
         for line in f:
             elms = line.strip().split()

@@ -25,7 +25,41 @@ from ..boxes import Boxes
 logger = logging.getLogger(__name__)
 
 __all__ = ["native_available", "read_bbgt_native", "load_pnm_gray",
-           "PrefetchDataset", "bbgt_dataset_paths"]
+           "PrefetchDataset", "bbgt_dataset_paths", "prefetch_iterable"]
+
+
+def prefetch_iterable(iterable, depth: int = 16):
+    """Background-thread prefetch of any record iterable.
+
+    A daemon thread drains ``iterable`` into a bounded queue (``depth``
+    records deep) so the producer — a decoding generator, a dataset loader —
+    runs WHILE the device computes, instead of serially between dispatches.
+    Record order is preserved exactly; producer exceptions re-raise at the
+    consumer.  (The python-generator analog of the native
+    :class:`PrefetchDataset`; wb.train wires it around training_images.)
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(int(depth), 1))
+    END = object()
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+            q.put(END)
+        except BaseException as e:  # propagate into the consumer
+            q.put((END, e))
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is END:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is END:
+            raise item[1]
+        yield item
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "_loader.so")

@@ -800,6 +800,28 @@ def _sel_corner_rows(i0_rows: np.ndarray, n_in: int, k0: int,
     return out
 
 
+def _wgt_corner_rows(i0_rows: np.ndarray, fn_rows: np.ndarray, den: int,
+                     n_in: int, k0: int, k1: int) -> np.ndarray:
+    """Integer-WEIGHTED row-combine block: row (p, r) holds ``den - fnum``
+    at index i0 and ``fnum`` at ``min(i0+1, n_in-1)`` (summed when they
+    coincide).  With ``den <= 256`` the weights are bf16-exact and the bf16
+    MXU dot computes the exact row numerator ``wr0*p0 + wr1*p1`` directly
+    (products <= 256*255 exact in the f32 accumulator) — the kernel's
+    elementwise row stage disappears and the lhs halves to 2 phase rows."""
+    _, R = i0_rows.shape
+    out = np.zeros((2, R, k1 - k0), np.float32)
+    r = np.arange(R)
+    for p in range(2):
+        idx0 = i0_rows[p]
+        fn = fn_rows[p]
+        valid = idx0 >= 0
+        for a, wgt in ((0, den - fn), (1, fn)):
+            idx = np.minimum(np.maximum(idx0, 0) + a, n_in - 1)
+            sel = valid & (idx >= k0) & (idx < k1)
+            out[p, r[sel], idx[sel] - k0] += wgt[sel]
+    return out
+
+
 def _poly_fused_cached(packed: PackedPyramidPlan, halo: int,
                        image_hw: Tuple[int, int]):
     banded = os.environ.get("WB_POLY_BANDED", "1") == "1"
@@ -925,6 +947,13 @@ def _poly_fused_impl(packed: PackedPyramidPlan, halo: int,
             i0_pad = np.pad(np.asarray(g["i0h"]).reshape(2, hq),
                             ((0, 0), (top, pitch - top - hq)),
                             constant_values=-1)
+            # den_h <= 256: the integer row weights are bf16-exact, so they
+            # ride the lhs matmul (exact products in the f32 accumulator) —
+            # half the lhs rows / MXU flops and no elementwise row stage
+            weighted = g["den_h"] <= 256
+            fn_pad = np.pad(
+                np.asarray(g["frh"]).reshape(2, hq).astype(np.int64),
+                ((0, 0), (top, pitch - top - hq)))
             pieces = []
             for r0 in range(0, pitch, RB):
                 r1 = min(r0 + RB, pitch)
@@ -938,10 +967,16 @@ def _poly_fused_impl(packed: PackedPyramidPlan, halo: int,
                 else:
                     k0, k1 = 0, oh8
                 rb = r1 - r0
-                sel = _sel_corner_rows(blk_idx, oh, k0, k1)
-                lhs_pieces.append(sel.reshape(4 * rb, k1 - k0))
+                if weighted:
+                    sel = _wgt_corner_rows(blk_idx, fn_pad[:, r0:r1],
+                                           g["den_h"], oh, k0, k1)
+                    nrow = 2 * rb
+                else:
+                    sel = _sel_corner_rows(blk_idx, oh, k0, k1)
+                    nrow = 4 * rb
+                lhs_pieces.append(sel.reshape(nrow, k1 - k0))
                 pieces.append((row_off, rb, r0, k0, k1 - k0))
-                row_off += 4 * rb
+                row_off += nrow
                 kmax = max(kmax, k1 - k0)
             frh_p = np.pad(np.asarray(g["frh"]).reshape(2, hq),
                            ((0, 0), (top, pitch - top - hq))).reshape(-1)
@@ -957,19 +992,21 @@ def _poly_fused_impl(packed: PackedPyramidPlan, halo: int,
                           for j in range(_round_up(wq, 128) // 128))
             levels.append((fblks, LevelPlan(
                 (), oh8, _round_up(wq, 128), wq, xc, fh_off,
-                2 * slot, pieces, den_h=g["den_h"], den_w=g["den_w"])))
+                2 * slot, pieces, den_h=g["den_h"], den_w=g["den_w"],
+                row_weighted=weighted)))
             fh_off += 2 * pitch
         used = tuple(sorted({f for fblks, _ in levels for f in fblks}))
         local = {f: i for i, f in enumerate(used)}
         levels = [LevelPlan(tuple(local[f] for f in fblks), lv.oh,
                             lv.cwpad, lv.wq, lv.xc, lv.fh0, lv.fw0,
-                            lv.pieces, den_h=lv.den_h, den_w=lv.den_w)
+                            lv.pieces, den_h=lv.den_h, den_w=lv.den_w,
+                            row_weighted=lv.row_weighted)
                   for fblks, lv in levels]
         lhs = np.zeros((max(_round_up(row_off, 8), 8), max(kmax, 128)),
                        np.float32)
-        for (ro, rb, _r0, _k0, kwp), piece in zip(
+        for (ro, _rb, _r0, _k0, kwp), piece in zip(
                 (p for lv in levels for p in lv.pieces), lhs_pieces):
-            lhs[ro:ro + 4 * rb, :kwp] = piece
+            lhs[ro:ro + piece.shape[0], :kwp] = piece
         fh = np.concatenate(fh_parts)[:, None]
         # lerp col weights at 8-row strides: row (2*slot+q)*8 is an aligned
         # (1, 128) sublane read in the kernel
@@ -1007,7 +1044,8 @@ def _poly_fused_impl(packed: PackedPyramidPlan, halo: int,
                 plan.ys, plan.pitch, plan.ohS, plan.cwmax,
                 [LevelPlan(tuple(gpos[used[b]] for b in lv.blks), lv.oh,
                            lv.cwpad, lv.wq, lv.xc, lv.fh0, lv.fw0,
-                           lv.pieces, den_h=lv.den_h, den_w=lv.den_w)
+                           lv.pieces, den_h=lv.den_h, den_w=lv.den_w,
+                           row_weighted=lv.row_weighted)
                  for lv in plan.levels]))
             arr_bytes += (arrays[lhs_i].size * 2 + arrays[fh_i].size * 4
                           + arrays[fw_i].size * 4)
@@ -1378,6 +1416,61 @@ def _run_packed_serving(image, model: "Model", valid_mask, shrink, n_per_oct,
     return canvas, hs, alive, n_weak
 
 
+def detect_multi(models, image, response_scale=None):
+    """Multi-model detection over ONE shared channel canvas.
+
+    The packed channel canvas (the expensive pyramid program) is computed
+    once; each model's cascade then scans the SAME device-resident canvas.
+    Scores are scaled per model by ``response_scale`` and boxes carry a
+    'label' field with the emitting model index — the device analog of
+    /root/reference/waldboost/__init__.py:75-130 (one pyramid, K models).
+    Models must share window shape and channel options (the reference's
+    shared-pyramid loop implicitly assumes compatible channels too).
+    """
+    from .channels import _normalize_opts
+
+    image = np.asarray(image)
+    if image.ndim != 2:
+        raise ValueError("Image must have 2 dimensions")
+    model0 = models[0]
+    m, n, _ = model0.shape
+    key0 = _normalize_opts(model0.channel_opts)
+    if not all(mm.shape == model0.shape
+               and _normalize_opts(mm.channel_opts) == key0
+               for mm in models):
+        raise ValueError("detect_multi needs models sharing window shape "
+                         "and channel options")
+    if response_scale is None:
+        response_scale = [1.0] * len(models)
+    shrink, n_per_oct, smooth, cf = key0
+    packed = _packed_plan_cached(image.shape[0], image.shape[1], shrink,
+                                 n_per_oct, (m, n), halo=cf.halo)
+    empty = lambda: bbx.empty_boxes(scores=np.empty(0, np.float32),
+                                    label=np.empty(0, np.int64))
+    if not packed.levels:
+        return empty()
+    valid = jnp.asarray(packed.valid_mask((m, n)))
+    level_id_map, inv_scales = packed.level_maps((m, n))
+    n_valid = int((level_id_map >= 0).sum())
+    canvas = _canvas_jit(jnp.asarray(image), shrink, n_per_oct, smooth, cf,
+                         packed)  # ONCE for all models
+    out = []
+    for kix, mm in enumerate(models):
+        hs, alive, n_weak = _run_cascade_serving(canvas, mm, valid, (m, n))
+        mm.n_loc += n_valid
+        mm.n_weak += int(n_weak)
+        alive_np = np.asarray(alive)
+        rs, cs = np.nonzero(alive_np)
+        scores = np.asarray(hs)[rs, cs] if rs.size \
+            else np.empty(0, np.float32)
+        b = mm._boxes_from_canvas_origins(rs, cs,
+                                          scores * float(response_scale[kix]),
+                                          packed, level_id_map, inv_scales)
+        b.set_field("label", np.full(len(b), kix, dtype=np.int64))
+        out.append(b)
+    return bbx.concatenate(out, ["scores", "label"]) if out else empty()
+
+
 #: lockstep stage-prefix length and survivor capacity of two-phase evaluation
 TWO_PHASE_PREFIX = 12
 TWO_PHASE_CAPACITY = 4096
@@ -1394,6 +1487,51 @@ def _gather_windows_jit(canvas, rs, cs, window):
         return jnp.transpose(sl, (1, 2, 0))
 
     return jax.vmap(crop)(rs, cs)
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def _gather_windows_batch_jit(canvas, bs, rs, cs, window):
+    """(B, C, U, V) canvas + (K,) per-crop (image, row, col) -> (K, m, n, C)
+    crops — one device gather for a whole mining batch."""
+    m, n = window
+
+    def crop(b, r, c):
+        sl = jax.lax.dynamic_slice(canvas, (b, 0, r, c),
+                                   (1, canvas.shape[1], m, n))
+        return jnp.transpose(sl[0], (1, 2, 0))
+
+    return jax.vmap(crop)(bs, rs, cs)
+
+
+def _run_packed_batch(images, casc, valid_mask, shrink, n_per_oct, smooth,
+                      cf, window, depth, packed):
+    """(B, H, W) same-shape mining batch -> (canvas, hs, alive, n_weak),
+    batched: the canvas build and the cascade run as ONE program each
+    instead of B dispatch round-trips (the training loop's mining is
+    dispatch-latency-bound through the tunnel)."""
+    canvas = _channel_canvas_batch(images, shrink, n_per_oct, smooth, cf,
+                                   packed)
+    backend = _resolve_cascade_backend()
+    if backend == "pallas":
+        from .ops.cascade_pallas import cascade_response_grid_pallas
+        interpret = jax.default_backend() != "tpu"
+
+        @functools.partial(jax.jit, static_argnames=("window", "depth"))
+        def run_b(cvs, casc, valid, window, depth):
+            outs = [cascade_response_grid_pallas(cvs[i], casc, valid,
+                                                 window, depth,
+                                                 interpret=interpret)
+                    for i in range(cvs.shape[0])]
+            return (jnp.stack([o[0] for o in outs]),
+                    jnp.stack([o[1] for o in outs]),
+                    jnp.stack([o[2] for o in outs]).sum())
+        hs, alive, n_weak = run_b(canvas, casc, valid_mask, window, depth)
+    else:
+        f = lambda cv: _canvas_cascade_jit(cv, casc, valid_mask, window,
+                                           depth)
+        hs, alive, nw = jax.vmap(f)(canvas)
+        n_weak = nw.sum()
+    return canvas, hs, alive, n_weak
 
 
 @functools.partial(jax.jit, static_argnames=("window", "meta", "k1",
@@ -1629,6 +1767,45 @@ class Model:
         rs, cs = np.nonzero(alive_np)
         scores = np.asarray(hs)[rs, cs] if rs.size else np.empty(0, np.float32)
         return canvas, packed, rs, cs, scores
+
+    def scan_packed_batch(self, images, n_real: Optional[int] = None):
+        """Batched :meth:`scan_packed`: scan B same-shape images with ONE
+        canvas program and ONE cascade program (mining is dispatch-latency
+        bound; per-image scans cost ~1 ms each through the tunnel).
+
+        ``n_real``: number of leading images that are real (the rest are
+        jit-bucket padding, skipped in outputs and eval-cost counters).
+        Returns ``(canvas (B,C,H,W) device, packed, [(rs, cs, hs)] * n)``
+        or None when the image is too small for any level."""
+        images = np.asarray(images)
+        if images.ndim != 3:
+            raise ValueError("images must be (B, H, W)")
+        n_real = images.shape[0] if n_real is None else int(n_real)
+        m, n, _ = self.shape
+        shrink, n_per_oct, smooth, cf = _normalize_opts(self.channel_opts)
+        packed = _packed_plan_cached(images.shape[1], images.shape[2],
+                                     shrink, n_per_oct, (m, n),
+                                     halo=cf.halo)
+        if not packed.levels:
+            return None
+        valid = jnp.asarray(packed.valid_mask((m, n)))
+        casc, depth = self._get_cascade()
+        canvas, hs, alive, n_weak = _run_packed_batch(
+            jnp.asarray(images), casc, valid, shrink, n_per_oct, smooth,
+            cf, (m, n), depth, packed)
+        level_id_map, _ = packed.level_maps((m, n))
+        self.n_loc += int((level_id_map >= 0).sum()) * n_real
+        # batch n_weak includes padding images; keep the counter a close
+        # estimate by scaling (eval_cost is a diagnostic running average)
+        self.n_weak += int(n_weak) * n_real // images.shape[0]
+        alive_np = np.asarray(alive)
+        hs_np = np.asarray(hs)
+        per_image = []
+        for i in range(n_real):
+            rs, cs = np.nonzero(alive_np[i])
+            scores = hs_np[i][rs, cs] if rs.size else np.empty(0, np.float32)
+            per_image.append((rs, cs, scores))
+        return canvas, packed, per_image
 
     def gather_windows_device(self, image_or_canvas, rs, cs,
                               is_canvas: bool = False) -> np.ndarray:

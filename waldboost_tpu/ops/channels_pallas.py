@@ -204,8 +204,8 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
                     # exhaustively-verified f32 chain == the reference's
                     # f64-promoted NumPy store (ops.exact.projection_plan)
                     from .exact import _eval_terms_jnp
-                    ch = _eval_terms_jnp(exact_plan.bins[k],
-                                         gx[a][b], gy[a][b])
+                    mode, terms = exact_plan.bins[k]
+                    ch = _eval_terms_jnp(terms, gx[a][b], gy[a][b], mode)
                 else:
                     ch = gx[a][b] * float(css[k]) \
                         - gy[a][b] * float(sns[k])

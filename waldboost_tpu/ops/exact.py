@@ -111,6 +111,8 @@ def combine_kind(den_r: int, den_c: int, vmax: int = 255) -> str:
         return "row_only"
     if den_r == 1:
         return "col_only"
+    if (vmax + 1) * den_r * den_c < (1 << 24):
+        return "f24"  # numerator exact in f32: no int32 anywhere
     if vmax * den_r * den_c < (1 << 31) - (1 << 16):
         return "i32"
     return "split"
@@ -162,8 +164,35 @@ def combine4_exact(g00, g01, g10, g11, frn, fcn, den_r: int, den_c: int,
     wr0 = jnp.float32(den_r) - frn
     a = wr0 * g00 + frn * g10          # exact: <= vmax * den_r < 2^23
     b = wr0 * g01 + frn * g11
+    return floor_colstage(a, b, fcn, den_r, den_c, vmax)
+
+
+def floor_colstage(a, b, fcn, den_r: int, den_c: int, vmax: int = 255):
+    """``floor((wc0*a + fcn*b) / (den_r*den_c))`` for exact integer-valued
+    f32 row numerators ``a``/``b`` (<= vmax*den_r) — the second half of
+    :func:`combine4_exact`, exposed for callers whose row combine already
+    happened exactly elsewhere (e.g. integer-weighted bf16 MXU selector
+    matmuls, whose <=256 weights and <=255 pixels multiply exactly into the
+    f32 accumulator)."""
+    kind = combine_kind(den_r, den_c, vmax)
+    if kind in ("identity", "row_only"):
+        return floordiv_exact(a, den_r)
+    if kind == "col_only":
+        wc0 = jnp.float32(den_c) - fcn
+        return floordiv_exact(wc0 * a + fcn * b, den_c)
     wc0 = jnp.float32(den_c) - fcn
     D = den_r * den_c
+
+    if kind == "f24":
+        # gcd-reduced pyramid denominators are usually small enough that the
+        # full numerator stays f32-exact — everything in f32, no converts
+        N = wc0 * a + fcn * b          # exact: <= vmax * D < 2^24
+        k0 = jnp.floor(N * jnp.float32(1.0 / D))   # off by at most one
+        t = k0 * jnp.float32(D)                    # exact (k0 <= vmax)
+        one = jnp.float32(1.0)
+        zero = jnp.float32(0.0)
+        return k0 + jnp.where(t + jnp.float32(D) <= N, one, zero) \
+            - jnp.where(t > N, one, zero)
 
     if kind == "i32":
         ai = a.astype(jnp.int32)
@@ -217,8 +246,11 @@ class ProjectionPlan:
     """
 
     def __init__(self, bins, gmax: int, exceptions, tiny_bound: float):
-        self.bins = tuple(tuple((str(b), float(c)) for b, c in terms)
-                          for terms in bins)
+        # per bin: (mode, terms) — mode "plain" (left-to-right f32 sums) or
+        # "f2s" (Fast2Sum-compensated), whichever cheapest verified
+        self.bins = tuple(
+            (str(mode), tuple((str(b), float(c)) for b, c in terms))
+            for mode, terms in bins)
         self.gmax = int(gmax)
         #: per bin: number of lattice points where the reference's f64 path
         #: disagrees (all on exact-cancellation lines, all below tiny_bound)
@@ -313,7 +345,7 @@ def _fold_terms(c: float, s: float, n_chunks: int):
     return terms
 
 
-def _eval_terms_np(terms, gx, gy):
+def _eval_terms_np(terms, gx, gy, mode="f2s"):
     """Reference f32 simulation of :func:`_eval_terms_jnp` (NumPy f32 ops
     are IEEE round-to-nearest, same as the device)."""
     f32 = np.float32
@@ -322,17 +354,20 @@ def _eval_terms_np(terms, gx, gy):
     if not prods:
         return np.zeros(np.broadcast(gx, gy).shape, f32)
     h = prods[0]
+    ncomp = {"plain": 0, "f2s1": 1, "f2s2": 2}.get(mode, len(prods))
     errs = None
-    for p in prods[1:]:
+    for t, p in enumerate(prods[1:]):
         s = (h + p).astype(f32)
-        e = (p - (s - h)).astype(f32)
+        if t < ncomp:
+            e = (p - (s - h)).astype(f32)
+            errs = e if errs is None else (errs + e).astype(f32)
         h = s
-        errs = e if errs is None else (errs + e).astype(f32)
     return h if errs is None else (h + errs).astype(f32)
 
 
-def _eval_terms_jnp(terms, gx, gy):
-    """Fast2Sum-compensated exact-product chain (f32)."""
+def _eval_terms_jnp(terms, gx, gy, mode="f2s"):
+    """Exact-product chain in f32: ``plain`` left-to-right sums when the
+    exhaustive verification accepts them, Fast2Sum-compensated otherwise."""
     base = {"x": lambda: gx, "y": lambda: gy,
             "d": lambda: gx - gy, "e": lambda: gx + gy}
     cache = {}
@@ -351,12 +386,14 @@ def _eval_terms_jnp(terms, gx, gy):
         return jnp.zeros(jnp.broadcast_shapes(gx.shape, gy.shape),
                          jnp.float32)
     h = prods[0]
+    ncomp = {"plain": 0, "f2s1": 1, "f2s2": 2}.get(mode, len(prods))
     errs = None
-    for p in prods[1:]:
+    for t, p in enumerate(prods[1:]):
         s = h + p
-        e = p - (s - h)
+        if t < ncomp:
+            e = p - (s - h)
+            errs = e if errs is None else errs + e
         h = s
-        errs = e if errs is None else errs + e
     return h if errs is None else h + errs
 
 
@@ -389,20 +426,36 @@ def projection_plan(n_bins: int = 4, full: bool = False,
 
     bins = []
     exceptions = []
+
+    def cost(mode, n_chunks):
+        # VPU op estimate: products + 3 per compensated add + 1 per plain
+        # add (+1 folding the error term back in)
+        n_terms = n_chunks + 1
+        ncomp = {"plain": 0, "f2s1": 1, "f2s2": 2}.get(mode, n_terms - 1)
+        ncomp = min(ncomp, n_terms - 1)
+        return n_terms + 3 * ncomp + (n_terms - 1 - ncomp) \
+            + (1 if ncomp else 0)
+
+    # cheapest verified evaluation wins: plain left-to-right sums beat
+    # compensated chains ~2x in VPU ops when the lattice accepts them
+    candidates = sorted(
+        [(m, k) for m in ("plain", "f2s1", "f2s2", "f2s")
+         for k in (1, 2, 3, 4, 5)],
+        key=lambda mk: cost(*mk))
     for c, s in zip(cs, sn):
         ref = (gx64 * c - gy64 * s).astype(np.float32)
         chosen = None
         n_exc = 0
-        for n_chunks in (2, 3, 4, 5):
+        for mode, n_chunks in candidates:
             terms = _fold_terms(float(c), float(s), n_chunks)
-            got = _eval_terms_np(terms, gx32, gy32)
+            got = _eval_terms_np(terms, gx32, gy32, mode)
             neq = got != ref
             if not neq.any():
-                chosen, n_exc = terms, 0
+                chosen, n_exc = (mode, terms), 0
                 break
             bad = neq & ~((np.abs(got) < tiny) & (np.abs(ref) < tiny))
             if not bad.any():
-                chosen, n_exc = terms, int(neq.sum())
+                chosen, n_exc = (mode, terms), int(neq.sum())
                 break
         if chosen is None:
             return None
@@ -415,7 +468,8 @@ def project_bins(gx: jax.Array, gy: jax.Array,
                  plan: ProjectionPlan) -> List[jax.Array]:
     """Per-bin exact f32 projections ``f32(gx*cos_k - gy*sin_k)`` of
     integer-valued f32 gradients (pre-abs / pre-bias values)."""
-    return [_eval_terms_jnp(terms, gx, gy) for terms in plan.bins]
+    return [_eval_terms_jnp(terms, gx, gy, mode)
+            for mode, terms in plan.bins]
 
 
 # ---------------------------------------------------------------------------

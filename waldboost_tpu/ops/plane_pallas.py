@@ -80,7 +80,7 @@ class LevelPlan:
     """Static per-level kernel plan (hashable, host-side)."""
 
     def __init__(self, blks, oh, cwpad, wq, xc, fh0, fw0, pieces,
-                 den_h=None, den_w=None):
+                 den_h=None, den_w=None, row_weighted=False):
         # cols ref index (local to this shelf's call) of each 128-col
         # block of the level's slab, in slab lane order
         self.blks = tuple(int(b) for b in blks)
@@ -94,13 +94,17 @@ class LevelPlan:
         # NUMERATORS over these (ops.exact.axis_taps_exact)
         self.den_h = int(den_h) if den_h is not None else 0
         self.den_w = int(den_w) if den_w is not None else 0
+        # row weights folded into the (halved) lhs matmul (den_h <= 256:
+        # bf16-exact integer weights, exact f32-accumulated products)
+        self.row_weighted = bool(row_weighted)
         # pieces: tuple of (row_off, rb, r0, k0, kwp) — lhs stack row
         # offset, rowblock height, band row start, source-row window
         self.pieces = tuple(tuple(int(x) for x in p) for p in pieces)
 
     def key(self):
         return (self.blks, self.oh, self.cwpad, self.wq, self.xc,
-                self.fh0, self.fw0, self.den_h, self.den_w, self.pieces)
+                self.fh0, self.fw0, self.den_h, self.den_w,
+                self.row_weighted, self.pieces)
 
 
 class ShelfPlan:
@@ -159,10 +163,11 @@ def _piece_compute(lhs_ref, fh_ref, fw_ref, rhs_ref, band_ref, sl, bsl,
     bit-exactness vs the XLA mats path pinned by tests/test_polyphase.py).
     FH/FW hold integer frac numerators over the level's static
     denominators; ops.exact.combine4_exact floors with no float ties."""
-    from .exact import combine4_exact
+    from .exact import combine4_exact, floor_colstage
 
     row_off, rb, r0, k0, kwp = piece
-    lhs = lhs_ref[row_off:row_off + 4 * rb, 0:kwp]
+    nrow = (2 if lv.row_weighted else 4) * rb
+    lhs = lhs_ref[row_off:row_off + nrow, 0:kwp]
     ncb = -(-lv.wq // 128)
     for ci in range(ncb):
         cs = ci * 128
@@ -178,18 +183,26 @@ def _piece_compute(lhs_ref, fh_ref, fw_ref, rhs_ref, band_ref, sl, bsl,
             for i in range(4)
         ]
         for p in (0, 1):
-            fh = fh_ref[lv.fh0 + p * pitch + r0:
-                        lv.fh0 + p * pitch + r0 + rb, 0:1]
             for q in (0, 1):
-                # outs[x*2+q] rows are (a*2+p)-grouped: slice the
-                # (h-corner a, w-corner x) blocks
-                def gco(a, x, q=q, p=p):
-                    o = outs[x * 2 + q]
-                    return o[(a * 2 + p) * rb:(a * 2 + p + 1) * rb, :]
-                g00, g10 = gco(0, 0), gco(1, 0)
-                g01, g11 = gco(0, 1), gco(1, 1)
-                blk = combine4_exact(g00, g01, g10, g11, fh, fwq[q],
-                                     lv.den_h, lv.den_w)
+                if lv.row_weighted:
+                    # rows are p-grouped exact row NUMERATORS (weights rode
+                    # the bf16 lhs): only the column floor-combine remains
+                    a = outs[0 * 2 + q][p * rb:(p + 1) * rb, :]
+                    b = outs[1 * 2 + q][p * rb:(p + 1) * rb, :]
+                    blk = floor_colstage(a, b, fwq[q], lv.den_h, lv.den_w)
+                else:
+                    fh = fh_ref[lv.fh0 + p * pitch + r0:
+                                lv.fh0 + p * pitch + r0 + rb, 0:1]
+
+                    # outs[x*2+q] rows are (a*2+p)-grouped: slice the
+                    # (h-corner a, w-corner x) blocks
+                    def gco(a, x, q=q, p=p):
+                        o = outs[x * 2 + q]
+                        return o[(a * 2 + p) * rb:(a * 2 + p + 1) * rb, :]
+                    g00, g10 = gco(0, 0), gco(1, 0)
+                    g01, g11 = gco(0, 1), gco(1, 1)
+                    blk = combine4_exact(g00, g01, g10, g11, fh, fwq[q],
+                                         lv.den_h, lv.den_w)
                 blk = blk.astype(jnp.bfloat16)
                 # stripe-local rows: piece r0 == stripe sr0
                 band_ref[bsl, p, q, 0:rb,

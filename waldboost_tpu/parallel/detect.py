@@ -455,6 +455,118 @@ def _make_masked_detector_boxes(model: Model, image_shape: Tuple[int, int],
     return (lambda images: jbody(images, mats)), packed
 
 
+def make_multi_detector_boxes(models, image_shape: Tuple[int, int],
+                              mesh=None, k: int = 256,
+                              nms_iou: Optional[float] = None,
+                              response_scale=None,
+                              with_n_weak: bool = True):
+    """K-model batched detection over ONE shared channel canvas.
+
+    The canvas program appears exactly once in the compiled program; each
+    model's cascade-specialized kernel scans the same canvas, and every
+    model's survivors are extracted to its own k-slot box set (scores
+    pre-scaled by ``response_scale`` on device, per-model NMS on device
+    when ``nms_iou`` is set).  Returns ``fn(images) -> (rects, scores,
+    valid, label, count, n_weak)`` with shapes ``(B, K*k, 4)`` /
+    ``(B, K*k)`` / ``(B, K*k)`` / ``(B, K*k)`` int32 model index /
+    ``(B, K)`` per-model exact survivor counts / ``(B,)``.
+
+    Device analog of /root/reference/waldboost/__init__.py:75-130 (one
+    pyramid, K models); models must share window shape + channel options.
+    """
+    from ..channels import _normalize_opts
+    from ..ops.cascade_static import cascade_grid
+    from ..ops.nms import extract_detections_masked, nms_device
+
+    model0 = models[0]
+    m, n, _ = model0.shape
+    key0 = _normalize_opts(model0.channel_opts)
+    if not all(mm.shape == model0.shape
+               and _normalize_opts(mm.channel_opts) == key0
+               for mm in models):
+        raise ValueError("make_multi_detector_boxes needs models sharing "
+                         "window shape and channel options")
+    if response_scale is None:
+        response_scale = [1.0] * len(models)
+    if len(response_scale) != len(models):
+        raise ValueError("Wrong response_scale parameter")
+
+    parts = [make_batched_detector(mm, image_shape, _raw=True)
+             for mm in models]
+    canvas_b, _, _, packed, content_hw = parts[0]
+    cascades = [p[2] for p in parts]
+    if any(c is None for c in cascades):
+        raise RuntimeError("multi-model serving needs the static-cascade "
+                           "kernel path (set_cascade_backend('static'))")
+
+    Hc, Wc = packed.canvas_h, packed.canvas_w
+    TU, TV, gi, gj, _, _ = cascade_grid((Hc, Wc), (m, n))
+    GUp, GVp = gi * TU, gj * TV
+    level_id_map, inv_scales = packed.level_maps((m, n))
+    gu, gv = level_id_map.shape
+    lid_pad = np.full((GUp, GVp), -1, np.int32)
+    lid_pad[:gu, :gv] = level_id_map
+    offsets = np.array([(pl.y, pl.x) for pl in packed.levels], np.int32) \
+        if packed.levels else np.zeros((1, 2), np.int32)
+    lid = jnp.asarray(lid_pad)
+    offs = jnp.asarray(offsets)
+    iscales = jnp.asarray(inv_scales) if packed.levels else \
+        jnp.ones(1, jnp.float32)
+    wnd = jnp.asarray([m, n], jnp.int32)
+
+    def extract_one(masked, count, scale):
+        rects, scores, valid, count = extract_detections_masked(
+            masked, count, lid, offs, iscales, wnd, k=k)
+        scores = scores * scale
+        if nms_iou is not None:
+            keep = nms_device(rects, scores, valid,
+                              iou_threshold=float(nms_iou))
+            valid = jnp.logical_and(valid, keep)
+        return rects, scores, valid, count
+
+    mats = getattr(canvas_b, "mats", None)
+
+    def body(images, mats_):
+        cvs = canvas_b(images, mats_) if mats is not None \
+            else canvas_b(images)  # the ONE canvas computation
+        outs = []
+        nw_total = None
+        for kix, cascade_kx in enumerate(cascades):
+            masked, n_weak, count = cascade_kx(cvs, with_n_weak=with_n_weak)
+            scale = jnp.float32(float(response_scale[kix]))
+            rects, scores, valid, cnt = jax.vmap(
+                lambda mk, ct: extract_one(mk, ct, scale))(masked, count)
+            label = jnp.full(scores.shape, kix, jnp.int32)
+            outs.append((rects, scores, valid, label, cnt))
+            nw_total = n_weak if nw_total is None else nw_total + n_weak
+        rects = jnp.concatenate([o[0] for o in outs], axis=1)
+        scores = jnp.concatenate([o[1] for o in outs], axis=1)
+        valid = jnp.concatenate([o[2] for o in outs], axis=1)
+        label = jnp.concatenate([o[3] for o in outs], axis=1)
+        count = jnp.stack([o[4] for o in outs], axis=1)
+        return rects, scores, valid, label, count, nw_total
+
+    if mesh is None:
+        jbody = jax.jit(body)
+        return (lambda images: jbody(images, mats)), packed
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .mesh import DATA_AXIS, replicated
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None), P()),
+        out_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None),
+                   P(DATA_AXIS, None), P(DATA_AXIS, None),
+                   P(DATA_AXIS, None), P(DATA_AXIS)),
+        check_rep=False)
+    in_sh = data_sharding(mesh, 3)
+    jbody = jax.jit(sharded, in_shardings=(in_sh, replicated(mesh)))
+    return (lambda images: jbody(images, mats)), packed
+
+
 def _make_two_phase_detector_boxes(model: Model, image_shape, mesh=None,
                                    k: int = 1024,
                                    nms_iou: Optional[float] = None,
@@ -524,7 +636,9 @@ def _make_two_phase_detector_boxes(model: Model, image_shape, mesh=None,
 
 
 def make_tile_sharded_detector(model: Model, image_shape: Tuple[int, int],
-                               mesh=None):
+                               mesh=None, boxes: bool = False,
+                               k: int = 1024,
+                               nms_iou: Optional[float] = None):
     """Shard ONE image's window grid across the mesh (single-image latency).
 
     The packed canvas is built once (replicated); each chip evaluates the
@@ -535,7 +649,10 @@ def make_tile_sharded_detector(model: Model, image_shape: Tuple[int, int],
     single large frame scales with chips, not just over image batches.
 
     Returns ``fn(image) -> (hs, alive, n_weak)`` on the full (GU, GV) grid,
-    identical to the unsharded evaluator's output.
+    identical to the unsharded evaluator's output — or, with ``boxes=True``,
+    ``fn(image) -> (rects, scores, valid, count, n_weak)`` with fully
+    on-device box extraction (+ optional on-device NMS), the same extraction
+    contract as make_batched_detector_boxes.
     """
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
@@ -608,10 +725,142 @@ def make_tile_sharded_detector(model: Model, image_shape: Tuple[int, int],
         hs, alive, nw = sharded(canvas_p, valid_dev)
         return hs[:gu], alive[:gu], nw.sum()
 
+    if not boxes:
+        def fn(image):
+            return cascade_jit(canvas_jit(jnp.asarray(image)))
+
+        return fn, packed
+
+    # on-device extraction over the sharded response grid (the same box
+    # contract as make_batched_detector_boxes)
+    from ..ops.nms import extract_detections_approx, nms_device
+
+    level_id_map, inv_scales = packed.level_maps((m, n))
+    lid = jnp.asarray(level_id_map)
+    offsets = np.array([(pl.y, pl.x) for pl in packed.levels], np.int32) \
+        if packed.levels else np.zeros((1, 2), np.int32)
+    offs = jnp.asarray(offsets)
+    iscales = jnp.asarray(inv_scales) if packed.levels else \
+        jnp.ones(1, jnp.float32)
+    wnd = jnp.asarray([m, n], jnp.int32)
+
+    @jax.jit
+    def extract_jit(hs, alive):
+        rects, scores, valid, count = extract_detections_approx(
+            hs, alive, lid, offs, iscales, wnd, k=k)
+        if nms_iou is not None:
+            keep = nms_device(rects, scores, valid,
+                              iou_threshold=float(nms_iou))
+            valid = jnp.logical_and(valid, keep)
+        return rects, scores, valid, count
+
     def fn(image):
-        return cascade_jit(canvas_jit(jnp.asarray(image)))
+        hs, alive, nw = cascade_jit(canvas_jit(jnp.asarray(image)))
+        rects, scores, valid, count = extract_jit(hs, alive)
+        return rects, scores, valid, count, nw
 
     return fn, packed
+
+
+class BucketedDetector:
+    """Recompile-free serving for arbitrary image sizes.
+
+    A jit program is shape-specialized, so naive serving recompiles per
+    novel camera resolution (2 s-6 min on TPU).  This detector snaps each
+    (H, W) UP to a coarse bucket grid, zero-pads the image into the bucket,
+    and reuses ONE compiled program per bucket; detections are then cropped
+    to the real image extent.  Detection semantics per image are therefore
+    "detect on the zero-padded bucket image, keep boxes inside the real
+    extent" — the pyramid geometry is the bucket's, so boxes can differ
+    near the padded border from a per-size exact run (the reference's
+    interpreted generator at /root/reference/waldboost/channels.py:111-146
+    re-plans per size; ``Model.detect`` remains the per-size exact path).
+
+    ``detect(image)`` -> Boxes; ``detect_many(images)`` -> list of Boxes,
+    grouping same-bucket images into batches.  Compiled programs are cached
+    per (bucket, batch size) with batch sizes bucketed to powers of two.
+    """
+
+    def __init__(self, model: Model, bucket: int = 128, k: int = 1024,
+                 nms_iou: Optional[float] = None, mesh=None,
+                 max_batch: int = 16):
+        self.model = model
+        self.bucket = int(bucket)
+        self.k = k
+        self.nms_iou = nms_iou
+        self.mesh = mesh
+        self.max_batch = int(max_batch)
+        self._fns = {}
+        self.compiles = 0  # observability: programs built so far
+
+    def _snap(self, h: int, w: int) -> Tuple[int, int]:
+        b = self.bucket
+        m, n, _ = self.model.shape
+        H = max(-(-h // b) * b, m * 2)
+        W = max(-(-w // b) * b, n * 2)
+        return H, W
+
+    def _fn(self, hw: Tuple[int, int]):
+        if hw not in self._fns:
+            fn, _ = make_batched_detector_boxes(
+                self.model, hw, mesh=self.mesh, k=self.k,
+                nms_iou=self.nms_iou, with_n_weak=False)
+            self._fns[hw] = fn
+            self.compiles += 1
+        return self._fns[hw]
+
+    def _run_group(self, hw, images):
+        from ..boxes import Boxes
+
+        H, W = hw
+        B = len(images)
+        out = []
+        for i0 in range(0, B, self.max_batch):
+            chunk = images[i0:i0 + self.max_batch]
+            nb = len(chunk)
+            nbp = 1 << (nb - 1).bit_length()
+            batch = np.zeros((nbp, H, W), chunk[0].dtype)
+            for j, im in enumerate(chunk):
+                batch[j, :im.shape[0], :im.shape[1]] = im
+            rects_b, scores_b, valid_b, count_b, *_ = \
+                self._fn((H, W))(jnp.asarray(batch))
+            rects_b = np.asarray(rects_b)
+            scores_b = np.asarray(scores_b)
+            valid_b = np.asarray(valid_b)
+            count_b = np.asarray(count_b)
+            for j, im in enumerate(chunk):
+                h, w = im.shape[:2]
+                if count_b[j] < 0:
+                    # extraction overflow: exact dense fallback on the
+                    # padded image, then the same extent crop
+                    bx = self.model.detect(batch[j])
+                    r = bx.get()
+                    keep = (r[:, 2] <= w) & (r[:, 3] <= h)
+                    out.append(bx[np.flatnonzero(keep)])
+                    continue
+                sel = valid_b[j] & (rects_b[j, :, 2] <= w) \
+                    & (rects_b[j, :, 3] <= h)
+                bx = Boxes(rects_b[j][sel])
+                bx.set_field("scores", scores_b[j][sel].astype(np.float32))
+                out.append(bx)
+        return out
+
+    def detect(self, image):
+        return self.detect_many([image])[0]
+
+    def detect_many(self, images):
+        images = [np.asarray(im) for im in images]
+        groups = {}
+        for idx, im in enumerate(images):
+            if im.ndim != 2:
+                raise ValueError("Image must have 2 dimensions")
+            groups.setdefault(self._snap(*im.shape), []).append(idx)
+        out = [None] * len(images)
+        for hw, idxs in groups.items():
+            boxes = self._run_group(hw, [images[i] for i in idxs])
+            for i, b in zip(idxs, boxes):
+                out[i] = b
+        return out
 
 
 def detect_batch(model: Model, images: np.ndarray, mesh=None,

@@ -3,11 +3,12 @@
 One boosting stage — exp-loss weights, histogram tree fit, score update, SPRT
 threshold, stage statistics — as a single jitted program over fixed-capacity
 (padded + masked) sample pools.  Under a mesh, the pools are sharded over the
-data axis and XLA inserts the collectives: the only cross-chip reductions a
-WaldBoost stage needs are the global per-feature min/max, the weighted
-node/class histograms, the leaf weight sums, and the threshold statistics
-(SURVEY.md §2/§5 parallel-inventory: psum over ICI replaces the absent NCCL
-layer of the reference).
+data axis at rest; the stage gathers them with ONE all-gather over ICI and
+computes the statistics replicated (a WaldBoost pool is a few MB, and
+replicated f32 reductions make the trained model bitwise mesh-invariant —
+partial-sum psums round differently per mesh size), then writes the updated
+scores/validity back sharded.  (SURVEY.md §2/§5 parallel-inventory: jax
+collectives over ICI replace the absent NCCL layer of the reference.)
 """
 
 from __future__ import annotations
@@ -53,10 +54,26 @@ def tree_predict_device(tree: TreeFitResult, xf: jax.Array, max_depth: int) -> j
 
 
 def _stage_body(x0, H0, v0, x1, H1, v1, P0, P1, theta_in, use_sprt,
-                alpha, max_depth, n_bins, min_samples_leaf):
+                feature_mask=None,
+                alpha=0.1, max_depth=2, n_bins=256, min_samples_leaf=1,
+                mesh=None, clip=None, quantizer=None,
+                integer_thresholds=False):
     """x0/x1: (N?, F) flattened padded pools; H: scores; v: valid masks.
     ``theta_in``/``use_sprt``: rejection-schedule override (use_sprt=True ->
-    estimate theta from data)."""
+    estimate theta from data).
+
+    Under a mesh, the fit inputs are gathered to every chip and the stage
+    statistics compute REPLICATED: f32 reductions are then evaluated in the
+    same order on every mesh size, so the trained model is bitwise
+    mesh-invariant (partial-sum psums round differently per mesh and flip
+    near-tie feature argmaxes).  A WaldBoost pool is a few MB — the
+    all-gather is noise next to mining — while pools stay sharded at rest
+    and the score/prune updates still write back sharded."""
+    if mesh is not None:
+        rep = replicated(mesh)
+        gather = lambda a: jax.lax.with_sharding_constraint(a, rep)
+        x0, H0, v0 = gather(x0), gather(H0), gather(v0)
+        x1, H1, v1 = gather(x1), gather(H1), gather(v1)
     n0 = jnp.maximum(jnp.sum(v0), 1).astype(jnp.float32)
     n1 = jnp.maximum(jnp.sum(v1), 1).astype(jnp.float32)
     # exp-loss weights (/root/reference/waldboost/training.py:14-15,159-161)
@@ -74,7 +91,20 @@ def _stage_body(x0, H0, v0, x1, H1, v1, P0, P1, theta_in, use_sprt,
     wb = jnp.concatenate([W0 / (s0 * 2), W1 / (s1 * 2)])
 
     tree = fit_tree_complete(xf, y, wb, w, valid, max_depth=max_depth,
-                             n_bins=n_bins, min_samples_leaf=min_samples_leaf)
+                             n_bins=n_bins, min_samples_leaf=min_samples_leaf,
+                             feature_mask=feature_mask)
+    # FPGA mode: integer-floored thresholds + clipped/quantized responses
+    # BEFORE score accumulation (the host path's DTree.fit post-transforms,
+    # /root/reference/waldboost/fpga/training.py:160-168)
+    if integer_thresholds:
+        tree = tree._replace(threshold=jnp.floor(tree.threshold))
+    pred = tree.pred
+    if clip is not None:
+        pred = jnp.clip(pred, -float(clip), float(clip))
+    if quantizer:
+        q = jnp.float32(quantizer)
+        pred = jnp.round(q * pred) / q
+    tree = tree._replace(pred=pred)
 
     H0n = H0 + tree_predict_device(tree, x0, max_depth)
     H1n = H1 + tree_predict_device(tree, x1, max_depth)
@@ -96,26 +126,41 @@ def _stage_body(x0, H0, v0, x1, H1, v1, P0, P1, theta_in, use_sprt,
 
 
 def make_train_step(alpha: float = 0.1, max_depth: int = 2, n_bins: int = 256,
-                    min_samples_leaf: int = 1, mesh=None):
+                    min_samples_leaf: int = 1, mesh=None, clip=None,
+                    quantizer=None, integer_thresholds: bool = False):
     """Build the jitted stage-training step.
 
     Signature of the returned function:
-        step(x0, H0, v0, x1, H1, v1, P0, P1, theta_in, use_sprt) -> StageResult
+        step(x0, H0, v0, x1, H1, v1, P0, P1, theta_in, use_sprt,
+             feature_mask) -> StageResult
+    with ``feature_mask`` an optional (max_depth, F) bool array of allowed
+    split features per depth (the FPGA bank restriction; pass None for
+    unrestricted).
 
     With ``mesh``, sample pools (x*, H*, v*) are sharded over the data axis
-    and the result is replicated — XLA turns the histogram/threshold
-    reductions into psum/all-gather collectives over ICI.
+    at rest; the stage gathers once and computes replicated (bitwise
+    mesh-invariant), writing scores/validity back sharded.
     """
     body = functools.partial(_stage_body, alpha=alpha, max_depth=max_depth,
-                             n_bins=n_bins, min_samples_leaf=min_samples_leaf)
+                             n_bins=n_bins, min_samples_leaf=min_samples_leaf,
+                             mesh=mesh, clip=clip, quantizer=quantizer,
+                             integer_thresholds=integer_thresholds)
     if mesh is None:
         return jax.jit(body)
     sh1 = lambda ndim: data_sharding(mesh, ndim)
     rep = replicated(mesh)
-    in_sh = (sh1(2), sh1(1), sh1(1), sh1(2), sh1(1), sh1(1), rep, rep, rep, rep)
+    in_sh = (sh1(2), sh1(1), sh1(1), sh1(2), sh1(1), sh1(1), rep, rep, rep,
+             rep, rep)
     out_sh = StageResult(
         tree=TreeFitResult(feature=rep, threshold=rep, left=rep, right=rep,
                            pred=rep),
         theta=rep, H0=sh1(1), H1=sh1(1), p0=rep, p1=rep, loss=rep,
         v0=sh1(1), v1=sh1(1))
-    return jax.jit(body, in_shardings=in_sh, out_shardings=out_sh)
+    jstep = jax.jit(body, in_shardings=in_sh, out_shardings=out_sh)
+
+    def step(*args):
+        if len(args) == 10:  # feature_mask omitted -> unrestricted
+            args = args + (jnp.ones((max_depth, args[0].shape[1]), bool),)
+        return jstep(*args)
+
+    return step

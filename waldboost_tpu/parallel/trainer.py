@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..samples import SampleLabel, get_samples_from_image
+from ..samples import SampleLabel
 from ..training import DTree, Learner
 from .mesh import data_sharding
 from .train_step import make_train_step
@@ -107,8 +107,8 @@ class DevicePool:
         return accept
 
     def apply_stage(self, H, v) -> None:
-        """Adopt the post-stage scores and pruned validity mask."""
-        self.x = self.x  # unchanged
+        """Adopt the post-stage scores and pruned validity mask (the crop
+        buffer ``x`` itself is untouched by a stage)."""
         self.H = H
         self.v = v
         self.count = int(jnp.sum(v))  # one scalar device->host per stage
@@ -119,7 +119,9 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
                   capacity: Optional[int] = None, theta_schedule=None,
                   max_depth: int = 2, n_bins: int = 256, seed=None,
                   callbacks=(), logger: Optional[logging.Logger] = None,
-                  **label_kwargs):
+                  mine_batch: int = 8, feature_masks_fn=None,
+                  clip=None, quantizer=None,
+                  integer_thresholds: bool = False, **label_kwargs):
     """Train ``model`` to ``length`` stages with the device-resident pool.
 
     Semantics mirror ``wb.train`` (pool bootstrap, exp-loss boosting, SPRT
@@ -127,6 +129,12 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
     fit is the histogram tree (DTree hist backend) evaluated entirely on
     device, sharded over ``mesh``'s data axis when given.  Returns the
     Learner (stats/pickle-compatible with the host path).
+
+    ``feature_masks_fn(stage) -> (max_depth, F) bool``: per-stage allowed
+    split features per depth (the FPGA bank restriction);
+    ``clip``/``quantizer``/``integer_thresholds`` apply the FPGA response
+    and threshold transforms IN-STEP (before score accumulation) — together
+    these give fpga.train its mesh path.
     """
     from ..training import BasicRejectionSchedule
 
@@ -146,24 +154,25 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
     pool_tp = DevicePool(capacity, F, mesh=mesh)
     rng = np.random.default_rng(seed)
     step = make_train_step(alpha=learner.alpha, max_depth=max_depth,
-                           n_bins=n_bins, mesh=mesh)
+                           n_bins=n_bins, mesh=mesh, clip=clip,
+                           quantizer=quantizer,
+                           integer_thresholds=integer_thresholds)
     it = iter(training_images)
 
     def refill():
+        from ..samples import batched_records, get_samples_from_images
+
         need_tp = pool_tp.count < min_tp
         need_fp = pool_fp.count < min_fp
+        if not (need_tp or need_fp):
+            return
         mined = 0
-        while (need_tp or need_fp) and mined < 10000:
-            try:
-                gt_dict = next(it)
-            except StopIteration:
-                logger.warning("training images exhausted during mining")
-                break
-            image = gt_dict["image"]
-            gt = gt_dict.get("groundtruth_boxes")
-            for boxes in get_samples_from_image(model, image, gt,
-                                                tp=need_tp, fp=need_fp,
-                                                rng=rng, **label_kwargs):
+        # same batched mining as SamplePool.update: one canvas + cascade
+        # program per image batch instead of per image
+        for group in batched_records(it, mine_batch):
+            for _i, boxes in get_samples_from_images(
+                    model, group, tp=need_tp, fp=need_fp, rng=rng,
+                    **label_kwargs):
                 label = boxes.get_field("tp_label")
                 samples = boxes.get_field("samples")
                 scores = boxes.get_field("scores")
@@ -173,9 +182,13 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
                     pool_tp.insert(samples[tp_sel], scores[tp_sel])
                 if need_fp and fp_sel.any():
                     pool_fp.insert(samples[fp_sel], scores[fp_sel])
-            mined += 1
+            mined += len(group)
             need_tp = pool_tp.count < min_tp
             need_fp = pool_fp.count < min_fp
+            if not (need_tp or need_fp) or mined >= 10000:
+                return
+        if need_tp or need_fp:
+            logger.warning("training images exhausted during mining")
 
     for stage in range(len(model), length):
         refill()
@@ -183,12 +196,16 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
                        f"fp={pool_fp.count}")
         theta_in = theta_schedule(stage, learner.false_positive_rate)
         use_sprt = theta_in is None
+        if feature_masks_fn is not None:
+            fmask = jnp.asarray(feature_masks_fn(stage), bool)
+        else:
+            fmask = jnp.ones((max_depth, F), bool)
         res = step(pool_fp.x, pool_fp.H, pool_fp.v,
                    pool_tp.x, pool_tp.H, pool_tp.v,
                    jnp.float32(learner.false_positive_rate),
                    jnp.float32(learner.true_positive_rate),
                    jnp.float32(-np.inf if use_sprt else theta_in),
-                   jnp.asarray(bool(use_sprt)))
+                   jnp.asarray(bool(use_sprt)), fmask)
         theta = float(res.theta)
         weak = _dtree_from_fit(res.tree, (m, n, C))
         model.append(weak, theta)

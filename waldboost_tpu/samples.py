@@ -104,6 +104,40 @@ def get_regression_target(dt_boxes: Boxes, gt_boxes: Boxes) -> None:
     dt_boxes.add_field("regression_target", regression_target)
 
 
+def _label_survivors(model: Model, packed, rs, cs, hs, gt_boxes, tp, fp,
+                     rng, **kwargs):
+    """Per-level labeling + candidate caps of one image's scan survivors
+    (the reference's per-level loop, /root/reference/waldboost/samples.py:
+    160-216).  Returns the selected Boxes (with canvas 'row'/'col' fields
+    for the crop gather)."""
+    m, n, _ = model.shape
+    level_id_map, _ = packed.level_maps((m, n))
+    lid = level_id_map[rs, cs]
+    pending = []
+    for i, pl in enumerate(packed.levels):
+        sel = np.flatnonzero(lid == i)
+        if sel.size == 0:
+            continue
+        r = rs[sel] - pl.y
+        c = cs[sel] - pl.x
+        h = hs[sel]
+        dt_boxes = model.get_boxes(r, c, pl.level.scale)
+        dt_boxes.set_field("scores", h)
+        dt_boxes.set_field("row", rs[sel])   # canvas coordinates for crops
+        dt_boxes.set_field("col", cs[sel])
+        label_boxes(dt_boxes, gt_boxes, rng=rng, **kwargs)
+        tp_label = dt_boxes.get_field("tp_label")
+        selector = np.logical_or(
+            np.logical_and(tp_label == SampleLabel.TRUE_POSITIVE, bool(tp)),
+            np.logical_and(tp_label == SampleLabel.FALSE_POSITIVE, bool(fp)))
+        sample_indices = np.flatnonzero(selector)
+        dt_boxes = dt_boxes[sample_indices]
+        if len(dt_boxes) == 0:
+            continue
+        pending.append(dt_boxes)
+    return pending
+
+
 def get_samples_from_image(model: Model, image, gt_boxes: Optional[Boxes],
                            tp=True, fp=True, rng=None, **kwargs):
     """Scan the pyramid, label surviving windows, crop their feature maps.
@@ -120,35 +154,8 @@ def get_samples_from_image(model: Model, image, gt_boxes: Optional[Boxes],
     canvas_dev, packed, rs, cs, hs = scan
     if rs.size == 0:
         return
-    m, n, _ = model.shape
-    level_id_map, _ = packed.level_maps((m, n))
-    lid = level_id_map[rs, cs]
-    # labeling and candidate caps stay per pyramid level (the reference's
-    # per-level loop), but the window crop batches into ONE device gather
-    # per image: crops are canvas-coordinate (level-agnostic), and each
-    # per-level gather is a separate ~1 ms dispatch through the tunnel
-    pending = []
-    for i, pl in enumerate(packed.levels):
-        sel = np.flatnonzero(lid == i)
-        if sel.size == 0:
-            continue
-        r = rs[sel] - pl.y
-        c = cs[sel] - pl.x
-        h = hs[sel]
-        dt_boxes = model.get_boxes(r, c, pl.level.scale)
-        dt_boxes.set_field("scores", h)
-        dt_boxes.set_field("row", rs[sel])   # canvas coordinates for cropping
-        dt_boxes.set_field("col", cs[sel])
-        label_boxes(dt_boxes, gt_boxes, rng=rng, **kwargs)
-        tp_label = dt_boxes.get_field("tp_label")
-        selector = np.logical_or(
-            np.logical_and(tp_label == SampleLabel.TRUE_POSITIVE, bool(tp)),
-            np.logical_and(tp_label == SampleLabel.FALSE_POSITIVE, bool(fp)))
-        sample_indices = np.flatnonzero(selector)
-        dt_boxes = dt_boxes[sample_indices]
-        if len(dt_boxes) == 0:
-            continue
-        pending.append(dt_boxes)
+    pending = _label_survivors(model, packed, rs, cs, hs, gt_boxes, tp, fp,
+                               rng, **kwargs)
     if not pending:
         return
     rows = np.concatenate(
@@ -165,6 +172,79 @@ def get_samples_from_image(model: Model, image, gt_boxes: Optional[Boxes],
         yield dt_boxes
 
 
+def get_samples_from_images(model: Model, records, tp=True, fp=True,
+                            rng=None, **kwargs):
+    """Batched :func:`get_samples_from_image` over same-shape images.
+
+    One canvas + cascade program scans the whole batch and ONE device
+    gather crops every selected window (mining through the tunnel is
+    dispatch-latency bound).  Labeling runs per image in record order with
+    the same RNG sequence as the serial path.  Yields
+    ``(record_index, dt_boxes)`` pairs.
+    """
+    import jax.numpy as jnp
+
+    from .model import _gather_windows_batch_jit
+
+    images = np.stack([np.asarray(r["image"]) for r in records])
+    B = images.shape[0]
+    Bp = 1 << (B - 1).bit_length()  # bucket the batch dim (jit cache)
+    if Bp > B:
+        images = np.concatenate([images,
+                                 np.repeat(images[-1:], Bp - B, axis=0)])
+    scan = model.scan_packed_batch(images, n_real=B)
+    if scan is None:
+        return
+    canvas_dev, packed, per_image = scan
+    pend = []  # (record index, Boxes)
+    for i, (rec, (rs, cs, hs)) in enumerate(zip(records, per_image)):
+        if rs.size == 0:
+            continue
+        for b in _label_survivors(model, packed, rs, cs, hs,
+                                  rec.get("groundtruth_boxes"), tp, fp,
+                                  rng, **kwargs):
+            pend.append((i, b))
+    if not pend:
+        return
+    bs = np.concatenate([np.full(len(b), i, np.int32) for i, b in pend])
+    rows = np.concatenate([b.get_field("row").flatten() for _, b in pend])
+    cols = np.concatenate([b.get_field("col").flatten() for _, b in pend])
+    k = rows.size
+    m, n, _ = model.shape
+    pad = max(64, 1 << (k - 1).bit_length()) - k  # bucket the jit cache
+    samples = np.asarray(_gather_windows_batch_jit(
+        canvas_dev, jnp.asarray(np.pad(bs, (0, pad))),
+        jnp.asarray(np.pad(rows, (0, pad)).astype(np.int32)),
+        jnp.asarray(np.pad(cols, (0, pad)).astype(np.int32)),
+        (m, n)))[:k]
+    off = 0
+    for i, dt_boxes in pend:
+        kk = len(dt_boxes)
+        dt_boxes.set_field("samples", samples[off:off + kk])
+        off += kk
+        yield i, dt_boxes
+
+
+def batched_records(iterable: Iterable[dict], batch: int):
+    """Group a record stream into same-image-shape batches of up to
+    ``batch`` (a shape change flushes the current group early; record
+    order is preserved exactly)."""
+    group = []
+    shape = None
+    for rec in iterable:
+        s = np.asarray(rec["image"]).shape
+        if group and (s != shape or len(group) >= batch):
+            yield group
+            group = []
+        shape = s
+        group.append(rec)
+        if len(group) >= batch:
+            yield group
+            group = []
+    if group:
+        yield group
+
+
 class SamplePool:
     """Bootstrapped container of labeled training windows
     (/root/reference/waldboost/samples.py:219-332).
@@ -175,7 +255,7 @@ class SamplePool:
 
     def __init__(self, min_tp: int = 1000, min_fp: int = 1000,
                  logger_: Optional[logging.Logger] = None,
-                 seed: Optional[int] = None, **kwargs):
+                 seed: Optional[int] = None, mine_batch: int = 8, **kwargs):
         self.samples: Optional[Boxes] = None
         self.min_tp = min_tp
         self.min_fp = min_fp
@@ -183,6 +263,9 @@ class SamplePool:
         self.logger = logger_ or logging.getLogger("SamplePool")
         self.seed = seed
         self.rng = np.random.default_rng(seed)
+        #: images scanned per mining dispatch (one canvas+cascade program
+        #: per batch instead of per image; 1 restores the serial path)
+        self.mine_batch = max(int(mine_batch), 1)
 
     def update(self, model: Model, iterable: Iterable[dict]) -> None:
         self.update_scores(model)
@@ -195,12 +278,11 @@ class SamplePool:
             stats["num_fp"], self.min_fp)
         if sample_tp or sample_fp:
             new_samples = []
-            for gt_dict in iterable:
-                image = gt_dict["image"]
-                gt_boxes = gt_dict["groundtruth_boxes"]
-                for dt_boxes in get_samples_from_image(
-                        model, image, gt_boxes, tp=sample_tp > 0,
-                        fp=sample_fp > 0, rng=self.rng,
+            for group in batched_records(iterable, self.mine_batch):
+                tp = sample_tp > 0
+                fp = sample_fp > 0
+                for _i, dt_boxes in get_samples_from_images(
+                        model, group, tp=tp, fp=fp, rng=self.rng,
                         **self.label_boxes_args):
                     lbl = dt_boxes.get_field("tp_label")
                     sample_tp -= int((lbl == SampleLabel.TRUE_POSITIVE).sum())

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import logging
 import random
-from itertools import cycle, islice
+from itertools import islice
 from typing import Any, Sequence
 
 import numpy as np
@@ -155,54 +155,67 @@ class Evaluator:
 
 
 def random_iterator(seq: Sequence[Any], maxlen=None):
-    """Iterate over random elements of an indexable sequence, cycling forever
-    (or up to maxlen) — /root/reference/waldboost/testing.py:84-96 with the
-    missing ``cycle`` import fixed."""
-    if not hasattr(seq, "__len__") or not hasattr(seq, "__getitem__"):
-        raise TypeError("Sequence must be indexable")
-    order = list(range(len(seq)))
-    random.shuffle(order)
-    for i, j in enumerate(cycle(order)):
-        if maxlen is not None and i > maxlen:
-            return
-        yield seq[j]
+    """Yield elements of an indexable sequence in a shuffled order, cycling
+    through the same permutation indefinitely; ``maxlen`` caps the total
+    yield count.  (API parity with the reference's helper at
+    /root/reference/waldboost/testing.py:84-96, whose missing ``cycle``
+    import is bitrot — SURVEY.md appendix.)"""
+    try:
+        n = len(seq)
+        seq[0] if n else None
+    except TypeError:
+        raise TypeError("random_iterator needs an indexable sequence")
+    perm = random.sample(range(n), n)
+    if not perm:
+        return
+    count = 0
+    while True:
+        for j in perm:
+            if maxlen is not None and count > maxlen:
+                return
+            count += 1
+            yield seq[j]
 
 
 def detect_on_images(images, *model, gt_key="groundtruth_boxes"):
-    """Per-image (gt, dt, shape) generator over a dataset of dicts
-    (/root/reference/waldboost/testing.py:127-133)."""
+    """Adapt a stream of dataset dicts into per-image evaluation triples
+    ``(gt_boxes, dt_boxes, image_hw)``, running multi-model detection on
+    each (/root/reference/waldboost/testing.py:127-133 is the API
+    anchor)."""
     from . import detect
-    empty = Boxes(np.empty((0, 4), "f"), ignore=np.empty(0, "i"))
-    for data_dict in images:
-        image = data_dict.get("image")
-        gt_boxes = data_dict.get(gt_key, empty)
-        dt_boxes = detect(image, *model)
-        yield gt_boxes, dt_boxes, image.shape[:2]
+
+    for record in images:
+        image = record["image"]
+        gt = record.get(gt_key)
+        if gt is None:
+            gt = Boxes(np.empty((0, 4), "f"), ignore=np.empty(0, "i"))
+        yield gt, detect(image, *model), image.shape[:2]
 
 
 def evaluate_model(testing_images, *model, num_images=None, shuffle=False):
-    """Run the model(s) over a test set and return an :class:`Evaluator`
-    (/root/reference/waldboost/testing.py:99-124)."""
+    """Score the model(s) on a test set and return the filled
+    :class:`Evaluator` (call ``.evaluate()`` on it for PR/AUC).  API anchor:
+    /root/reference/waldboost/testing.py:99-124."""
     if num_images is None:
-        if hasattr(testing_images, "__len__"):
+        try:
             num_images = len(testing_images)
-        else:
-            raise ValueError("Require num_images with infinite dataset")
+        except TypeError:
+            raise ValueError(
+                "evaluate_model needs num_images for unsized datasets")
+    stream = random_iterator(testing_images) if shuffle else \
+        iter(testing_images)
 
-    if shuffle:
-        testing_images = random_iterator(testing_images)
-    imgs = islice(testing_images, num_images)
-
-    E = Evaluator()
-    logging.info(f"Running model on {num_images} images")
-    idx = 0
-    for idx, (gt, dt, shape) in enumerate(detect_on_images(imgs, *model), start=1):
-        E.add_ground_truth(idx, gt, shape)
-        E.add_detections(idx, dt)
-        if idx % 20 == 0:
-            logging.info(f"{idx}")
-
-    if num_images != idx:
-        logging.warning(
-            f"Requested test on {num_images} but only {idx} images were given")
-    return E
+    ev = Evaluator()
+    logging.info("evaluating detector on %d images", num_images)
+    n_seen = 0
+    for gt, dt, shape in detect_on_images(
+            islice(stream, num_images), *model):
+        n_seen += 1
+        ev.add_ground_truth(n_seen, gt, shape)
+        ev.add_detections(n_seen, dt)
+        if n_seen % 20 == 0:
+            logging.info("  %d/%d", n_seen, num_images)
+    if n_seen != num_images:
+        logging.warning("dataset ran dry at %d of the requested %d images",
+                        n_seen, num_images)
+    return ev

@@ -1,7 +1,9 @@
 """Utilities: synthetic data generator, visualization, training callbacks.
 
-Parity with /root/reference/waldboost/utils.py.  cv2/matplotlib are imported
-lazily so the core library has no hard viz dependencies.
+Functional parity with /root/reference/waldboost/utils.py (the synthetic
+generator's *random-draw sequence* is the de-facto hermetic dataset spec and
+is preserved exactly); implementations are this package's own.  cv2 and
+matplotlib import lazily so the core library has no hard viz dependencies.
 """
 
 from __future__ import annotations
@@ -19,84 +21,109 @@ __all__ = [
     "class_prob_callback",
 ]
 
+_SCENE_HW = (256, 256)
+
+
+def _paint_scene(rng: np.random.RandomState):
+    """One synthetic scene: up to one bright square over scaled noise.
+
+    The random-draw order (object count; per object: side, x, y, intensity;
+    then the noise field and its global gain) defines the dataset and must
+    never change — trained-model goldens depend on the exact stream
+    (/root/reference/waldboost/utils.py:81-97 is the original spec).
+    """
+    h, w = _SCENE_HW
+    field = np.zeros((h, w), np.float32)
+    rects = []
+    for _ in range(rng.randint(2)):
+        side = rng.randint(30, 60)
+        x0 = rng.randint(w - side)
+        y0 = rng.randint(h - side)
+        gain = rng.uniform(0.2, 1)
+        field[y0:y0 + side, x0:x0 + side] += gain
+        # ground truth is the square dilated by 5 px, YXYX
+        rects.append((y0 - 5, x0 - 5, y0 + side + 5, x0 + side + 5))
+    field += rng.rand(h, w) * 0.3 * rng.rand()
+    image = (np.clip(field, 0.0, 1.0) * 255).astype(np.uint8)
+    rects = np.asarray(rects, np.float32) if rects else np.empty((0, 4))
+    return image, rects
+
 
 def fake_data_generator(seed=None):
     """Infinite synthetic dataset: bright squares on noise, 256x256 uint8,
-    with YXYX ground truth (/root/reference/waldboost/utils.py:81-97).
-    Yields dicts {"image", "groundtruth_boxes"}."""
+    with YXYX ground truth.  Yields ``{"image", "groundtruth_boxes"}`` dicts
+    (the actual ``wb.train`` input contract).  Unlike the reference, the
+    stream is seedable (the reference drew from the global RNG)."""
     rng = np.random.RandomState(seed)
     while True:
-        image = np.zeros((256, 256), "f")
-        gt = []
-        n_objects = rng.randint(2)
-        for _ in range(n_objects):
-            w = rng.randint(30, 60)
-            x = rng.randint(256 - w)
-            y = rng.randint(256 - w)
-            i = rng.uniform(0.2, 1)
-            image[y:y + w, x:x + w] += i
-            gt.append([y - 5, x - 5, y + w + 5, x + w + 5])
-        image += rng.rand(*image.shape) * 0.3 * rng.rand()
-        image = (np.clip(image, 0, 1) * 255).astype("u1")
-        gt = np.array(gt, "f") if gt else np.empty((0, 4))
-        gt_boxes = groundtruth.bbox_list(gt, format=groundtruth.RectFormat.YXYX)
-        yield dict(image=np.atleast_2d(image), groundtruth_boxes=gt_boxes)
+        image, rects = _paint_scene(rng)
+        gt = groundtruth.bbox_list(rects,
+                                   format=groundtruth.RectFormat.YXYX)
+        yield dict(image=np.atleast_2d(image), groundtruth_boxes=gt)
 
 
 def montage(X, nrows=4, ncols=4, figsize=None):
-    """Grid plot of sample windows (/root/reference/waldboost/utils.py:15-30)."""
+    """Grid plot of up to ``nrows * ncols`` sample windows, shared gray
+    scale clipped at the 99th percentile."""
     import matplotlib.pyplot as plt
+
+    X = np.asarray(X)
     if figsize is None:
-        width = 15
         h, w = X.shape[1:3]
-        f = w * ncols / width
-        figsize = width, (h * nrows) / f
-    plt.figure(figsize=figsize)
-    vmax = np.percentile(X, 99)
-    for i, x in enumerate(X[:nrows * ncols]):
-        plt.subplot(nrows, ncols, i + 1)
-        plt.imshow(np.squeeze(x), cmap="gray", vmax=vmax)
-        plt.axis("off")
+        figsize = (15, 15 * (h * nrows) / max(w * ncols, 1))
+    fig, axes = plt.subplots(nrows, ncols, figsize=figsize, squeeze=False)
+    top = np.percentile(X, 99)
+    for ax, idx in zip(axes.ravel(), range(nrows * ncols)):
+        ax.set_axis_off()
+        if idx < len(X):
+            ax.imshow(np.squeeze(X[idx]), cmap="gray", vmax=top)
     plt.show()
+    return fig
 
 
-def draw_detections(image, dt_boxes, gt_boxes=None, *, dt_thickness=1,
-                    gt_thickness=1, gt_color=(255, 0, 0), vmin=None, vmax=None):
-    """Draw detections colored by score (/root/reference/waldboost/utils.py:33-78).
-    Returns an RGB image."""
-    import cv2
+def _score_palette(scores, vmin, vmax):
+    """uint8 BGR-ish palette rows for each score via the plasma colormap."""
     import matplotlib as mpl
     from matplotlib import cm
 
-    img = np.asarray(image).copy()
-    if img.ndim == 2:
-        img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+    lo = float(np.min(scores)) if vmin is None else vmin
+    hi = float(np.max(scores)) if vmax is None else vmax
+    norm = mpl.colors.Normalize(vmin=lo, vmax=hi)
+    rgba = cm.plasma(norm(np.asarray(scores, np.float64)))
+    return np.uint8(np.round(255.0 * rgba))
+
+
+def draw_detections(image, dt_boxes, gt_boxes=None, *, dt_thickness=1,
+                    gt_thickness=1, gt_color=(255, 0, 0), vmin=None,
+                    vmax=None):
+    """Render detections (score-colored, low scores drawn first so strong
+    ones stay on top) and optional ground truth onto a copy of ``image``.
+    Returns an RGB array."""
+    import cv2
+
+    canvas = np.asarray(image).copy()
+    if canvas.ndim == 2:
+        canvas = cv2.cvtColor(canvas, cv2.COLOR_GRAY2BGR)
 
     if gt_boxes is not None:
-        for x1, y1, x2, y2 in gt_boxes.get().astype("i"):
-            cv2.rectangle(img, (x1, y1), (x2, y2), gt_color, thickness=gt_thickness)
+        for rect in np.asarray(gt_boxes.get(), np.int32):
+            cv2.rectangle(canvas, tuple(rect[:2]), tuple(rect[2:]),
+                          gt_color, thickness=gt_thickness)
 
     if dt_boxes is not None and len(dt_boxes):
-        scores = dt_boxes.get_field("scores")
-        if vmin is None:
-            vmin = scores.min()
-        if vmax is None:
-            vmax = scores.max()
-        N = mpl.colors.Normalize(vmin=vmin, vmax=vmax)
-        colors = cm.plasma
-        dt_boxes = bbx.sort_by_field(dt_boxes, "scores", descending=False)
-        for (x1, y1, x2, y2), score in zip(dt_boxes.get().astype("i"),
-                                           dt_boxes.get_field("scores")):
-            clr = (255 * np.array(colors(N(score)))).astype("u1")
-            clr = tuple(map(int, clr))
-            cv2.rectangle(img, (x1, y1), (x2, y2), clr, thickness=dt_thickness)
+        ordered = bbx.sort_by_field(dt_boxes, "scores", descending=False)
+        palette = _score_palette(ordered.get_field("scores"), vmin, vmax)
+        for rect, color in zip(np.asarray(ordered.get(), np.int32), palette):
+            cv2.rectangle(canvas, tuple(rect[:2]), tuple(rect[2:]),
+                          tuple(int(c) for c in color),
+                          thickness=dt_thickness)
 
-    return img[..., ::-1]
+    return canvas[..., ::-1]
 
 
 class ShowImageCallback:
-    """Callback showing the test image with detections once fpr is low enough
-    (/root/reference/waldboost/utils.py:100-112)."""
+    """Training callback: once the cumulative fpr drops under ``max_fpr``,
+    run the model on a held-out image and display the detections."""
 
     def __init__(self, image, gt_boxes, max_fpr=0.05):
         self.image = image
@@ -105,12 +132,14 @@ class ShowImageCallback:
 
     def __call__(self, model, learner, stage):
         import cv2
-        if learner.false_positive_rate < self.max_fpr:
-            dt_boxes = model.detect(self.image)
-            I = draw_detections(self.image, dt_boxes, self.gt, gt_thickness=3,
-                                gt_color=(255, 0, 0))
-            cv2.imshow("Testing image", I)
-            cv2.waitKey(20)
+
+        if learner.false_positive_rate >= self.max_fpr:
+            return
+        rendered = draw_detections(self.image, model.detect(self.image),
+                                   self.gt, gt_thickness=3,
+                                   gt_color=(255, 0, 0))
+        cv2.imshow("Testing image", rendered)
+        cv2.waitKey(20)
 
 
 def class_prob_callback(model, learner, stage):
