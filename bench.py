@@ -163,7 +163,8 @@ def bench_trained_cascade(batch, iters, warmup):
 
 def bench_train_loop(n_stages=6):
     """Config 4: WaldBoost training-loop throughput (stages/min) on the
-    synthetic dataset — pool mining + device histogram tree fit + SPRT."""
+    synthetic dataset — pool mining + device histogram tree fit + SPRT
+    (the HOST-pool reference-parity path)."""
     import waldboost_tpu as wb
     from waldboost_tpu.utils import fake_data_generator
 
@@ -176,6 +177,29 @@ def bench_train_loop(n_stages=6):
     wb.train(model, gen, pool=pool, learner=learner, length=2)
     t0 = time.perf_counter()
     wb.train(model, gen, pool=pool, learner=learner, length=2 + n_stages)
+    dt = time.perf_counter() - t0
+    return n_stages / dt * 60.0
+
+
+def bench_train_loop_device_pool(n_stages=12):
+    """Config 4b: the TPU-native trainer (device-resident sample pool, the
+    whole numeric stage as one program, batched+prefetched mining with
+    bit-packed survivor maps) — wb.train's mesh path on one device."""
+    import waldboost_tpu as wb
+    from waldboost_tpu.parallel.trainer import train_sharded
+    from waldboost_tpu.utils import fake_data_generator
+
+    gen = fake_data_generator(seed=11)
+    model = wb.Model((12, 12, 4), dict(shrink=2, n_per_oct=4, smooth=1,
+                                       channels="grad_hist"))
+    learner = wb.Learner(alpha=0.2, max_depth=2)
+    from waldboost_tpu.io import prefetch_iterable
+    gen = prefetch_iterable(gen, depth=32)
+    train_sharded(model, gen, mesh=None, learner=learner, length=2,
+                  min_tp=1000, min_fp=1000, seed=0)
+    t0 = time.perf_counter()
+    train_sharded(model, gen, mesh=None, learner=learner,
+                  length=2 + n_stages, min_tp=1000, min_fp=1000, seed=0)
     dt = time.perf_counter() - t0
     return n_stages / dt * 60.0
 
@@ -223,6 +247,8 @@ def main():
     # reference publishes no training numbers): vs_baseline is null
     add("training_loop_throughput", bench_train_loop, unit="stages/min",
         baseline=None)
+    add("training_loop_device_pool", bench_train_loop_device_pool,
+        unit="stages/min", baseline=None)
     add("trained_cascade_throughput",
         lambda: bench_trained_cascade(batch, iters, warmup))
     # headline LAST (the driver parses the final JSON line)

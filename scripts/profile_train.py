@@ -17,6 +17,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_STAGES = int(os.environ.get("PROF_STAGES", "12"))
+WARMUP = int(os.environ.get("PROF_WARMUP", "2"))
 MINE_BATCH = int(os.environ.get("PROF_MINE_BATCH", "8"))
 PREFETCH = int(os.environ.get("PROF_PREFETCH", "16"))
 
@@ -79,14 +80,14 @@ def main():
                      mine_batch=MINE_BATCH)
     learner = wb.Learner(alpha=0.2, max_depth=2)
     # stage 0-1 pay compilation; then time the steady state
-    wb.train(model, gen, pool=pool, learner=learner, length=2,
+    wb.train(model, gen, pool=pool, learner=learner, length=WARMUP,
              prefetch=PREFETCH)
     for k in list(t_phase):
         t_phase[k] = 0.0
     counts.clear()
     t0 = time.perf_counter()
     wb.train(model, gen, pool=pool, learner=learner,
-             length=2 + N_STAGES, prefetch=PREFETCH)
+             length=WARMUP + N_STAGES, prefetch=PREFETCH)
     dt = time.perf_counter() - t0
     print(f"mine_batch={MINE_BATCH} prefetch={PREFETCH}")
     print(f"{N_STAGES} stages in {dt:.2f}s -> "
@@ -101,6 +102,29 @@ def main():
           f"({mine_host / dt * 100:4.1f}%)")
     print(f"  {'other':18s} {other:7.2f}s ({other / dt * 100:4.1f}%)")
     print(f"  images mined: {counts['mine_images']}")
+
+    # TPU-native trainer: device-resident pool, one program per stage
+    from waldboost_tpu.io import prefetch_iterable
+    from waldboost_tpu.parallel.trainer import train_sharded
+
+    gen2 = prefetch_iterable(fake_data_generator(seed=12), depth=32)
+    model2 = wb.Model((12, 12, 4), dict(shrink=2, n_per_oct=4, smooth=1,
+                                        channels="grad_hist"))
+    learner2 = wb.Learner(alpha=0.2, max_depth=2)
+    train_sharded(model2, gen2, mesh=None, learner=learner2, length=WARMUP,
+                  min_tp=1000, min_fp=1000, seed=0)
+    for k in list(t_phase):
+        t_phase[k] = 0.0
+    counts.clear()
+    t0 = time.perf_counter()
+    train_sharded(model2, gen2, mesh=None, learner=learner2,
+                  length=WARMUP + N_STAGES, min_tp=1000, min_fp=1000,
+                  seed=0)
+    dt = time.perf_counter() - t0
+    print(f"device-pool trainer: {N_STAGES} stages in {dt:.2f}s -> "
+          f"{N_STAGES / dt * 60:.1f} stages/min "
+          f"(mine_scan {t_phase['mine_scan']:.2f}s, "
+          f"images {counts['mine_images']})")
 
 
 if __name__ == "__main__":

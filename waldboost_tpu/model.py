@@ -1503,34 +1503,75 @@ def _gather_windows_batch_jit(canvas, bs, rs, cs, window):
     return jax.vmap(crop)(bs, rs, cs)
 
 
+@functools.partial(jax.jit, static_argnames=("window",))
+def _gather_windows_scores_batch_jit(canvas, hs, bs, rs, cs, window):
+    """Crops AND their cascade scores in ONE gather dispatch (device->host
+    transfers crawl through the tunnel; fetch only what labeling kept)."""
+    crops = _gather_windows_batch_jit(canvas, bs, rs, cs, window)
+    scores = jax.vmap(lambda b, r, c: hs[b, r, c])(bs, rs, cs)
+    return crops, scores
+
+
+@jax.jit
+def _packbits_jit(alive):
+    """(B, GU, GV) bool -> (B, GU, ceil(GV/8)) uint8 (bit k of byte j is
+    column 8*j+k): an 8x smaller survivor map for the slow tunnel D2H."""
+    B, GU, GV = alive.shape
+    GVp = -(-GV // 8) * 8
+    a = jnp.pad(alive.astype(jnp.uint8), ((0, 0), (0, 0), (0, GVp - GV)))
+    a = a.reshape(B, GU, GVp // 8, 8)
+    weights_ = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    return jnp.sum(a * weights_, axis=-1, dtype=jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shrink", "n_per_oct", "smooth", "cf", "packed"))
+def _canvas_batch_jit(images, shrink, n_per_oct, smooth, cf, packed):
+    """Stage 1 for a mining batch: (B, H, W) -> (B, C, Hc, Wc) canvases as
+    ONE program (eager tracing would dispatch every op through the
+    tunnel)."""
+    return _channel_canvas_batch(images, shrink, n_per_oct, smooth, cf,
+                                 packed)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "depth", "interpret"))
+def _cascade_pallas_batch_jit(cvs, casc, valid, window, depth, interpret):
+    from .ops.cascade_pallas import cascade_response_grid_pallas
+
+    outs = [cascade_response_grid_pallas(cvs[i], casc, valid, window, depth,
+                                         interpret=interpret)
+            for i in range(cvs.shape[0])]
+    return (jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]),
+            jnp.stack([o[2] for o in outs]).sum())
+
+
+@functools.partial(jax.jit, static_argnames=("window", "depth"))
+def _cascade_xla_batch_jit(cvs, casc, valid, window, depth):
+    f = lambda cv: cascade_response_grid(cv, casc, window, depth,
+                                         init_alive=valid)
+    hs, alive, nw = jax.vmap(f)(cvs)
+    return hs, alive, nw.sum()
+
+
 def _run_packed_batch(images, casc, valid_mask, shrink, n_per_oct, smooth,
                       cf, window, depth, packed):
     """(B, H, W) same-shape mining batch -> (canvas, hs, alive, n_weak),
-    batched: the canvas build and the cascade run as ONE program each
-    instead of B dispatch round-trips (the training loop's mining is
+    batched: the canvas build and the cascade run as ONE jitted program
+    each instead of B dispatch round-trips (the training loop's mining is
     dispatch-latency-bound through the tunnel)."""
-    canvas = _channel_canvas_batch(images, shrink, n_per_oct, smooth, cf,
-                                   packed)
+    canvas = _canvas_batch_jit(images, shrink, n_per_oct, smooth, cf,
+                               packed)
     backend = _resolve_cascade_backend()
     if backend == "pallas":
-        from .ops.cascade_pallas import cascade_response_grid_pallas
         interpret = jax.default_backend() != "tpu"
-
-        @functools.partial(jax.jit, static_argnames=("window", "depth"))
-        def run_b(cvs, casc, valid, window, depth):
-            outs = [cascade_response_grid_pallas(cvs[i], casc, valid,
-                                                 window, depth,
-                                                 interpret=interpret)
-                    for i in range(cvs.shape[0])]
-            return (jnp.stack([o[0] for o in outs]),
-                    jnp.stack([o[1] for o in outs]),
-                    jnp.stack([o[2] for o in outs]).sum())
-        hs, alive, n_weak = run_b(canvas, casc, valid_mask, window, depth)
+        hs, alive, n_weak = _cascade_pallas_batch_jit(
+            canvas, casc, valid_mask, window, depth, interpret)
     else:
-        f = lambda cv: _canvas_cascade_jit(cv, casc, valid_mask, window,
-                                           depth)
-        hs, alive, nw = jax.vmap(f)(canvas)
-        n_weak = nw.sum()
+        hs, alive, n_weak = _cascade_xla_batch_jit(canvas, casc, valid_mask,
+                                                   window, depth)
     return canvas, hs, alive, n_weak
 
 
@@ -1643,7 +1684,16 @@ class Model:
     def _get_cascade(self) -> Tuple[Cascade, int]:
         if self._cascade is None or self._cascade_version != self._version:
             stages = [w.to_stage_dict() for w in self.classifier]
-            pad_T = max(_round_up(max(len(stages), 1), self.STAGE_PAD), self.STAGE_PAD)
+            # hybrid stage buckets: linear (x8) while small, geometric
+            # beyond 32 — a growing training cascade then recompiles its
+            # consumers O(log T) times instead of O(T/8) (each recompile of
+            # the mining/rescore programs costs seconds on the TPU compile
+            # relay); padded stages are dead (zero response, theta=-inf)
+            T = max(len(stages), 1)
+            if T <= 32:
+                pad_T = max(_round_up(T, self.STAGE_PAD), self.STAGE_PAD)
+            else:
+                pad_T = 1 << (T - 1).bit_length()
             casc, meta = casc_ops.cascade_from_stages(stages, self.theta, n_stages=pad_T)
             self._cascade = casc
             self._cascade_depth = meta  # CascadeMeta (hashable, jit-static)
@@ -1775,8 +1825,10 @@ class Model:
 
         ``n_real``: number of leading images that are real (the rest are
         jit-bucket padding, skipped in outputs and eval-cost counters).
-        Returns ``(canvas (B,C,H,W) device, packed, [(rs, cs, hs)] * n)``
-        or None when the image is too small for any level."""
+        Returns ``(canvas (B,C,H,W) device, hs (B,GU,GV) device, packed,
+        [(rs, cs)] * n)`` or None when the image is too small for any
+        level — survivor scores stay on device (fetch the kept ones via
+        _gather_windows_scores_batch_jit)."""
         images = np.asarray(images)
         if images.ndim != 3:
             raise ValueError("images must be (B, H, W)")
@@ -1798,14 +1850,18 @@ class Model:
         # batch n_weak includes padding images; keep the counter a close
         # estimate by scaling (eval_cost is a diagnostic running average)
         self.n_weak += int(n_weak) * n_real // images.shape[0]
-        alive_np = np.asarray(alive)
-        hs_np = np.asarray(hs)
+        # transfer the survivor map BIT-PACKED (8x fewer bytes through the
+        # tunnel); scores stay ON DEVICE — callers fetch them only for the
+        # windows labeling kept, fused with the crop gather
+        packed_alive = np.asarray(_packbits_jit(alive))
+        gv = alive.shape[-1]
+        bits = np.unpackbits(packed_alive, axis=-1,
+                             bitorder="little")[:, :, :gv]
         per_image = []
         for i in range(n_real):
-            rs, cs = np.nonzero(alive_np[i])
-            scores = hs_np[i][rs, cs] if rs.size else np.empty(0, np.float32)
-            per_image.append((rs, cs, scores))
-        return canvas, packed, per_image
+            rs, cs = np.nonzero(bits[i])
+            per_image.append((rs, cs))
+        return canvas, hs, packed, per_image
 
     def gather_windows_device(self, image_or_canvas, rs, cs,
                               is_canvas: bool = False) -> np.ndarray:

@@ -104,12 +104,12 @@ def get_regression_target(dt_boxes: Boxes, gt_boxes: Boxes) -> None:
     dt_boxes.add_field("regression_target", regression_target)
 
 
-def _label_survivors(model: Model, packed, rs, cs, hs, gt_boxes, tp, fp,
+def _label_survivors(model: Model, packed, rs, cs, gt_boxes, tp, fp,
                      rng, **kwargs):
     """Per-level labeling + candidate caps of one image's scan survivors
     (the reference's per-level loop, /root/reference/waldboost/samples.py:
     160-216).  Returns the selected Boxes (with canvas 'row'/'col' fields
-    for the crop gather)."""
+    for the crop/score gather — labeling itself needs only rects + gt)."""
     m, n, _ = model.shape
     level_id_map, _ = packed.level_maps((m, n))
     lid = level_id_map[rs, cs]
@@ -120,9 +120,7 @@ def _label_survivors(model: Model, packed, rs, cs, hs, gt_boxes, tp, fp,
             continue
         r = rs[sel] - pl.y
         c = cs[sel] - pl.x
-        h = hs[sel]
         dt_boxes = model.get_boxes(r, c, pl.level.scale)
-        dt_boxes.set_field("scores", h)
         dt_boxes.set_field("row", rs[sel])   # canvas coordinates for crops
         dt_boxes.set_field("col", cs[sel])
         label_boxes(dt_boxes, gt_boxes, rng=rng, **kwargs)
@@ -142,49 +140,29 @@ def get_samples_from_image(model: Model, image, gt_boxes: Optional[Boxes],
                            tp=True, fp=True, rng=None, **kwargs):
     """Scan the pyramid, label surviving windows, crop their feature maps.
     Yields labeled Boxes with 'scores', 'tp_label', 'samples' fields per level
-    (/root/reference/waldboost/samples.py:160-216).
-
-    Uses the single-pass packed pyramid scan (one device program per image
-    shape) and crops windows directly from the packed canvas; labeling and
-    candidate caps are still applied *per pyramid level*, matching the
-    reference's per-level loop."""
-    scan = model.scan_packed(image)
-    if scan is None:
-        return
-    canvas_dev, packed, rs, cs, hs = scan
-    if rs.size == 0:
-        return
-    pending = _label_survivors(model, packed, rs, cs, hs, gt_boxes, tp, fp,
-                               rng, **kwargs)
-    if not pending:
-        return
-    rows = np.concatenate(
-        [b.get_field("row").flatten() for b in pending])
-    cols = np.concatenate(
-        [b.get_field("col").flatten() for b in pending])
-    samples = model.gather_windows_device(canvas_dev, rows, cols,
-                                          is_canvas=True)
-    off = 0
-    for dt_boxes in pending:
-        k = len(dt_boxes)
-        dt_boxes.set_field("samples", samples[off:off + k])
-        off += k
-        yield dt_boxes
+    (/root/reference/waldboost/samples.py:160-216).  Single-image adapter
+    over the batched scan path."""
+    rec = {"image": np.asarray(image), "groundtruth_boxes": gt_boxes}
+    for _i, b in get_samples_from_images(model, [rec], tp=tp, fp=fp,
+                                         rng=rng, **kwargs):
+        yield b
 
 
 def get_samples_from_images(model: Model, records, tp=True, fp=True,
                             rng=None, **kwargs):
     """Batched :func:`get_samples_from_image` over same-shape images.
 
-    One canvas + cascade program scans the whole batch and ONE device
-    gather crops every selected window (mining through the tunnel is
-    dispatch-latency bound).  Labeling runs per image in record order with
-    the same RNG sequence as the serial path.  Yields
+    One canvas + cascade program scans the whole batch; the survivor map
+    crosses to the host BIT-PACKED, and the cascade scores + window crops
+    of the windows labeling KEPT come back in one fused device gather —
+    the device->host tunnel is the training loop's bottleneck, so only
+    kept-sample bytes ever cross it.  Labeling runs per image in record
+    order with the same RNG sequence as the serial path.  Yields
     ``(record_index, dt_boxes)`` pairs.
     """
     import jax.numpy as jnp
 
-    from .model import _gather_windows_batch_jit
+    from .model import _gather_windows_scores_batch_jit
 
     images = np.stack([np.asarray(r["image"]) for r in records])
     B = images.shape[0]
@@ -195,12 +173,12 @@ def get_samples_from_images(model: Model, records, tp=True, fp=True,
     scan = model.scan_packed_batch(images, n_real=B)
     if scan is None:
         return
-    canvas_dev, packed, per_image = scan
+    canvas_dev, hs_dev, packed, per_image = scan
     pend = []  # (record index, Boxes)
-    for i, (rec, (rs, cs, hs)) in enumerate(zip(records, per_image)):
+    for i, (rec, (rs, cs)) in enumerate(zip(records, per_image)):
         if rs.size == 0:
             continue
-        for b in _label_survivors(model, packed, rs, cs, hs,
+        for b in _label_survivors(model, packed, rs, cs,
                                   rec.get("groundtruth_boxes"), tp, fp,
                                   rng, **kwargs):
             pend.append((i, b))
@@ -212,15 +190,19 @@ def get_samples_from_images(model: Model, records, tp=True, fp=True,
     k = rows.size
     m, n, _ = model.shape
     pad = max(64, 1 << (k - 1).bit_length()) - k  # bucket the jit cache
-    samples = np.asarray(_gather_windows_batch_jit(
-        canvas_dev, jnp.asarray(np.pad(bs, (0, pad))),
+    samples, scores = _gather_windows_scores_batch_jit(
+        canvas_dev, hs_dev,
+        jnp.asarray(np.pad(bs, (0, pad))),
         jnp.asarray(np.pad(rows, (0, pad)).astype(np.int32)),
         jnp.asarray(np.pad(cols, (0, pad)).astype(np.int32)),
-        (m, n)))[:k]
+        (m, n))
+    samples = np.asarray(samples)[:k]
+    scores = np.asarray(scores)[:k].astype(np.float32)
     off = 0
     for i, dt_boxes in pend:
         kk = len(dt_boxes)
         dt_boxes.set_field("samples", samples[off:off + kk])
+        dt_boxes.set_field("scores", scores[off:off + kk])
         off += kk
         yield i, dt_boxes
 
