@@ -23,16 +23,21 @@ def main():
 
     from __graft_entry__ import _flagship_model
     from waldboost_tpu.channels import _normalize_opts
-    from waldboost_tpu.model import _canvas_jit, _packed_plan_cached
+    from waldboost_tpu.model import _canvas_batch_jit, _packed_plan_cached
     from waldboost_tpu.ops.cascade_static import (
         cascade_masked_grid_static, static_cascade_from_model)
+
+    import waldboost_tpu as wb
 
     h, w = 480, 640
     batch = 16
     rng = np.random.RandomState(0)
 
-    for T in (64, 128, 256):
-        model = _flagship_model(n_stages=T)
+    trained = wb.load(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "models", "flagship_synth_64.pb"))
+
+    for T in ("trained64", 64, 128, 256):
+        model = trained if T == "trained64" else _flagship_model(n_stages=T)
         m, n, _ = model.shape
         shrink, n_per_oct, smooth, cf = _normalize_opts(model.channel_opts)
         packed = _packed_plan_cached(h, w, shrink, n_per_oct, (m, n),
@@ -40,14 +45,10 @@ def main():
         valid = jnp.asarray(packed.valid_mask((m, n)))
         sc = static_cascade_from_model(model)
 
-        @jax.jit
-        def canvases(images):
-            return jax.vmap(lambda im: _canvas_jit(
-                im, shrink, n_per_oct, smooth, cf, packed))(images)
-
         sets = [jnp.asarray(rng.randint(0, 256, (batch, h, w))
                             .astype(np.uint8)) for _ in range(6)]
-        cvs_sets = [canvases(s) for s in sets]
+        cvs_sets = [_canvas_batch_jit(s, shrink, n_per_oct, smooth, cf,
+                                      packed) for s in sets]
         _ = float(cvs_sets[-1].sum())
 
         for bands in (1, 2, 4):
@@ -67,7 +68,7 @@ def main():
                     dt = (time.perf_counter() - t0) / (len(cvs_sets) - 1) \
                         / batch * 1e6
                     best = dt if best is None else min(best, dt)
-                print(f"T={T:3d} bands={bands} block={block:2d}: "
+                print(f"T={T!s:>9} bands={bands} block={block:2d}: "
                       f"{best:7.1f} us/img", flush=True)
 
 
