@@ -200,3 +200,35 @@ def test_reference_fpga_channels_golden(ref):
     tpu_gm = np.asarray(grad_mag_u1(img))
     np.testing.assert_array_equal(np.atleast_3d(ref_gm),
                                   np.transpose(tpu_gm, (1, 2, 0)))
+
+
+def test_reference_detect_trained_model_golden(ref, tmp_path):
+    """The committed REALLY-TRAINED cascade (models/flagship_synth_64.pb)
+    produces identical boxes+scores through the reference's own pipeline —
+    the exactness contract holds for trained thresholds/leaves, not just
+    synthetic calibrated ones."""
+    import waldboost_tpu as wb
+    from waldboost_tpu.utils import fake_data_generator
+
+    path = "/root/repo/models/flagship_synth_64.pb"
+    if not os.path.exists(path):
+        pytest.skip("trained model not present")
+    model = wb.load(path)
+    rmodel = ref.Model.load(path)
+    rmodel.channel_opts["channels"] = ref.channels.grad_hist
+    rng = np.random.RandomState(17)
+    gen = fake_data_generator(seed=33)
+    images = [np.atleast_3d(next(gen)["image"])[:, :, 0] for _ in range(6)]
+    images += [rng.randint(0, 256, (256, 256)).astype(np.uint8)
+               for _ in range(2)]
+    n_boxes = 0
+    for img in images:
+        rb = rmodel.detect(img)
+        tb = model.detect(img)
+        a = set(map(tuple, np.round(np.concatenate(
+            [rb.get(), rb.get_field("scores")[:, None]], 1), 3)))
+        b = set(map(tuple, np.round(np.concatenate(
+            [tb.get(), tb.get_field("scores")[:, None]], 1), 3)))
+        assert a == b, (len(a ^ b), len(a), len(b))
+        n_boxes += len(a)
+    assert n_boxes > 0  # the trained detector actually fires on scenes
