@@ -188,6 +188,7 @@ grad_hist_4_u1 = register_channel_function(
         canvas_fn_poly=_grad_hist_4_u1_poly_fn,
         poly_kernel=_fpga_poly_kernel("grad_hist_4_u1"),
         poly_kernel_mask=_fpga_kernel_masks,
+        fused_kind="grad_hist_4_u1",
     )
 )
 
@@ -204,5 +205,6 @@ grad_mag_u1 = register_channel_function(
         canvas_fn_poly=_grad_mag_u1_poly_fn,
         poly_kernel=_fpga_poly_kernel("grad_mag_u1"),
         poly_kernel_mask=_fpga_kernel_masks,
+        fused_kind="grad_mag_u1",
     )
 )
