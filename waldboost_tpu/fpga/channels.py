@@ -123,13 +123,14 @@ def _grad_mag_u1_poly_fn(planes, ctx):
 
 @functools.lru_cache(maxsize=32)
 def _fpga_kernel_masks_cached(packed):
+    # cache HOST arrays: a jnp.asarray built inside a trace is a (constant)
+    # tracer, and caching one leaks it across jit scopes
     import numpy as np
     bm = packed.stencil_border_mask()
     H2, W2 = bm.shape
-    ring = jnp.asarray(bm.reshape(H2 // 2, 2, W2 // 2, 2)
-                       .transpose(1, 3, 0, 2).astype(np.float32))
-    interior = jnp.asarray(
-        packed.smooth_interior_mask().astype(np.float32))
+    ring = np.ascontiguousarray(bm.reshape(H2 // 2, 2, W2 // 2, 2)
+                                .transpose(1, 3, 0, 2).astype(np.float32))
+    interior = packed.smooth_interior_mask().astype(np.float32)
     return ring, interior
 
 
