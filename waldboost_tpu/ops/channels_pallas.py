@@ -477,12 +477,16 @@ def _make_fpga_kernel(TU, TV, kind, smooth, content_grid=None):
                                  HR - 1:HR - 1 + TU + E,
                                  HC - 1:HC - 1 + TV + E].astype(jnp.float32)
 
-            rs = [[[f(dx[a][b], dy[a][b]) for f in resp_fns]
-                   for b in (0, 1)] for a in (0, 1)]
+            # responses are evaluated INSIDE the k loop (not materialized
+            # for all channels upfront): composite kinds (n_out=5) with the
+            # smooth halo otherwise hold 20 (TU+2, TV+2) f32 intermediates
+            # live at once and blow the 16 MB scoped-VMEM stack at 4K
             for k in range(n_out):
                 def q(a, b):
-                    v = jnp.minimum(jnp.floor(jnp.abs(rs[a][b][k]) * 0.25),
-                                    255.0)
+                    v = jnp.minimum(
+                        jnp.floor(jnp.abs(resp_fns[k](dx[a][b],
+                                                      dy[a][b])) * 0.25),
+                        255.0)
                     # select (not multiply): fused-assembly gap planes may
                     # hold garbage (incl. NaN); ring zeros must stay exact
                     return jnp.where(ringmask(a, b) > 0, v, 0.0)
