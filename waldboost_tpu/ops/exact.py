@@ -350,9 +350,13 @@ def _eval_terms_np(terms, gx, gy, mode="f2s"):
     are IEEE round-to-nearest, same as the device)."""
     f32 = np.float32
     base = {"x": gx, "y": gy, "d": gx - gy, "e": gx + gy}
+    shape = np.broadcast(gx, gy).shape
     prods = [(base[b] * f32(cf)).astype(f32) for b, cf in terms]
     if not prods:
-        return np.zeros(np.broadcast(gx, gy).shape, f32)
+        return np.zeros(shape, f32)
+    # single-base plans (e.g. terms == [('y', -1)]) keep that base's
+    # broadcast shape; normalize to the full lattice shape
+    prods = [np.broadcast_to(p, shape) for p in prods]
     h = prods[0]
     ncomp = {"plain": 0, "f2s1": 1, "f2s2": 2}.get(mode, len(prods))
     errs = None
@@ -382,9 +386,14 @@ def _eval_terms_jnp(terms, gx, gy, mode="f2s"):
         v = get(b)
         prods.append(v if cf == 1.0 else (-v if cf == -1.0
                                           else v * jnp.float32(cf)))
+    shape = jnp.broadcast_shapes(gx.shape, gy.shape)
     if not prods:
-        return jnp.zeros(jnp.broadcast_shapes(gx.shape, gy.shape),
-                         jnp.float32)
+        return jnp.zeros(shape, jnp.float32)
+    # single-base plans keep that base's shape; normalize only when needed
+    # (statically resolved — full-shape inputs, e.g. in the kernels, pay
+    # nothing)
+    prods = [p if p.shape == shape else jnp.broadcast_to(p, shape)
+             for p in prods]
     h = prods[0]
     ncomp = {"plain": 0, "f2s1": 1, "f2s2": 2}.get(mode, len(prods))
     errs = None
@@ -427,27 +436,40 @@ def projection_plan(n_bins: int = 4, full: bool = False,
     bins = []
     exceptions = []
 
-    def cost(mode, n_chunks):
+    def cost(mode, n_terms):
         # VPU op estimate: products + 3 per compensated add + 1 per plain
         # add (+1 folding the error term back in)
-        n_terms = n_chunks + 1
         ncomp = {"plain": 0, "f2s1": 1, "f2s2": 2}.get(mode, n_terms - 1)
-        ncomp = min(ncomp, n_terms - 1)
+        ncomp = min(ncomp, max(n_terms - 1, 0))
         return n_terms + 3 * ncomp + (n_terms - 1 - ncomp) \
             + (1 if ncomp else 0)
 
     # cheapest verified evaluation wins: plain left-to-right sums beat
-    # compensated chains ~2x in VPU ops when the lattice accepts them
-    candidates = sorted(
-        [(m, k) for m in ("plain", "f2s1", "f2s2", "f2s")
-         for k in (1, 2, 3, 4, 5)],
-        key=lambda mk: cost(*mk))
+    # compensated chains ~2x in VPU ops when the lattice accepts them.
+    # MEASURED DEAD END (round 8): dropping the sub-2^-42 fold-delta terms
+    # also verifies (mismatches stay on the tolerated-tiny cancellation
+    # lines) and saves 1 mul + 1 add per affected bin — but the serving
+    # channel kernel got SLOWER on real TPU (87.6 -> 93.1 us/img; even the
+    # bin-2 `-gy` one-term form alone cost +4.5): the removed independent
+    # ops were filling VPU pipeline bubbles between the serial compensated
+    # adds, so op count is not the right cost model here.  Keep the full
+    # verified chains.
     for c, s in zip(cs, sn):
         ref = (gx64 * c - gy64 * s).astype(np.float32)
+        candidates = []
+        seen = set()
+        for n_chunks in (1, 2, 3, 4, 5):
+            terms = _fold_terms(float(c), float(s), n_chunks)
+            key = tuple(terms)
+            if not terms or key in seen:
+                continue
+            seen.add(key)
+            for mode in ("plain", "f2s1", "f2s2", "f2s"):
+                candidates.append((cost(mode, len(terms)), mode, terms))
+        candidates.sort(key=lambda x: x[0])
         chosen = None
         n_exc = 0
-        for mode, n_chunks in candidates:
-            terms = _fold_terms(float(c), float(s), n_chunks)
+        for _, mode, terms in candidates:
             got = _eval_terms_np(terms, gx32, gy32, mode)
             neq = got != ref
             if not neq.any():
