@@ -54,7 +54,8 @@ def read_bbgt(filename: str) -> Boxes:
             if not elms:
                 continue
             if len(elms) != 12:
-                raise ValueError("Invalid file")
+                raise ValueError(f"malformed bbGt line (expected 12 fields, "
+                                 f"got {len(elms)}): {line.strip()!r}")
             labels.append(elms[0])
             rects.append(tuple(map(float, elms[1:5])))
             ignore.append(int(elms[10]))

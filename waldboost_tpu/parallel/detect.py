@@ -435,7 +435,16 @@ def _make_masked_detector_boxes(model: Model, image_shape: Tuple[int, int],
 
     if mesh is None:
         jbody = jax.jit(body)
-        return (lambda images: jbody(images, mats)), packed
+
+        def fn(images):
+            return jbody(images, mats)
+
+        # the unjitted body (+ its trailing args), so callers can compose
+        # more device work into the SAME program before jitting (bench.py
+        # folds its forcing reduce in — one dispatch per batch, not two)
+        fn.body = body
+        fn.body_args = (mats,)
+        return fn, packed
 
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
