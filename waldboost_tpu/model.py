@@ -54,6 +54,12 @@ class PackedLevel:
     plan_index: int  # index into the full pyramid plan / compute_pyramid output
     y: int           # canvas offset of this level's channel tensor
     x: int
+    # stacked layouts: band/column ids of the guillotine structure the
+    # plane assembly rides (band = horizontal strip of the canvas, column =
+    # vertical stack of levels within a band).  -1 = legacy plan: bands are
+    # derived by grouping on y and every level is its own column.
+    band: int = -1
+    col: int = -1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,6 +78,9 @@ class PackedPyramidPlan:
     shrink: int = 1
     halo: int = 0     # image-space halo the layout was built for
     window: Tuple[int, int] = (0, 0)  # detector window the plan was built for
+    # stacked layouts: (y, height) channel-space extent per band id (the
+    # guillotine row partition); () = legacy plan, bands derived from level y
+    bands: Tuple[Tuple[int, int], ...] = ()
 
     @staticmethod
     def build(plan: Sequence[Level], window: Tuple[int, int],
@@ -118,16 +127,21 @@ class PackedPyramidPlan:
                                      shrink=shrink, halo=halo, window=(m, n))
         order = sorted(range(len(usable)), key=lambda i: -usable[i][1].out_height)
 
+        def needs(i):
+            lv = usable[i][1]
+            return (_round_up(lv.out_height + gap_y, align_y),
+                    lv.out_width + gap_x)
+
         def shelf_pack(canvas_w: int):
             # first-fit-decreasing-height shelves: each level backfills the
             # first open shelf with room (descending heights guarantee it
             # fits vertically), instead of next-fit's closed-shelf tails
             placed: Dict[int, PackedLevel] = {}
-            shelves: List[List[int]] = []  # [y, height, cur_x]
+            shelves: List[List[int]] = []  # [y, height, cur_x, band_id]
+            bands: List[Tuple[int, int]] = []
             for i in order:
                 pi, lv = usable[i]
-                w_need = lv.out_width + gap_x
-                h_need = _round_up(lv.out_height + gap_y, align_y)
+                h_need, w_need = needs(i)
                 home = None
                 for s in shelves:
                     if s[2] + w_need <= canvas_w - margin and h_need <= s[1]:
@@ -136,32 +150,109 @@ class PackedPyramidPlan:
                 if home is None:
                     y = (shelves[-1][0] + shelves[-1][1]) if shelves \
                         else margin_y
-                    home = [y, h_need, margin]
+                    home = [y, h_need, margin, len(shelves)]
                     shelves.append(home)
+                    bands.append((y, h_need))
                 placed[i] = PackedLevel(level=lv, plan_index=pi, y=home[0],
-                                        x=home[2])
+                                        x=home[2], band=home[3], col=i)
                 home[2] += w_need
             canvas_h = _round_up(shelves[-1][0] + shelves[-1][1] + margin, 8)
-            return placed, canvas_h
+            return placed, canvas_h, tuple(bands)
+
+        def stack_pack(canvas_w: int, pack_order, stack_bias: float):
+            # guillotine shelves -> columns -> vertical stacks: a short
+            # level may sit ON TOP of another inside a column instead of
+            # forcing a full-height slot, recovering the height a tall
+            # shelf wastes above its short members.  Slot starts stay
+            # align_y-aligned (slot heights are rounded), which the plane
+            # assembly and the fused shelf kernel's 8-aligned stores rely
+            # on at shrink 2.
+            placed: Dict[int, PackedLevel] = {}
+            shelves = []  # dict(y, bh, cx, band, cols=[dict(x, w, cy, id)])
+            bands: List[Tuple[int, int]] = []
+            for i in pack_order:
+                pi, lv = usable[i]
+                h_need, w_need = needs(i)
+                best_st = None
+                best_co = None
+                for s in shelves:
+                    for c in s["cols"]:
+                        rem = s["y"] + s["bh"] - c["cy"]
+                        if rem >= h_need and c["w"] >= w_need:
+                            key = ((c["w"] - w_need) * h_need * stack_bias
+                                   + (rem - h_need) * w_need * 0.01)
+                            if best_st is None or key < best_st[0]:
+                                best_st = (key, s, c)
+                    if (s["cx"] + w_need <= canvas_w - margin
+                            and s["bh"] >= h_need):
+                        key = (s["bh"] - h_need) * w_need
+                        if best_co is None or key < best_co[0]:
+                            best_co = (key, s)
+                if best_st is not None and (best_co is None
+                                            or best_st[0] <= best_co[0]):
+                    _, s, c = best_st
+                    y, x = c["cy"], c["x"]
+                    c["cy"] += h_need
+                elif best_co is not None:
+                    _, s = best_co
+                    c = {"x": s["cx"], "w": w_need, "cy": s["y"] + h_need,
+                         "id": len(s["cols"])}
+                    y, x = s["y"], s["cx"]
+                    s["cols"].append(c)
+                    s["cx"] += w_need
+                else:
+                    y0 = (shelves[-1]["y"] + shelves[-1]["bh"]) if shelves \
+                        else margin_y
+                    s = {"y": y0, "bh": h_need, "cx": margin,
+                         "band": len(shelves), "cols": []}
+                    c = {"x": margin, "w": w_need, "cy": y0 + h_need,
+                         "id": 0}
+                    y, x = y0, margin
+                    s["cols"].append(c)
+                    s["cx"] += w_need
+                    shelves.append(s)
+                    bands.append((y0, h_need))
+                placed[i] = PackedLevel(level=lv, plan_index=pi, y=y, x=x,
+                                        band=s["band"], col=c["id"])
+            canvas_h = _round_up(shelves[-1]["y"] + shelves[-1]["bh"]
+                                 + margin, 8)
+            return placed, canvas_h, tuple(bands)
 
         # Try many canvas widths and keep the layout with the fewest
         # (128, 256) kernel tiles (tie-break on raw area) — the channel and
         # cascade kernels' cost is a step function of the tile grid, so
-        # minimizing rounded-up tiles beats minimizing area.
+        # minimizing rounded-up tiles beats minimizing area.  For each
+        # width, the FFDH shelf baseline competes against a deterministic
+        # randomized family of stacked packings (seeded: plans must agree
+        # across processes); the stacked winner is never worse than FFDH.
+        import os as _os
+        import random as _random
+        trials = int(_os.environ.get("WB_PACK_TRIALS", "64"))
         min_w = _round_up(max(lv.out_width for _, lv in usable)
                           + gap_x + 2 * margin, lane_align)
         best = None
         for canvas_w in range(min_w, min_w + 16 * lane_align, lane_align):
-            placed, canvas_h = shelf_pack(canvas_w)
-            tiles = -(-canvas_h // 128) * -(-canvas_w // 256)
-            area = canvas_h * canvas_w
-            if best is None or (tiles, area) < best[0]:
-                best = ((tiles, area), canvas_w, canvas_h, placed)
-        _, canvas_w, canvas_h, placed = best
+            cands = [shelf_pack(canvas_w)]
+            rng = _random.Random(canvas_w)
+            for t in range(trials):
+                pack_order = list(order)
+                if t:
+                    for _ in range(rng.randrange(0, 8)):
+                        j = rng.randrange(len(pack_order) - 1)
+                        pack_order[j], pack_order[j + 1] = \
+                            pack_order[j + 1], pack_order[j]
+                bias = rng.choice([0.3, 0.5, 1.0, 2.0, 5.0]) if t else 1.0
+                cands.append(stack_pack(canvas_w, pack_order, bias))
+            for placed, canvas_h, bands in cands:
+                tiles = -(-canvas_h // 128) * -(-canvas_w // 256)
+                area = canvas_h * canvas_w
+                if best is None or (tiles, area) < best[0]:
+                    best = ((tiles, area), canvas_w, canvas_h, placed, bands)
+        _, canvas_w, canvas_h, placed, bands = best
         ordered = tuple(placed[i] for i in range(len(usable)))
         return PackedPyramidPlan(levels=ordered, canvas_h=canvas_h,
                                  canvas_w=canvas_w, shrink=shrink, halo=halo,
-                                 window=(m, n))
+                                 window=(m, n), bands=bands)
 
     # -- static canvas masks / permutations (image space = channel space
     #    scaled by shrink) ------------------------------------------------
@@ -233,6 +324,44 @@ def _packed_plan_cached(h: int, w: int, shrink: int, n_per_oct: int,
                         window: Tuple[int, int], halo: int = 0) -> PackedPyramidPlan:
     plan = pyramid_plan(h, w, shrink, n_per_oct)
     return PackedPyramidPlan.build(plan, window, halo=halo, shrink=shrink)
+
+
+def _band_rows(packed: PackedPyramidPlan, he2: int, pr: int, PH: int):
+    """The plane-row band partition every plane-assembly consumer shares.
+
+    Returns ``[(ys, pitch, [(li, top, col), ...]), ...]`` sorted by band
+    start: ``ys``/``pitch`` tile ``[0, PH)`` exactly (the first band absorbs
+    the top rim, the last extends to PH), ``top`` is the level's row offset
+    within its band, and ``col`` groups vertically stacked levels (levels in
+    one column never overlap in rows; distinct columns never overlap in
+    lanes).  Legacy plans (no explicit ``bands``) get one band per distinct
+    ``pl.y`` with every level its own column and ``top`` folded into the
+    first band's rim absorption — identical to the historical grouping.
+    """
+    if packed.bands:
+        by_band: Dict[int, List[Tuple[int, int, int]]] = {}
+        for li, pl in enumerate(packed.levels):
+            y0 = packed.bands[pl.band][0]
+            by_band.setdefault(pl.band, []).append(
+                (li, pl.y - y0, pl.col if pl.col >= 0 else li))
+        starts = sorted((packed.bands[bi][0] - he2, bi) for bi in by_band)
+        groups = [(r0, by_band[bi]) for r0, bi in starts]
+    else:
+        by_y: Dict[int, List[Tuple[int, int, int]]] = {}
+        for li, pl in enumerate(packed.levels):
+            by_y.setdefault(pl.y - he2, []).append((li, 0, li))
+        groups = sorted(by_y.items())
+    out = []
+    for si, (r0, lis) in enumerate(groups):
+        nxt = groups[si + 1][0] + pr if si + 1 < len(groups) else PH
+        rr = r0 + pr
+        lead = rr if si == 0 and rr > 0 else 0
+        ys = rr - lead
+        pitch = nxt - ys
+        out.append((ys, pitch,
+                    [(li, top + (lead if si == 0 else 0), col)
+                     for li, top, col in lis]))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -420,83 +549,77 @@ def _poly_planes(image, cf, packed: PackedPyramidPlan, geom=None,
     # after the f32 upcast downstream
     dtype = jnp.bfloat16 if is_int else jnp.float32
 
-    shelves: Dict[int, List[Tuple[int, jax.Array]]] = {}
-    for blk, pl in zip(blocks, packed.levels):
-        shelves.setdefault(pl.y - he2, []).append(
-            (pl.x - he2 + pc, blk.astype(dtype)))
+    blocks = [b.astype(dtype) for b in blocks]
+    xs = [pl.x - he2 + pc for pl in packed.levels]
 
     def zeros(h, w):
         return jnp.zeros((2, 2, h, w), dtype)
 
-    if use_mats and shelves:
-        # blocks arrive pre-padded to their shelf pitch (zero selector rows
-        # baked into Sh, _poly_mats_cached), so the assembly is pure aligned
-        # concatenation: one width concat per shelf, one height concat
-        rows = []
-        for r0 in sorted(shelves):
-            items = sorted(shelves[r0], key=lambda t: t[0])
-            band_h = items[0][1].shape[2]
-            cols = []
-            cur_c = 0
-            for c0, b in items:
-                assert b.shape[2] == band_h, "unequal shelf pitches"
-                if c0 > cur_c:
-                    cols.append(zeros(band_h, c0 - cur_c))
-                cols.append(b)
-                cur_c = c0 + b.shape[3]
-            if cur_c < PW:
-                cols.append(zeros(band_h, PW - cur_c))
-            rows.append(jnp.concatenate(cols, axis=-1)
-                        if len(cols) > 1 else cols[0])
-        out = jnp.concatenate(rows, axis=-2) if len(rows) > 1 else rows[0]
-        assert out.shape[-2:] == (PH, PW), (out.shape, PH, PW)
-        return out
-
+    # Unified band assembly: each band is one width-axis concat of COLUMN
+    # blocks and zero gap strips; a column is the union of its (row-disjoint)
+    # stacked level blocks — a disjoint-support sum on the mats path (blocks
+    # arrive pre-padded to the full band pitch, zero selector rows baked into
+    # Sh by _poly_mats_cached) or a height-axis concat on the float path.
+    # Legacy single-slot plans degenerate to exactly the historical
+    # one-concat-per-shelf structure.
     rows = []
-    cur_r = 0
-    shelf_r0s = sorted(shelves)
-    for si, r0 in enumerate(shelf_r0s):
-        items = sorted(shelves[r0], key=lambda t: t[0])
-        band_h = max(b.shape[2] for _, b in items)
-        r0 += pr
-        assert r0 >= cur_r, "shelf bands overlap (packer gap violated)"
-        # pad each band to the full shelf pitch (next band's aligned start):
-        # the row-axis concat then has only 8-aligned pieces — full-speed
-        # DMA instead of sublane relayout (the packer aligns shelf starts)
-        next_r = shelf_r0s[si + 1] + pr if si + 1 < len(shelf_r0s) else PH
-        pitch = next_r - r0
-        if si == 0 and r0 > 0:
-            # top rim rides the first band (keeps piece starts aligned)
-            lead = r0
-            r0 = 0
-            pitch += lead
-        else:
-            lead = 0
+    for ys, pitch, lis in _band_rows(packed, he2, pr, PH):
+        cols_of: Dict[int, List[Tuple[int, int]]] = {}
+        for li, top, col in lis:
+            cols_of.setdefault(col, []).append((li, top))
+        items = []
+        for col, entries in cols_of.items():
+            x0 = min(xs[li] for li, _ in entries)
+            wcol = max(xs[li] + blocks[li].shape[3]
+                       for li, _ in entries) - x0
+
+            def fit_w(li):
+                b = blocks[li]
+                dx = xs[li] - x0
+                if dx or b.shape[3] < wcol:
+                    b = jnp.pad(b, ((0, 0), (0, 0), (0, 0),
+                                    (dx, wcol - dx - b.shape[3])))
+                return b
+
+            if use_mats:
+                blk = fit_w(entries[0][0])
+                assert blk.shape[2] == pitch, (blk.shape, pitch)
+                for li, _top in entries[1:]:
+                    blk = blk + fit_w(li)
+            else:
+                segs = []
+                cur = 0
+                for li, top in sorted(entries, key=lambda t: t[1]):
+                    b = fit_w(li)
+                    assert top >= cur, "stacked slots overlap (packer bug)"
+                    if top > cur:
+                        segs.append(zeros(top - cur, wcol))
+                    segs.append(b)
+                    cur = top + b.shape[2]
+                assert cur <= pitch, (cur, pitch)
+                if cur < pitch:
+                    segs.append(zeros(pitch - cur, wcol))
+                blk = (jnp.concatenate(segs, axis=-2)
+                       if len(segs) > 1 else segs[0])
+            items.append((x0, blk))
+        items.sort(key=lambda t: t[0])
         cols = []
         cur_c = 0
         for c0, b in items:
-            assert c0 >= cur_c, "shelf blocks overlap (packer gap violated)"
+            assert c0 >= cur_c, "column blocks overlap (packer gap violated)"
             if c0 > cur_c:
-                cols.append(zeros(band_h, c0 - cur_c))
-            if b.shape[2] < band_h:
-                b = jnp.pad(b, ((0, 0), (0, 0), (0, band_h - b.shape[2]),
-                                (0, 0)))
+                cols.append(zeros(pitch, c0 - cur_c))
             cols.append(b)
             cur_c = c0 + b.shape[3]
         if cur_c < PW:
-            cols.append(zeros(band_h, PW - cur_c))
-        band = jnp.concatenate(cols, axis=-1) if len(cols) > 1 else cols[0]
-        if lead or band_h < pitch:
-            band = jnp.pad(band, ((0, 0), (0, 0),
-                                  (lead, max(pitch - band_h - lead, 0)),
-                                  (0, 0)))
-        rows.append(band)
-        cur_r = r0 + band.shape[2]
-    if cur_r < PH:
-        rows.append(zeros(PH - cur_r, PW))
+            cols.append(zeros(pitch, PW - cur_c))
+        rows.append(jnp.concatenate(cols, axis=-1)
+                    if len(cols) > 1 else cols[0])
     if not rows:
         return zeros(PH, PW)
-    return jnp.concatenate(rows, axis=-2) if len(rows) > 1 else rows[0]
+    out = jnp.concatenate(rows, axis=-2) if len(rows) > 1 else rows[0]
+    assert out.shape[-2:] == (PH, PW), (out.shape, PH, PW)
+    return out
 
 
 def _ext_pm_taps(R, size, halo):
@@ -603,21 +726,14 @@ def _poly_mats_impl(packed: PackedPyramidPlan, halo: int,
     pgeom = plane_pad_geometry(packed.canvas_h, packed.canvas_w)
     pr, _pc, PH, _PW = pgeom
     # shelf-band pitches: every level's Sh gets zero selector rows padding
-    # its block to the FULL shelf pitch (top rim rides the first shelf), so
-    # the plane assembly is pure aligned concatenation — no pad passes
+    # its block to the FULL band pitch at its row offset (top rim rides the
+    # first band; stacked levels carry their in-band offset), so the plane
+    # assembly is aligned concatenation plus disjoint-support column sums
     he2 = halo // 2
-    shelf_of: Dict[int, List[int]] = {}
-    for li, pl in enumerate(packed.levels):
-        shelf_of.setdefault(pl.y - he2, []).append(li)
-    r0s = sorted(shelf_of)
     band = {}
-    for si, r0 in enumerate(r0s):
-        nxt = r0s[si + 1] + pr if si + 1 < len(r0s) else PH
-        rr = r0 + pr
-        lead = rr if si == 0 and rr > 0 else 0
-        pitch = (nxt - rr) + lead
-        for li in shelf_of[r0]:
-            band[li] = (lead, pitch)
+    for ys, pitch, lis in _band_rows(packed, he2, pr, PH):
+        for li, top, _col in lis:
+            band[li] = (top, pitch)
 
     arrays = []
     spec_levels = []
@@ -854,23 +970,14 @@ def _poly_fused_impl(packed: PackedPyramidPlan, halo: int,
     he2 = halo // 2
     n_oct = max((g["oct"] for g in geom), default=-1) + 1
 
-    # shelf bands (same partition as _poly_mats_impl: first shelf absorbs
+    # shelf bands (same partition as _poly_mats_impl: first band absorbs
     # the top rim, the last extends to PH — the pitches tile [0, PH))
-    shelf_of: Dict[int, List[int]] = {}
-    for li, pl in enumerate(packed.levels):
-        shelf_of.setdefault(pl.y - he2, []).append(li)
-    r0s = sorted(shelf_of)
     band = {}
     shelf_rows = []
-    for si, r0 in enumerate(r0s):
-        nxt = r0s[si + 1] + pr if si + 1 < len(r0s) else PH
-        rr = r0 + pr
-        lead = rr if si == 0 and rr > 0 else 0
-        ys = rr - lead
-        pitch = nxt - ys
-        for li in shelf_of[r0]:
-            band[li] = (lead, pitch)
-        shelf_rows.append((ys, pitch, shelf_of[r0]))
+    for ys, pitch, lis in _band_rows(packed, he2, pr, PH):
+        for li, top, _col in lis:
+            band[li] = (top, pitch)
+        shelf_rows.append((ys, pitch, [li for li, _t, _c in lis]))
 
     arrays: List[jax.Array] = []
 
@@ -954,12 +1061,21 @@ def _poly_fused_impl(packed: PackedPyramidPlan, halo: int,
             fn_pad = np.pad(
                 np.asarray(g["frh"]).reshape(2, hq).astype(np.int64),
                 ((0, 0), (top, pitch - top - hq)))
+            # pieces cover only the level's own (8-rounded) band rows —
+            # stacked levels in one column then never store over each
+            # other's rows (gap rows come from the stripe zero-fill).
+            # Piece boundaries still land on the kernel's 64-row stripe
+            # grid; a piece's static in-stripe store offset is r0 % 64.
+            t0, t1 = top, min(top + _round_up(hq, 8), pitch)
+            assert t0 % 8 == 0 and t1 % 8 == 0, (li, top, hq, pitch)
             pieces = []
-            for r0 in range(0, pitch, RB):
-                r1 = min(r0 + RB, pitch)
+            r0 = t0
+            while r0 < t1:
+                r1 = min(t1, (r0 // RB + 1) * RB)
                 blk_idx = i0_pad[:, r0:r1]
                 valid = blk_idx[blk_idx >= 0]
                 if valid.size == 0:
+                    r0 = r1
                     continue  # all-zero filler rows: band zero-fill covers
                 if banded:
                     k0 = (int(valid.min()) // 8) * 8
@@ -978,6 +1094,7 @@ def _poly_fused_impl(packed: PackedPyramidPlan, halo: int,
                 pieces.append((row_off, rb, r0, k0, k1 - k0))
                 row_off += nrow
                 kmax = max(kmax, k1 - k0)
+                r0 = r1
             frh_p = np.pad(np.asarray(g["frh"]).reshape(2, hq),
                            ((0, 0), (top, pitch - top - hq))).reshape(-1)
             fh_parts.append(frh_p.astype(np.float32))

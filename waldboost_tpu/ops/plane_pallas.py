@@ -204,8 +204,11 @@ def _piece_compute(lhs_ref, fh_ref, fw_ref, rhs_ref, band_ref, sl, bsl,
                     blk = combine4_exact(g00, g01, g10, g11, fh, fwq[q],
                                          lv.den_h, lv.den_w)
                 blk = blk.astype(jnp.bfloat16)
-                # stripe-local rows: piece r0 == stripe sr0
-                band_ref[bsl, p, q, 0:rb,
+                # stripe-local rows at the piece's static in-stripe offset
+                # (stacked levels start mid-stripe on 8-aligned rows; pieces
+                # never cross stripe boundaries by construction)
+                off = r0 % min(STRIPE, pitch)
+                band_ref[bsl, p, q, off:off + rb,
                          lv.xc + cs:lv.xc + cs + w] = \
                     blk[:, :w] if w < 128 else blk
 
@@ -222,8 +225,8 @@ def _make_shelf_kernel(plan: ShelfPlan, n_cols: int, has_carry: bool):
     for s_idx, sr0 in enumerate(stripes):
         for li, lv in enumerate(plan.levels):
             for piece in lv.pieces:
-                if piece[2] == sr0:
-                    assert piece[1] <= min(SH, pitch - sr0), \
+                if sr0 <= piece[2] < sr0 + SH:
+                    assert piece[2] + piece[1] <= sr0 + min(SH, pitch - sr0), \
                         (piece, sr0, pitch)
                     work.append((s_idx, li, lv, piece))
     assert len(work) == sum(len(lv.pieces) for lv in plan.levels), \
@@ -380,8 +383,9 @@ def _make_multi_shelf_kernel(plans: Tuple[ShelfPlan, ...], n_cols: int):
             stripe_list.append((si, sr0, min(SH, plan.pitch - sr0)))
             for lv in plan.levels:
                 for piece in lv.pieces:
-                    if piece[2] == sr0:
-                        assert piece[1] <= min(SH, plan.pitch - sr0), \
+                    if sr0 <= piece[2] < sr0 + SH:
+                        assert piece[2] + piece[1] <= \
+                            sr0 + min(SH, plan.pitch - sr0), \
                             (piece, sr0, plan.pitch)
                         work.append((gs, si, lv, piece))
     assert len(work) == sum(len(lv.pieces) for p in plans
