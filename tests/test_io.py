@@ -109,3 +109,83 @@ def test_bbgt_dataset_paths(tmp_path, native):
                                     str(tmp_path / "anns"))
     assert len(ip) == 2
     assert ap[0].endswith("x.txt") and ap[1] == ""
+
+
+def test_prefetcher_stop_hands_back_records():
+    """Prefetcher.stop() returns every pulled-but-unconsumed record in order."""
+    import time
+
+    pulled = []
+
+    def gen():
+        for i in range(100):
+            pulled.append(i)
+            yield i
+
+    pf = wio.Prefetcher(gen(), depth=8)
+    it = iter(pf)
+    consumed = [next(it) for _ in range(5)]
+    time.sleep(0.2)  # let the producer fill the queue
+    residue = pf.stop()
+    assert consumed == [0, 1, 2, 3, 4]
+    # no gaps, no duplicates: consumed + residue is a prefix of the source
+    assert consumed + residue == pulled[:len(consumed) + len(residue)]
+    assert len(residue) >= 1  # the queue had prefetched records to return
+
+
+def test_prefetcher_propagates_producer_exception():
+    def gen():
+        yield 1
+        raise RuntimeError("boom")
+
+    pf = wio.Prefetcher(gen(), depth=4)
+    it = iter(pf)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)
+
+
+def test_train_prefetch_loses_no_records():
+    """Two wb.train calls on ONE finite generator see every record exactly
+    once (the round-2 footgun: up to `prefetch` queued records were dropped
+    between calls)."""
+    import waldboost_tpu as wb
+    from waldboost_tpu.utils import fake_data_generator
+
+    base = fake_data_generator(seed=7)
+    served = []
+
+    def gen():
+        for i in range(10_000):
+            rec = next(base)
+            rec["idx"] = i
+            served.append(i)
+            yield rec
+
+    from waldboost_tpu import _prefetch_residue
+
+    def banked_idx(g):
+        for src, recs in _prefetch_residue.values():
+            if src is g:
+                return [r["idx"] for r in recs]
+        return []
+
+    g = gen()
+    model = wb.Model((12, 12, 4), wb.default_channel_opts)
+    pool = wb.SamplePool(min_tp=50, min_fp=100)
+    learner = wb.train(model, g, pool=pool, length=1, prefetch=8)
+
+    # Everything served but not consumed is banked as a CONTIGUOUS TAIL of
+    # the source stream — i.e. consumed records are exactly served[:k] and
+    # nothing in between was dropped.
+    residue1 = banked_idx(g)
+    assert residue1, "prefetcher had no lookahead in flight?"
+    assert residue1 == served[len(served) - len(residue1):]
+
+    wb.train(model, g, learner=learner, pool=pool, length=2, prefetch=8)
+    residue2 = banked_idx(g)
+    assert residue2 == served[len(served) - len(residue2):]
+    # the second call resumed from the first call's residue: the first
+    # record of residue1 was either consumed or is still at the head of a
+    # strictly later tail — monotone, gap-free progress
+    assert residue2[0] >= residue1[0]

@@ -156,17 +156,45 @@ def train(model: Model,
     see waldboost_tpu.parallel.trainer.train_sharded.
 
     ``prefetch``: depth of the background-thread record prefetcher wrapped
-    around ``training_images`` (io.prefetch_iterable) — the producer decodes
-    while the device computes.  0 disables it.  Record order is preserved;
-    note that up to ``prefetch`` already-queued records are dropped when
-    this call returns (irrelevant for infinite generators; pass 0 for small
-    finite datasets reused across calls).
+    around ``training_images`` (io.Prefetcher) — the producer decodes while
+    the device computes.  0 disables it.  Record order is preserved and no
+    record is lost: on return the prefetcher is stopped and any queued-but-
+    unconsumed records are handed back, so the next train() call on the
+    same iterable resumes exactly where this one left off.  Sized iterables
+    (lists, tuples — anything with ``__len__``) skip prefetching entirely.
     """
     logger = logger or logging.getLogger("Training")
-    if prefetch:
-        from .io import prefetch_iterable
-        training_images = prefetch_iterable(training_images, depth=prefetch)
+    prefetcher = None
+    source = training_images
+    if prefetch and not hasattr(training_images, "__len__"):
+        from .io import Prefetcher
+        feed = training_images
+        residue = _prefetch_residue.pop(id(source), (None, None))[1]
+        if residue:
+            import itertools
+            feed = itertools.chain(residue, feed)
+        prefetcher = Prefetcher(feed, depth=prefetch)
+        training_images = iter(prefetcher)
+    try:
+        return _train_body(model, training_images, learner, pool, length,
+                           theta_schedule, callbacks, logger, mesh)
+    finally:
+        if prefetcher is not None:
+            leftover = prefetcher.stop()
+            if leftover:
+                # Keyed by id() with the source kept alive in the value so
+                # the key can't be recycled; works for non-weakrefable
+                # iterables too.
+                _prefetch_residue[id(source)] = (source, leftover)
 
+
+#: records pulled by train()'s prefetcher but not consumed, handed back to
+#: the next train() call on the same iterable: {id(source): (source, [recs])}
+_prefetch_residue: dict = {}
+
+
+def _train_body(model, training_images, learner, pool, length,
+                theta_schedule, callbacks, logger, mesh):
     if mesh is not None:
         from .parallel.trainer import train_sharded
         pool_kwargs = {}

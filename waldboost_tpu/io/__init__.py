@@ -25,7 +25,8 @@ from ..boxes import Boxes
 logger = logging.getLogger(__name__)
 
 __all__ = ["native_available", "read_bbgt_native", "load_pnm_gray",
-           "PrefetchDataset", "bbgt_dataset_paths", "prefetch_iterable"]
+           "PrefetchDataset", "bbgt_dataset_paths", "prefetch_iterable",
+           "Prefetcher"]
 
 
 def prefetch_iterable(iterable, depth: int = 16):
@@ -60,6 +61,82 @@ def prefetch_iterable(iterable, depth: int = 16):
         if isinstance(item, tuple) and len(item) == 2 and item[0] is END:
             raise item[1]
         yield item
+
+
+class Prefetcher:
+    """Stoppable background-thread record prefetcher.
+
+    Like :func:`prefetch_iterable`, but the producer can be halted WITHOUT
+    losing records: :meth:`stop` joins the worker thread and returns every
+    record already pulled from the source but not yet consumed, in order.
+    wb.train uses this so a finite generator reused across train() calls
+    sees no dropped records (the reference's generator contract,
+    /root/reference/waldboost/__init__.py:151-156, pulls lazily and loses
+    nothing between calls).
+    """
+
+    _END = object()
+
+    def __init__(self, iterable, depth: int = 16):
+        import queue
+        import threading
+
+        self._queue_mod = queue
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(int(depth), 1))
+        self._halt = threading.Event()
+        self._overflow: list = []   # in-flight record when stop raced a put
+        self._exc: Optional[BaseException] = None
+        self._thread = threading.Thread(
+            target=self._worker, args=(iterable,), daemon=True)
+        self._thread.start()
+
+    def _worker(self, iterable) -> None:
+        queue = self._queue_mod
+        try:
+            for item in iterable:
+                while True:
+                    if self._halt.is_set():
+                        self._overflow.append(item)
+                        return
+                    try:
+                        self._q.put(item, timeout=0.05)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # propagate into the consumer
+            self._exc = e
+        # Unconditional sentinel: consumers unblock, stop() drops it.
+        while True:
+            if self._halt.is_set():
+                return
+            try:
+                self._q.put(self._END, timeout=0.05)
+                return
+            except queue.Full:
+                continue
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._END:
+                if self._exc is not None:
+                    exc, self._exc = self._exc, None
+                    raise exc
+                return
+            yield item
+
+    def stop(self) -> list:
+        """Halt the producer; return unconsumed records in source order."""
+        self._halt.set()
+        self._thread.join()
+        residue = []
+        while not self._q.empty():
+            item = self._q.get_nowait()
+            if item is not self._END:
+                residue.append(item)
+        residue.extend(self._overflow)
+        self._overflow = []
+        return residue
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "_loader.so")

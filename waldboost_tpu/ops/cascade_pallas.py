@@ -194,7 +194,7 @@ def cascade_response_grid_pallas(
             smem_spec((T, 1)),   # active
             pl.BlockSpec((TU, TV), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),   # valid mask tile
-            pl.BlockSpec(memory_space=pltpu.ANY),    # canvas (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),    # canvas (manual DMA)
         ],
         out_specs=[
             pl.BlockSpec((TU, TV), lambda i, j: (i, j),

@@ -553,7 +553,7 @@ def cascade_response_grid_static(
         grid=grid,
         in_specs=[
             mask_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),  # canvas (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # canvas (manual DMA)
         ],
         out_specs=out_specs,
         out_shape=[
@@ -688,7 +688,7 @@ def cascade_masked_grid_static(
         grid=grid,
         in_specs=[
             mask_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),  # canvas (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # canvas (manual DMA)
         ],
         out_specs=[
             pl.BlockSpec((1, TU, TV), lambda b, i, j: (b, i, j),

@@ -335,7 +335,7 @@ def grad_hist_poly_pallas(
                           with_mask, content_grid=content_grid,
                           exact_plan=exact_plan)
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     args = [planes_p]
     if with_mask:
         mask_p = jnp.pad(interior_mask.astype(jnp.float32),
@@ -612,8 +612,8 @@ def fpga_poly_pallas(
         in_specs = [
             pl.BlockSpec((TU, TV), lambda b, i, j: (i, j),
                          memory_space=pltpu.VMEM),     # interior mask
-            pl.BlockSpec(memory_space=pltpu.ANY),      # planes (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),      # ring mask (manual)
+            pl.BlockSpec(memory_space=pl.ANY),      # planes (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),      # ring mask (manual)
         ]
         args = [interior_p, planes_p, mask_ext]
         scratch += [
@@ -632,7 +632,7 @@ def fpga_poly_pallas(
         in_specs = [
             pl.BlockSpec((2, 2, TU, TV), lambda b, i, j: (0, 0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # planes (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # planes (manual DMA)
         ]
         args = [mask_p, planes_p]
 

@@ -327,11 +327,11 @@ def shelf_pass2_call(lhs: jax.Array, fh: jax.Array, fw: jax.Array,
         pl.BlockSpec(memory_space=pltpu.VMEM),   # lhs
         pl.BlockSpec(memory_space=pltpu.VMEM),   # fh
         pl.BlockSpec(memory_space=pltpu.VMEM),   # fw
-    ] + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_cols
+    ] + [pl.BlockSpec(memory_space=pl.ANY)] * n_cols
     args = [lhs, fh, fw, *cols]
     io_aliases = {}
     if carry is not None:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         args.append(carry)
         io_aliases = {3 + n_cols: 0}
 
@@ -339,7 +339,7 @@ def shelf_pass2_call(lhs: jax.Array, fh: jax.Array, fw: jax.Array,
         kernel,
         grid=(B,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((B, 2, 2, PH, PW), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((2, plan.nblkS, plan.kwpS, 512), jnp.bfloat16),
@@ -477,13 +477,13 @@ def multi_shelf_pass2_call(shelf_arrays: Tuple[jax.Array, ...],
     SHmax = max(min(STRIPE, p.pitch) for p in plans)
 
     in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * len(shelf_arrays)
-                + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_cols)
+                + [pl.BlockSpec(memory_space=pl.ANY)] * n_cols)
 
     return pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((B, 2, 2, PH, PW), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((2, nblkS, kwpS, 512), jnp.bfloat16),

@@ -255,7 +255,7 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
         # keep the fast kernel under the mesh: shard_map runs the per-shard
         # kernel on every chip's local batch slice (data parallelism over
         # images; no collectives needed — detection is independent per image)
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         from .mesh import DATA_AXIS
@@ -268,7 +268,7 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
             canvas_b, mesh=mesh,
             in_specs=(P(DATA_AXIS, None, None),),
             out_specs=P(DATA_AXIS, None, None, None),
-            check_rep=False)
+            check_vma=False)
         canvas_jit = jax.jit(canvas_sharded, in_shardings=(in_sh,),
                              out_shardings=cv_sh)
         cascade_sharded = shard_map(
@@ -276,7 +276,7 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
             in_specs=(P(DATA_AXIS, None, None, None),),
             out_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None, None),
                        P(DATA_AXIS)),
-            check_rep=False)
+            check_vma=False)
         cascade_jit = jax.jit(cascade_sharded, in_shardings=(cv_sh,),
                               out_shardings=out_sh)
 
@@ -446,7 +446,7 @@ def _make_masked_detector_boxes(model: Model, image_shape: Tuple[int, int],
         fn.body_args = (mats,)
         return fn, packed
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from .mesh import DATA_AXIS, replicated
@@ -458,7 +458,7 @@ def _make_masked_detector_boxes(model: Model, image_shape: Tuple[int, int],
         in_specs=(P(DATA_AXIS, None, None), P()),
         out_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None),
                    P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS)),
-        check_rep=False)
+        check_vma=False)
     in_sh = data_sharding(mesh, 3)
     jbody = jax.jit(sharded, in_shardings=(in_sh, replicated(mesh)))
     return (lambda images: jbody(images, mats)), packed
@@ -559,7 +559,7 @@ def make_multi_detector_boxes(models, image_shape: Tuple[int, int],
         jbody = jax.jit(body)
         return (lambda images: jbody(images, mats)), packed
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from .mesh import DATA_AXIS, replicated
@@ -570,7 +570,7 @@ def make_multi_detector_boxes(models, image_shape: Tuple[int, int],
         out_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None),
                    P(DATA_AXIS, None), P(DATA_AXIS, None),
                    P(DATA_AXIS, None), P(DATA_AXIS)),
-        check_rep=False)
+        check_vma=False)
     in_sh = data_sharding(mesh, 3)
     jbody = jax.jit(sharded, in_shardings=(in_sh, replicated(mesh)))
     return (lambda images: jbody(images, mats)), packed
@@ -663,7 +663,7 @@ def make_tile_sharded_detector(model: Model, image_shape: Tuple[int, int],
     on-device box extraction (+ optional on-device NMS), the same extraction
     contract as make_batched_detector_boxes.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..model import _resolve_cascade_backend
@@ -716,7 +716,7 @@ def make_tile_sharded_detector(model: Model, image_shape: Tuple[int, int],
         shard_body, mesh=mesh,
         in_specs=(P(), P()),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS)),
-        check_rep=False)
+        check_vma=False)
 
     def canvas_one(image):
         return _channel_canvas_batch(image[None], shrink, n_per_oct, smooth,

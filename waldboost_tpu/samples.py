@@ -29,16 +29,18 @@ __all__ = [
 
 def gather_samples(chns: np.ndarray, rs: np.ndarray, cs: np.ndarray,
                    shape: tuple) -> np.ndarray:
-    """Crop (m, n, C) windows at origins (rs, cs) from an HWC channel tensor
-    (/root/reference/waldboost/samples.py:14-43).  No range checks."""
+    """Crop windows of ``shape`` = (win_h, win_w, C) at origins ``(rs, cs)``
+    from an HWC channel tensor (/root/reference/waldboost/samples.py:14-43;
+    the batched serving path crops on device instead — see
+    ``model._gather_windows_scores_batch_jit``).  No range checks."""
     if rs.size != cs.size:
         raise ValueError("Sizes of 'rs' and 'cs' must match")
-    m, n, _ = shape
-    if rs.size == 0:
-        return np.empty((0,) + tuple(shape), dtype=np.asarray(chns).dtype)
+    win_h, win_w = shape[0], shape[1]
     chns = np.asarray(chns)
-    X = [chns[r:r + m, c:c + n, ...] for r, c in zip(rs, cs)]
-    return np.array(X)
+    if rs.size == 0:
+        return np.empty((0,) + tuple(shape), dtype=chns.dtype)
+    return np.stack([chns[r:r + win_h, c:c + win_w, ...]
+                     for r, c in zip(rs, cs)])
 
 
 def select_candidates(condition: np.ndarray, max_candidates: int,
@@ -47,10 +49,10 @@ def select_candidates(condition: np.ndarray, max_candidates: int,
     subsample (with replacement, matching the reference's np.random.choice
     default at /root/reference/waldboost/samples.py:74-77) when more."""
     idx = np.flatnonzero(condition)
-    if idx.size > max_candidates:
-        rng = rng or np.random.default_rng()
-        idx = rng.choice(idx, max_candidates)
-    return idx
+    if idx.size <= max_candidates:
+        return idx
+    rng = rng or np.random.default_rng()
+    return rng.choice(idx, max_candidates)
 
 
 class SampleLabel:
@@ -59,38 +61,55 @@ class SampleLabel:
     IGNORE = 0
 
 
+def _match_to_groundtruth(dt_boxes: Boxes, gt_boxes: Boxes):
+    """Assign each detection its best-IoU ground-truth instance.
+
+    Returns ``(best_iou, matched_gt, matched_is_ignore)`` — per-detection
+    max IoU, argmax instance index, and whether that instance carries the
+    dataset's 'ignore' flag (absent flag == all zeros)."""
+    overlap = bbx.iou(dt_boxes, gt_boxes)
+    best_iou = overlap.max(axis=1)
+    matched_gt = overlap.argmax(axis=1).astype(np.int32)
+    if gt_boxes.has_field("ignore"):
+        gt_ignore = np.asarray(gt_boxes.get_field("ignore")).reshape(-1)
+    else:
+        gt_ignore = np.zeros(len(gt_boxes))
+    return best_iou, matched_gt, gt_ignore[matched_gt]
+
+
 def label_boxes(dt_boxes: Optional[Boxes], gt_boxes: Optional[Boxes],
                 min_tp_iou: float = 0.7, max_fp_iou: float = 0.3,
                 max_tp_candidates: int = 100, max_fp_candidates: int = 100,
                 rng: Optional[np.random.Generator] = None) -> None:
     """Label detections TP/FP/IGNORE by IoU against ground truth; mutates
     ``dt_boxes`` adding 'instance_id' and 'tp_label'
-    (/root/reference/waldboost/samples.py:87-149)."""
+    (semantics of /root/reference/waldboost/samples.py:87-149: IoU above
+    ``min_tp_iou`` against a non-ignored instance is TP, below
+    ``max_fp_iou`` against everything is FP, the rest — and detections on
+    ignored instances — stay IGNORE; both classes are randomly capped)."""
     if dt_boxes is None:
         return
+    n_det = len(dt_boxes)
+    labels = np.full(n_det, SampleLabel.IGNORE, np.int32)
     if gt_boxes is not None and len(gt_boxes) > 0:
-        if gt_boxes.has_field("ignore"):
-            ignore_flag = np.asarray(gt_boxes.get_field("ignore")).reshape(-1)
-        else:
-            ignore_flag = np.zeros(len(gt_boxes))
-        overlap = bbx.iou(dt_boxes, gt_boxes)
-        dt_iou = np.max(overlap, axis=1)
-        dt_instance_id = np.argmax(overlap, axis=1).astype(np.int32)
-        dt_ignore_flag = ignore_flag[dt_instance_id]
-        fp = select_candidates(dt_iou < max_fp_iou, max_fp_candidates, rng)
-        tp = select_candidates(
-            np.logical_and(dt_iou > min_tp_iou, dt_ignore_flag == 0),
+        best_iou, matched_gt, matched_is_ignore = \
+            _match_to_groundtruth(dt_boxes, gt_boxes)
+        # rng draw order (FP selection, then TP) is part of the observable
+        # behavior under a seeded generator — keep it
+        fp_pick = select_candidates(best_iou < max_fp_iou,
+                                    max_fp_candidates, rng)
+        tp_pick = select_candidates(
+            (best_iou > min_tp_iou) & (matched_is_ignore == 0),
             max_tp_candidates, rng)
-        box_label = np.full(len(dt_boxes), SampleLabel.IGNORE, np.int32)
-        box_label[tp] = SampleLabel.TRUE_POSITIVE
-        box_label[fp] = SampleLabel.FALSE_POSITIVE
+        labels[tp_pick] = SampleLabel.TRUE_POSITIVE
     else:
-        dt_instance_id = np.full(len(dt_boxes), -1, np.int32)
-        box_label = np.full(len(dt_boxes), SampleLabel.IGNORE, np.int32)
-        fp = select_candidates(np.ones(len(dt_boxes), bool), max_fp_candidates, rng)
-        box_label[fp] = SampleLabel.FALSE_POSITIVE
-    dt_boxes.set_field("instance_id", dt_instance_id)
-    dt_boxes.set_field("tp_label", box_label)
+        # background image: every window is a negative candidate
+        matched_gt = np.full(n_det, -1, np.int32)
+        fp_pick = select_candidates(np.ones(n_det, bool),
+                                    max_fp_candidates, rng)
+    labels[fp_pick] = SampleLabel.FALSE_POSITIVE
+    dt_boxes.set_field("instance_id", matched_gt)
+    dt_boxes.set_field("tp_label", labels)
 
 
 def get_regression_target(dt_boxes: Boxes, gt_boxes: Boxes) -> None:
