@@ -1,8 +1,12 @@
-"""Bucketed arbitrary-size serving: one compiled program per size bucket.
+"""Bucketed arbitrary-size serving: one compiled program per size bucket,
+TRUE-SIZE detection semantics.
 
-Anchor: the reference handles any image size because it is interpreted
-(/root/reference/waldboost/channels.py:111-146); a compiled detector fleet
-must not recompile per novel camera resolution.
+Anchor: the reference handles any image size because it is interpreted and
+re-plans the pyramid per size (/root/reference/waldboost/channels.py:93-146);
+a compiled detector fleet must not recompile per novel camera resolution AND
+must not change the answer.  The bucket program feeds per-real-size geometry
+(exact resize taps, masks, level maps) as runtime operands, so
+``BucketedDetector.detect(img)`` is bit-identical to ``Model.detect(img)``.
 """
 
 import sys
@@ -10,49 +14,73 @@ import sys
 import numpy as np
 
 
-def _model():
+def _model(channels="grad_hist", smooth=1, shape=(8, 8, 4)):
     sys.path.insert(0, "/root/repo")
     from __graft_entry__ import _flagship_model
 
-    opts = dict(shrink=2, n_per_oct=4, smooth=1, channels="grad_hist")
-    return _flagship_model(seed=0, n_stages=12, shape=(8, 8, 4),
+    opts = dict(shrink=2, n_per_oct=4, smooth=smooth, channels=channels)
+    return _flagship_model(seed=0, n_stages=12, shape=shape,
                            image_hw=(96, 128), channel_opts=opts)
 
 
-def test_bucketed_shares_programs_and_crops_to_extent():
+def _box_set(boxes):
+    return set(map(tuple, np.concatenate(
+        [boxes.get(), boxes.get_field("scores")[:, None]], 1)))
+
+
+def test_bucketed_true_size_exact_and_shares_programs():
     from waldboost_tpu.parallel.detect import BucketedDetector
 
     model = _model()
     det = BucketedDetector(model, bucket=64, k=256)
     rng = np.random.RandomState(2)
-    # two NEARBY sizes in the same bucket + one in another bucket
+    # three DIFFERENT sizes in the same (128, 128) bucket + one in another
     img_a = rng.randint(0, 256, (90, 120)).astype(np.uint8)
     img_b = rng.randint(0, 256, (101, 127)).astype(np.uint8)
+    img_d = rng.randint(0, 256, (65, 70)).astype(np.uint8)
     img_c = rng.randint(0, 256, (150, 200)).astype(np.uint8)
-    out = det.detect_many([img_a, img_b, img_c])
-    assert det.compiles == 2  # (128, 128) shared by a+b; (192, 256) for c
+    out = det.detect_many([img_a, img_b, img_d, img_c])
+    assert det.compiles == 2  # (128, 128) shared by a+b+d; (192, 256) for c
 
-    # semantics: detect on the zero-padded bucket image, cropped to the
-    # real extent — identical to the per-size exact path on that padding
-    for img, boxes in zip([img_a, img_b, img_c], out):
-        H, W = det._snap(*img.shape)
-        padded = np.zeros((H, W), np.uint8)
-        padded[:img.shape[0], :img.shape[1]] = img
-        want = model.detect(padded)
-        r = want.get()
-        keep = (r[:, 2] <= img.shape[1]) & (r[:, 3] <= img.shape[0])
-        want = want[np.flatnonzero(keep)]
-        a = set(map(tuple, np.round(np.concatenate(
-            [want.get(), want.get_field("scores")[:, None]], 1), 3)))
-        b = set(map(tuple, np.round(np.concatenate(
-            [boxes.get(), boxes.get_field("scores")[:, None]], 1), 3)))
-        assert a == b, (img.shape, len(a), len(b))
-        # every kept box lies inside the real image extent
+    # TRUE-SIZE semantics: bit-identical to the per-size exact path on the
+    # ORIGINAL image (boxes AND scores) — not to detection on the padding
+    for img, boxes in zip([img_a, img_b, img_d, img_c], out):
+        want = model.detect(img)
+        assert _box_set(want) == _box_set(boxes), \
+            (img.shape, len(want), len(boxes))
         if len(boxes):
             rr = boxes.get()
             assert (rr[:, 2] <= img.shape[1] + 1e-3).all()
             assert (rr[:, 3] <= img.shape[0] + 1e-3).all()
 
-    # repeated detects reuse the compiled programs
+    # repeated detects reuse the compiled programs; novel sizes inside a
+    # known bucket cost geometry only, never a compile
     det.detect(img_b)
+    det.detect(rng.randint(0, 256, (77, 99)).astype(np.uint8))
     assert det.compiles == 2
+
+
+def test_bucketed_true_size_float_images():
+    from waldboost_tpu.parallel.detect import BucketedDetector
+
+    model = _model()
+    det = BucketedDetector(model, bucket=64, k=256)
+    rng = np.random.RandomState(5)
+    img = rng.rand(90, 115).astype(np.float32) * 255.0
+    got = det.detect(img)
+    want = model.detect(img)
+    assert _box_set(want) == _box_set(got)
+
+
+def test_bucketed_grad_mag_midpipeline_reflect():
+    # grad_mag re-reflects the magnitude before its normalization conv
+    # (halo 6) — exercises the runtime reflection permutation
+    from waldboost_tpu.parallel.detect import BucketedDetector
+
+    model = _model(channels="grad_mag", shape=(8, 8, 1))
+    det = BucketedDetector(model, bucket=64, k=256)
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (87, 113)).astype(np.uint8)
+    got = det.detect(img)
+    want = model.detect(img)
+    assert _box_set(want) == _box_set(got)

@@ -54,10 +54,13 @@ __all__ = [
     "axis_taps_exact",
     "combine_kind",
     "floordiv_exact",
+    "floordiv_exact_rt",
     "combine4_exact",
     "projection_plan",
     "project_bins",
     "ProjectionPlan",
+    "resize_exact_matmul_rt",
+    "resize_lerp_rt",
 ]
 
 
@@ -555,3 +558,93 @@ def resize_exact_matmul(x: jax.Array, taps_r, taps_c,
     T = r1.astype(jnp.int32) * np.int32(den_r) + R
     return q1 + jnp.where(T >= np.int32(D), jnp.float32(1.0),
                           jnp.float32(0.0))
+
+
+# ---------------------------------------------------------------------------
+# Runtime-geometry exact resize (true-size serving inside shape buckets)
+# ---------------------------------------------------------------------------
+
+def floordiv_exact_rt(a: jax.Array, den: jax.Array) -> jax.Array:
+    """:func:`floordiv_exact` with a TRACED integer-valued f32 divisor.
+
+    Valid whenever ``a`` is an exact integer in f32, ``den <= 2**15`` and the
+    quotient is ``< 2**8`` (the resize-combine regime): the f32 reciprocal is
+    correctly rounded, so ``a * (1/den)`` is off by well under one and the
+    two integer-comparison fixups (exact products: ``q <= 2^8``,
+    ``den <= 2^15``) resolve the floor exactly.  ``den == 1`` degenerates to
+    the identity (reciprocal is exactly 1.0)."""
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    q0 = jnp.floor(a * (one / den))
+    return q0 + jnp.where((q0 + one) * den <= a, one, zero) \
+        - jnp.where(q0 * den > a, one, zero)
+
+
+def _weight_matrix_rt(i0: jax.Array, i1: jax.Array, w0: jax.Array,
+                      w1: jax.Array, n_in: int) -> jax.Array:
+    """(n_out, n_in) two-tap matrix from TRACED tap vectors: weight ``w0`` at
+    column ``i0`` plus ``w1`` at column ``i1`` (weights add when the taps
+    coincide, matching ops.warp.build_resize_matrix's ``+=``)."""
+    cols = jnp.arange(n_in, dtype=jnp.int32)[None, :]
+    return jnp.where(cols == i0[:, None], w0[:, None], 0.0) \
+        + jnp.where(cols == i1[:, None], w1[:, None], 0.0)
+
+
+def resize_exact_matmul_rt(x: jax.Array, taps_r, taps_c,
+                           vmax: int = 255) -> jax.Array:
+    """Runtime-geometry form of :func:`resize_exact_matmul`.
+
+    Every tap quantity is a TRACED array, so ONE compiled program serves any
+    source/target geometry — the true-size bucketed serving path
+    (parallel.bucket).  ``taps_* = (i0, i1, fnum, den)``: int32[n_out] base /
+    neighbour source indices (clamps precomputed on host), f32[n_out]
+    integer-valued frac numerators, and a traced f32 scalar denominator
+    (gcd-reduced, ``<= 2**15``, ``== 1`` on identity axes).  Output rows/cols
+    beyond the real target extent may carry arbitrary (finite) taps — their
+    values are garbage-by-design and masked downstream; source columns beyond
+    the tap range get zero weight, so content outputs are bitwise equal to
+    the static :func:`resize_exact_matmul` at the real geometry (both compute
+    the same exact integer floor).
+
+    Traced denominators preclude the static kind specialization, so this uses
+    one universal schedule — the quotient/remainder split with a static
+    ``S=256`` remainder split — whose bounds hold for EVERY den pair
+    ``<= 2**15``: each f32 matmul accumulation stays ``< 2**23`` (exact) and
+    each int32 recombine ``< 2**31``."""
+    i0r, i1r, fnr, den_r = taps_r
+    i0c, i1c, fnc, den_c = taps_c
+    hi = jax.lax.Precision.HIGHEST
+    Rh = _weight_matrix_rt(i0r, i1r, den_r - fnr, fnr, x.shape[-2])
+    Rw = _weight_matrix_rt(i0c, i1c, den_c - fnc, fnc, x.shape[-1])
+    A = jnp.matmul(Rh, x, precision=hi)        # <= vmax*den_r < 2^23, exact
+    qa = floordiv_exact_rt(A, den_r)
+    ra = A - qa * den_r                        # < den_r <= 2^15
+    P = jnp.matmul(qa, Rw.T, precision=hi)     # <= vmax*den_c < 2^23, exact
+    q1 = floordiv_exact_rt(P, den_c)
+    r1 = P - q1 * den_c                        # < den_c
+    ra_hi = floordiv_exact(ra, 256)            # < 2^7
+    ra_lo = ra - ra_hi * jnp.float32(256.0)    # < 2^8
+    R_hi = jnp.matmul(ra_hi, Rw.T, precision=hi)   # <= 128*den_c < 2^22
+    R_lo = jnp.matmul(ra_lo, Rw.T, precision=hi)   # <= 255*den_c < 2^23
+    R = R_hi.astype(jnp.int32) * np.int32(256) + R_lo.astype(jnp.int32)
+    den_ri = den_r.astype(jnp.int32)
+    D = den_ri * den_c.astype(jnp.int32)       # <= 2^30
+    T = r1.astype(jnp.int32) * den_ri + R      # < 2*D <= 2^31 - 1
+    return q1 + jnp.where(T >= D, jnp.float32(1.0), jnp.float32(0.0))
+
+
+def resize_lerp_rt(x: jax.Array, taps_r, taps_c) -> jax.Array:
+    """Runtime-geometry bilinear resize for FLOAT images: the same
+    HIGHEST-precision einsum as the static float canvas path
+    (model._channel_canvas_fast) with device-built two-tap matrices from
+    traced ``(i0, i1, frac)`` vectors.  Content outputs are bitwise equal to
+    the per-size path: each output reduces exactly two nonzero products per
+    axis (f32 addition of the surrounding exact zeros is the identity)."""
+    i0r, i1r, frr = taps_r
+    i0c, i1c, frc = taps_c
+    one = jnp.float32(1.0)
+    Rh = _weight_matrix_rt(i0r, i1r, one - frr, frr, x.shape[-2])
+    Rw = _weight_matrix_rt(i0c, i1c, one - frc, frc, x.shape[-1])
+    return jnp.einsum("ah,hw,bw->ab", Rh, x, Rw,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)

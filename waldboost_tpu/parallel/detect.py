@@ -771,105 +771,9 @@ def make_tile_sharded_detector(model: Model, image_shape: Tuple[int, int],
     return fn, packed
 
 
-class BucketedDetector:
-    """Recompile-free serving for arbitrary image sizes.
-
-    A jit program is shape-specialized, so naive serving recompiles per
-    novel camera resolution (2 s-6 min on TPU).  This detector snaps each
-    (H, W) UP to a coarse bucket grid, zero-pads the image into the bucket,
-    and reuses ONE compiled program per bucket; detections are then cropped
-    to the real image extent.  Detection semantics per image are therefore
-    "detect on the zero-padded bucket image, keep boxes inside the real
-    extent" — the pyramid geometry is the bucket's, so boxes can differ
-    near the padded border from a per-size exact run (the reference's
-    interpreted generator at /root/reference/waldboost/channels.py:111-146
-    re-plans per size; ``Model.detect`` remains the per-size exact path).
-
-    ``detect(image)`` -> Boxes; ``detect_many(images)`` -> list of Boxes,
-    grouping same-bucket images into batches.  Compiled programs are cached
-    per (bucket, batch size) with batch sizes bucketed to powers of two.
-    """
-
-    def __init__(self, model: Model, bucket: int = 128, k: int = 1024,
-                 nms_iou: Optional[float] = None, mesh=None,
-                 max_batch: int = 16):
-        self.model = model
-        self.bucket = int(bucket)
-        self.k = k
-        self.nms_iou = nms_iou
-        self.mesh = mesh
-        self.max_batch = int(max_batch)
-        self._fns = {}
-        self.compiles = 0  # observability: programs built so far
-
-    def _snap(self, h: int, w: int) -> Tuple[int, int]:
-        b = self.bucket
-        m, n, _ = self.model.shape
-        H = max(-(-h // b) * b, m * 2)
-        W = max(-(-w // b) * b, n * 2)
-        return H, W
-
-    def _fn(self, hw: Tuple[int, int]):
-        if hw not in self._fns:
-            fn, _ = make_batched_detector_boxes(
-                self.model, hw, mesh=self.mesh, k=self.k,
-                nms_iou=self.nms_iou, with_n_weak=False)
-            self._fns[hw] = fn
-            self.compiles += 1
-        return self._fns[hw]
-
-    def _run_group(self, hw, images):
-        from ..boxes import Boxes
-
-        H, W = hw
-        B = len(images)
-        out = []
-        for i0 in range(0, B, self.max_batch):
-            chunk = images[i0:i0 + self.max_batch]
-            nb = len(chunk)
-            nbp = 1 << (nb - 1).bit_length()
-            batch = np.zeros((nbp, H, W), chunk[0].dtype)
-            for j, im in enumerate(chunk):
-                batch[j, :im.shape[0], :im.shape[1]] = im
-            rects_b, scores_b, valid_b, count_b, *_ = \
-                self._fn((H, W))(jnp.asarray(batch))
-            rects_b = np.asarray(rects_b)
-            scores_b = np.asarray(scores_b)
-            valid_b = np.asarray(valid_b)
-            count_b = np.asarray(count_b)
-            for j, im in enumerate(chunk):
-                h, w = im.shape[:2]
-                if count_b[j] < 0:
-                    # extraction overflow: exact dense fallback on the
-                    # padded image, then the same extent crop
-                    bx = self.model.detect(batch[j])
-                    r = bx.get()
-                    keep = (r[:, 2] <= w) & (r[:, 3] <= h)
-                    out.append(bx[np.flatnonzero(keep)])
-                    continue
-                sel = valid_b[j] & (rects_b[j, :, 2] <= w) \
-                    & (rects_b[j, :, 3] <= h)
-                bx = Boxes(rects_b[j][sel])
-                bx.set_field("scores", scores_b[j][sel].astype(np.float32))
-                out.append(bx)
-        return out
-
-    def detect(self, image):
-        return self.detect_many([image])[0]
-
-    def detect_many(self, images):
-        images = [np.asarray(im) for im in images]
-        groups = {}
-        for idx, im in enumerate(images):
-            if im.ndim != 2:
-                raise ValueError("Image must have 2 dimensions")
-            groups.setdefault(self._snap(*im.shape), []).append(idx)
-        out = [None] * len(images)
-        for hw, idxs in groups.items():
-            boxes = self._run_group(hw, [images[i] for i in idxs])
-            for i, b in zip(idxs, boxes):
-                out[i] = b
-        return out
+# True-size bucketed serving lives in .bucket (runtime-geometry programs);
+# re-exported here for the historical import path.
+from .bucket import BucketedDetector  # noqa: E402
 
 
 def detect_batch(model: Model, images: np.ndarray, mesh=None,
