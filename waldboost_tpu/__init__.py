@@ -65,13 +65,13 @@ def detect(image: np.ndarray, *models: Model, channel_opts: dict = None,
     if response_scale.size != len(models):
         raise ValueError("Wrong response_scale parameter")
 
-    # fast path: all models share window shape + channel opts -> the packed
-    # channel canvas program EXECUTES once and each model's cascade scans
-    # the same device-resident canvas (model.detect_multi)
+    # fast path: all models share channel opts (window shapes may differ)
+    # -> the packed channel canvas program EXECUTES once and each model's
+    # cascade scans the same device-resident canvas with its own window
+    # grid (model.detect_multi)
     from .channels import _normalize_opts
     opts_key = _normalize_opts(channel_opts)
-    shared = all(m.shape == models[0].shape
-                 and _normalize_opts(m.channel_opts) == opts_key
+    shared = all(_normalize_opts(m.channel_opts) == opts_key
                  for m in models)
     if shared:
         from .model import detect_multi

@@ -298,13 +298,16 @@ class PackedPyramidPlan:
 
     def valid_mask(self, window: Tuple[int, int]) -> np.ndarray:
         """Static bool mask over canvas window origins: True where the origin
-        belongs to some level's origin grid."""
+        belongs to some level's origin grid.  ``window`` may be LARGER than
+        the plan's build window (heterogeneous multi-model serving shares one
+        min-window plan): levels too small for it get an empty extent."""
         m, n = window
         gu, gv = max(self.canvas_h - m, 0), max(self.canvas_w - n, 0)
         mask = np.zeros((gu, gv), bool)
         for pl in self.levels:
             lv = pl.level
-            mask[pl.y:pl.y + (lv.out_height - m), pl.x:pl.x + (lv.out_width - n)] = True
+            mask[pl.y:pl.y + max(lv.out_height - m, 0),
+                 pl.x:pl.x + max(lv.out_width - n, 0)] = True
         return mask
 
     def level_maps(self, window: Tuple[int, int]) -> Tuple[np.ndarray, np.ndarray]:
@@ -315,7 +318,8 @@ class PackedPyramidPlan:
         level_id = np.full((gu, gv), -1, np.int32)
         for i, pl in enumerate(self.levels):
             lv = pl.level
-            level_id[pl.y:pl.y + (lv.out_height - m), pl.x:pl.x + (lv.out_width - n)] = i
+            level_id[pl.y:pl.y + max(lv.out_height - m, 0),
+                     pl.x:pl.x + max(lv.out_width - n, 0)] = i
         return level_id, np.array([1.0 / pl.level.scale for pl in self.levels], np.float32)
 
 
@@ -1541,8 +1545,11 @@ def detect_multi(models, image, response_scale=None):
     Scores are scaled per model by ``response_scale`` and boxes carry a
     'label' field with the emitting model index — the device analog of
     /root/reference/waldboost/__init__.py:75-130 (one pyramid, K models).
-    Models must share window shape and channel options (the reference's
-    shared-pyramid loop implicitly assumes compatible channels too).
+    Models must share channel options (the reference's shared-pyramid loop
+    implicitly assumes compatible channels too); window shapes may DIFFER —
+    the canvas is planned from the elementwise-min window so every model's
+    usable levels exist, and each model scans it with its own window grid
+    and validity mask.
     """
     from .channels import _normalize_opts
 
@@ -1550,29 +1557,32 @@ def detect_multi(models, image, response_scale=None):
     if image.ndim != 2:
         raise ValueError("Image must have 2 dimensions")
     model0 = models[0]
-    m, n, _ = model0.shape
     key0 = _normalize_opts(model0.channel_opts)
-    if not all(mm.shape == model0.shape
-               and _normalize_opts(mm.channel_opts) == key0
-               for mm in models):
-        raise ValueError("detect_multi needs models sharing window shape "
-                         "and channel options")
+    if not all(_normalize_opts(mm.channel_opts) == key0 for mm in models):
+        raise ValueError("detect_multi needs models sharing channel options")
     if response_scale is None:
         response_scale = [1.0] * len(models)
     shrink, n_per_oct, smooth, cf = key0
+    m_min = min(mm.shape[0] for mm in models)
+    n_min = min(mm.shape[1] for mm in models)
     packed = _packed_plan_cached(image.shape[0], image.shape[1], shrink,
-                                 n_per_oct, (m, n), halo=cf.halo)
+                                 n_per_oct, (m_min, n_min), halo=cf.halo)
     empty = lambda: bbx.empty_boxes(scores=np.empty(0, np.float32),
                                     label=np.empty(0, np.int64))
     if not packed.levels:
         return empty()
-    valid = jnp.asarray(packed.valid_mask((m, n)))
-    level_id_map, inv_scales = packed.level_maps((m, n))
-    n_valid = int((level_id_map >= 0).sum())
     canvas = _canvas_jit(jnp.asarray(image), shrink, n_per_oct, smooth, cf,
                          packed)  # ONCE for all models
+    geom = {}  # per-window-shape valid mask + level maps
     out = []
     for kix, mm in enumerate(models):
+        m, n, _ = mm.shape
+        if (m, n) not in geom:
+            level_id_map, inv_scales = packed.level_maps((m, n))
+            geom[(m, n)] = (jnp.asarray(packed.valid_mask((m, n))),
+                            level_id_map, inv_scales,
+                            int((level_id_map >= 0).sum()))
+        valid, level_id_map, inv_scales, n_valid = geom[(m, n)]
         hs, alive, n_weak = _run_cascade_serving(canvas, mm, valid, (m, n))
         mm.n_loc += n_valid
         mm.n_weak += int(n_weak)

@@ -37,7 +37,8 @@ def _serving_block():
 def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                           mesh=None, donate: bool = False,
                           n_stages_cap: Optional[int] = None,
-                          _parts: bool = False, _raw: bool = False):
+                          _parts: bool = False, _raw: bool = False,
+                          _shared=None):
     """Compile a batched detector for ``model`` on images of ``image_shape``.
 
     Returns ``fn(images) -> (hs, alive, n_weak)`` where ``images`` is
@@ -50,11 +51,22 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
     content_hw)`` instead — ``content_hw`` is (Hc, Wc) when the canvas
     program emits the fused kernels' padded allocation (content top-left),
     else None.
+
+    ``_shared=(packed, need_hw)`` builds against a pre-planned SHARED canvas
+    (heterogeneous multi-model serving): ``packed`` replaces the model's own
+    plan and ``need_hw`` is the joint minimum canvas allocation — the
+    elementwise max of every model's :func:`ops.cascade_static.cascade_grid`
+    need, so each model's kernel halo fetch stays in bounds (the kernels
+    tolerate over-allocation).
     """
     m, n, _ = model.shape
     shrink, n_per_oct, smooth, cf = _normalize_opts(model.channel_opts)
-    packed = _packed_plan_cached(image_shape[0], image_shape[1], shrink,
-                                 n_per_oct, (m, n), halo=cf.halo)
+    if _shared is not None:
+        packed, shared_need = _shared
+    else:
+        packed = _packed_plan_cached(image_shape[0], image_shape[1], shrink,
+                                     n_per_oct, (m, n), halo=cf.halo)
+        shared_need = None
     valid = jnp.asarray(packed.valid_mask((m, n)))
     casc, depth = model._get_cascade()
     if n_stages_cap is not None:
@@ -93,6 +105,9 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
         Hc, Wc = packed.canvas_h, packed.canvas_w
         TUc, TVc, gi2, gj2, HU, HV = cascade_grid((Hc, Wc), (m, n))
         need = (gi2 * TUc + HU, gj2 * TVc + HV)
+        if shared_need is not None:
+            need = (max(need[0], shared_need[0]),
+                    max(need[1], shared_need[1]))
         TU, TV, _, _ = channel_grid(Hc, Wc)
         out_grid = (-(-need[0] // TU), -(-need[1] // TV))
         # planes stay content-grid sized: the channel kernel's pad tiles
@@ -481,49 +496,66 @@ def make_multi_detector_boxes(models, image_shape: Tuple[int, int],
     ``(B, K)`` per-model exact survivor counts / ``(B,)``.
 
     Device analog of /root/reference/waldboost/__init__.py:75-130 (one
-    pyramid, K models); models must share window shape + channel options.
+    pyramid, K models); models must share channel options.  Window shapes
+    may DIFFER: the shared canvas is planned from the elementwise-min
+    window (allocated to the joint kernel-halo need) and each model's
+    cascade kernel scans it with its own window grid, validity mask, and
+    level maps.
     """
     from ..channels import _normalize_opts
     from ..ops.cascade_static import cascade_grid
     from ..ops.nms import extract_detections_masked, nms_device
 
     model0 = models[0]
-    m, n, _ = model0.shape
     key0 = _normalize_opts(model0.channel_opts)
-    if not all(mm.shape == model0.shape
-               and _normalize_opts(mm.channel_opts) == key0
-               for mm in models):
+    if not all(_normalize_opts(mm.channel_opts) == key0 for mm in models):
         raise ValueError("make_multi_detector_boxes needs models sharing "
-                         "window shape and channel options")
+                         "channel options")
     if response_scale is None:
         response_scale = [1.0] * len(models)
     if len(response_scale) != len(models):
         raise ValueError("Wrong response_scale parameter")
 
-    parts = [make_batched_detector(mm, image_shape, _raw=True)
+    shrink, n_per_oct, smooth, cf = key0
+    m_min = min(mm.shape[0] for mm in models)
+    n_min = min(mm.shape[1] for mm in models)
+    packed = _packed_plan_cached(image_shape[0], image_shape[1], shrink,
+                                 n_per_oct, (m_min, n_min), halo=cf.halo)
+    Hc, Wc = packed.canvas_h, packed.canvas_w
+    need_hw = (0, 0)
+    for mm in models:
+        TUk, TVk, gik, gjk, HUk, HVk = cascade_grid(
+            (Hc, Wc), (mm.shape[0], mm.shape[1]))
+        need_hw = (max(need_hw[0], gik * TUk + HUk),
+                   max(need_hw[1], gjk * TVk + HVk))
+
+    parts = [make_batched_detector(mm, image_shape, _raw=True,
+                                   _shared=(packed, need_hw))
              for mm in models]
-    canvas_b, _, _, packed, content_hw = parts[0]
+    canvas_b, _, _, _, content_hw = parts[0]
     cascades = [p[2] for p in parts]
     if any(c is None for c in cascades):
         raise RuntimeError("multi-model serving needs the static-cascade "
                            "kernel path (set_cascade_backend('static'))")
 
-    Hc, Wc = packed.canvas_h, packed.canvas_w
-    TU, TV, gi, gj, _, _ = cascade_grid((Hc, Wc), (m, n))
-    GUp, GVp = gi * TU, gj * TV
-    level_id_map, inv_scales = packed.level_maps((m, n))
-    gu, gv = level_id_map.shape
-    lid_pad = np.full((GUp, GVp), -1, np.int32)
-    lid_pad[:gu, :gv] = level_id_map
     offsets = np.array([(pl.y, pl.x) for pl in packed.levels], np.int32) \
         if packed.levels else np.zeros((1, 2), np.int32)
-    lid = jnp.asarray(lid_pad)
     offs = jnp.asarray(offsets)
-    iscales = jnp.asarray(inv_scales) if packed.levels else \
-        jnp.ones(1, jnp.float32)
-    wnd = jnp.asarray([m, n], jnp.int32)
+    iscales = jnp.asarray(packed.level_maps((m_min, n_min))[1]) \
+        if packed.levels else jnp.ones(1, jnp.float32)
 
-    def extract_one(masked, count, scale):
+    lids, wnds = [], []
+    for mm in models:
+        m, n, _ = mm.shape
+        TU, TV, gi, gj, _, _ = cascade_grid((Hc, Wc), (m, n))
+        level_id_map, _ = packed.level_maps((m, n))
+        gu, gv = level_id_map.shape
+        lid_pad = np.full((gi * TU, gj * TV), -1, np.int32)
+        lid_pad[:gu, :gv] = level_id_map
+        lids.append(jnp.asarray(lid_pad))
+        wnds.append(jnp.asarray([m, n], jnp.int32))
+
+    def extract_one(masked, count, scale, lid, wnd):
         rects, scores, valid, count = extract_detections_masked(
             masked, count, lid, offs, iscales, wnd, k=k)
         scores = scores * scale
@@ -543,8 +575,10 @@ def make_multi_detector_boxes(models, image_shape: Tuple[int, int],
         for kix, cascade_kx in enumerate(cascades):
             masked, n_weak, count = cascade_kx(cvs, with_n_weak=with_n_weak)
             scale = jnp.float32(float(response_scale[kix]))
+            lid, wnd = lids[kix], wnds[kix]
             rects, scores, valid, cnt = jax.vmap(
-                lambda mk, ct: extract_one(mk, ct, scale))(masked, count)
+                lambda mk, ct: extract_one(mk, ct, scale, lid, wnd))(
+                    masked, count)
             label = jnp.full(scores.shape, kix, jnp.int32)
             outs.append((rects, scores, valid, label, cnt))
             nw_total = n_weak if nw_total is None else nw_total + n_weak
