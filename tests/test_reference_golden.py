@@ -232,3 +232,61 @@ def test_reference_detect_trained_model_golden(ref, tmp_path):
         assert a == b, (len(a ^ b), len(a), len(b))
         n_boxes += len(a)
     assert n_boxes > 0  # the trained detector actually fires on scenes
+
+
+def test_reference_float_image_golden(ref, tmp_path):
+    """Float-typed images through the same pipeline (the reference accepts
+    any 2-D ndarray, /root/reference/waldboost/channels.py:104-142).
+
+    The ONE deviation for float inputs is the resize: the reference lerps
+    in f64 and casts to the input dtype; the device lerps in f32 (PARITY.md
+    "Floating-point status", ~1.5e-5 absolute on a 0..255 dynamic range).
+    This pins that deviation with numbers instead of a sentence: channel
+    pyramids agree to a tight tolerance, detection box sets flip only on
+    threshold-borderline windows (bounded fraction), and shared boxes'
+    scores differ only where a tree split sat within the resize noise."""
+    import waldboost_tpu as wb
+    from waldboost_tpu.utils import fake_data_generator
+
+    model = _tiny_model()
+    rmodel = _to_ref_model(model, ref, tmp_path)
+    rng = np.random.RandomState(6)
+    gen = fake_data_generator(seed=31)
+    images = [(rng.rand(72, 96) * 255.0).astype(np.float32)
+              for _ in range(10)]
+    images += [np.atleast_3d(next(gen)["image"])[:, :, 0].astype(np.float32)
+               for _ in range(10)]
+
+    # channel pyramid: float path within resize-noise tolerance
+    opts_ref = dict(shrink=2, n_per_oct=4, smooth=1,
+                    channels=ref.channels.grad_hist)
+    opts_tpu = dict(shrink=2, n_per_oct=4, smooth=1, channels="grad_hist")
+    for img in images[:4]:
+        ref_levels = list(ref.channels.channel_pyramid(img, opts_ref))
+        tpu_levels = list(wb.channels.channel_pyramid(img, opts_tpu))
+        assert len(ref_levels) == len(tpu_levels)
+        for (rc, rs), (tc, ts) in zip(ref_levels, tpu_levels):
+            assert rc.shape == tc.shape
+            assert rs == pytest.approx(ts, rel=1e-9)
+            np.testing.assert_allclose(np.asarray(tc, np.float32),
+                                       rc.astype(np.float32),
+                                       rtol=1e-3, atol=5e-3)
+
+    # detections: identical box geometry up to threshold-borderline flips
+    n_total = n_flip = n_common = n_score_off = 0
+    for img in images:
+        rb = rmodel.detect(img)
+        tb = model.detect(img)
+        a = {tuple(np.round(r, 3)): s for r, s in
+             zip(rb.get(), rb.get_field("scores"))}
+        b = {tuple(np.round(r, 3)): s for r, s in
+             zip(tb.get(), tb.get_field("scores"))}
+        n_total += max(len(a), len(b), 1)
+        n_flip += len(set(a) ^ set(b))
+        for key in set(a) & set(b):
+            n_common += 1
+            if abs(a[key] - b[key]) > 1e-3:
+                n_score_off += 1  # a split within the resize noise flipped
+    assert n_common > 100
+    assert n_flip <= 0.02 * n_total, (n_flip, n_total)
+    assert n_score_off <= 0.02 * n_common, (n_score_off, n_common)
