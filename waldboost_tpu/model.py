@@ -1583,13 +1583,31 @@ def detect_multi(models, image, response_scale=None):
                             level_id_map, inv_scales,
                             int((level_id_map >= 0).sum()))
         valid, level_id_map, inv_scales, n_valid = geom[(m, n)]
-        hs, alive, n_weak = _run_cascade_serving(canvas, mm, valid, (m, n))
         mm.n_loc += n_valid
-        mm.n_weak += int(n_weak)
-        alive_np = np.asarray(alive)
-        rs, cs = np.nonzero(alive_np)
-        scores = np.asarray(hs)[rs, cs] if rs.size \
-            else np.empty(0, np.float32)
+        casc, depth = mm._get_cascade()
+        rs = cs = scores = None
+        if casc.n_stages > TWO_PHASE_PREFIX:
+            # same two-phase compaction as Model.detect: only the compacted
+            # survivor set crosses the (slow) device->host link; exact
+            # whenever phase-1 survivors fit the capacity
+            gv = packed.canvas_w - n
+            idx, H, aliveK, n_weak, count1 = _two_phase_jit(
+                canvas, casc, valid, (m, n), depth,
+                sc=mm._get_static_cascade())
+            if int(count1) <= min(TWO_PHASE_CAPACITY, valid.size):
+                mm.n_weak += int(n_weak)
+                sel = np.asarray(aliveK)
+                idxs = np.asarray(idx)[sel]
+                scores = np.asarray(H)[sel]
+                rs, cs = idxs // gv, idxs % gv
+        if rs is None:
+            hs, alive, n_weak = _run_cascade_serving(canvas, mm, valid,
+                                                     (m, n))
+            mm.n_weak += int(n_weak)
+            alive_np = np.asarray(alive)
+            rs, cs = np.nonzero(alive_np)
+            scores = np.asarray(hs)[rs, cs] if rs.size \
+                else np.empty(0, np.float32)
         b = mm._boxes_from_canvas_origins(rs, cs,
                                           scores * float(response_scale[kix]),
                                           packed, level_id_map, inv_scales)
