@@ -25,6 +25,7 @@ References
 """
 
 import logging
+import os
 
 import numpy as np
 
@@ -234,6 +235,9 @@ def _train_body(model, training_images, learner, pool, length,
             model, X0, H0, X1, H1,
             theta=theta_schedule(stage, learner.false_positive_rate))
         logger.log(15, f"Stage {stage}: loss: {stage_loss:g}, fpr: {p0:g}, tpr: {p1:g}")
+        if os.environ.get("WB_TRAIN_PREWARM", "1") == "1":
+            from .model import prewarm_next_mining_bucket
+            prewarm_next_mining_bucket(model, logger=logger)
         for cb in callbacks:
             cb(model, learner, stage)
 

@@ -1537,6 +1537,66 @@ def _run_packed_serving(image, model: "Model", valid_mask, shrink, n_per_oct,
     return canvas, hs, alive, n_weak
 
 
+def prewarm_next_mining_bucket(model: "Model", logger=None):
+    """Compile the NEXT length-bucket's mining cascade program in the
+    BACKGROUND, overlapped with training.
+
+    The mining scan recompiles whenever the growing cascade crosses a
+    length bucket (Model._stage_bucket) — seconds per crossing on the TPU
+    compile relay, the dominant cost of the measured training loop
+    (scripts/exp_r9_mining.py: the scan itself is ~36 ms/dispatch).  The
+    jit cache keys on SHAPES and static metadata, not values, so padding
+    the CURRENT stages to the next bucket compiles exactly the program the
+    crossing will need.  Returns the started thread (or None when the
+    geometry is unknown / the program is already warm).
+    """
+    geom = getattr(model, "_mining_geom", None)
+    if geom is None or not model.classifier:
+        return None
+    T = len(model)
+    cur = Model._stage_bucket(T)
+    nxt = Model._stage_bucket(cur + 1)
+    warmed = getattr(model, "_mining_warmed", set())
+    model._mining_warmed = warmed
+    if nxt <= cur or nxt in warmed:
+        return None
+    warmed.add(nxt)
+    # build the padded cascade on THIS thread (model state is mutated by
+    # the stage loop); only the compile runs in the background
+    stages = [w.to_stage_dict() for w in model.classifier]
+    casc, meta = casc_ops.cascade_from_stages(stages, model.theta,
+                                              n_stages=nxt)
+    canvas_shape, canvas_dtype, valid_shape = geom
+    m, n, _ = model.shape
+    backend = _resolve_cascade_backend()
+
+    def compile_it():
+        # a REAL call on dummy operands: .lower().compile() would populate
+        # only the AOT path, not the jit dispatch cache the crossing hits.
+        # The executed program is one wasted ~36 ms scan; the compile it
+        # front-loads costs seconds.
+        try:
+            cvs = jnp.zeros(canvas_shape, canvas_dtype)
+            valid = jnp.zeros(valid_shape, bool)
+            if backend == "pallas":
+                interpret = jax.default_backend() != "tpu"
+                out = _cascade_pallas_batch_jit(cvs, casc, valid, (m, n),
+                                                meta, interpret)
+            else:
+                out = _cascade_xla_batch_jit(cvs, casc, valid, (m, n), meta)
+            jax.block_until_ready(out)
+        except Exception as e:  # a cold cache-miss at the crossing, not an error
+            if logger is not None:
+                logger.debug("mining prewarm for bucket %d failed: %s",
+                             nxt, e)
+
+    import threading
+    t = threading.Thread(target=compile_it, daemon=True,
+                         name=f"wb-prewarm-{nxt}")
+    t.start()
+    return t
+
+
 def detect_multi(models, image, response_scale=None):
     """Multi-model detection over ONE shared channel canvas.
 
@@ -1826,19 +1886,23 @@ class Model:
         self._version += 1
 
     # -- cascade compilation ---------------------------------------------
+    @staticmethod
+    def _stage_bucket(T: int) -> int:
+        """Length-bucket of a T-stage cascade: hybrid stage buckets, linear
+        (xSTAGE_PAD) while small, geometric beyond 32 — a growing training
+        cascade then recompiles its consumers O(log T) times instead of
+        O(T/8) (each recompile of the mining/rescore programs costs seconds
+        on the TPU compile relay); padded stages are dead (zero response,
+        theta=-inf)."""
+        T = max(T, 1)
+        if T <= 32:
+            return max(_round_up(T, Model.STAGE_PAD), Model.STAGE_PAD)
+        return 1 << (T - 1).bit_length()
+
     def _get_cascade(self) -> Tuple[Cascade, int]:
         if self._cascade is None or self._cascade_version != self._version:
             stages = [w.to_stage_dict() for w in self.classifier]
-            # hybrid stage buckets: linear (x8) while small, geometric
-            # beyond 32 — a growing training cascade then recompiles its
-            # consumers O(log T) times instead of O(T/8) (each recompile of
-            # the mining/rescore programs costs seconds on the TPU compile
-            # relay); padded stages are dead (zero response, theta=-inf)
-            T = max(len(stages), 1)
-            if T <= 32:
-                pad_T = max(_round_up(T, self.STAGE_PAD), self.STAGE_PAD)
-            else:
-                pad_T = 1 << (T - 1).bit_length()
+            pad_T = self._stage_bucket(len(stages))
             casc, meta = casc_ops.cascade_from_stages(stages, self.theta, n_stages=pad_T)
             self._cascade = casc
             self._cascade_depth = meta  # CascadeMeta (hashable, jit-static)
@@ -1990,6 +2054,11 @@ class Model:
         canvas, hs, alive, n_weak = _run_packed_batch(
             jnp.asarray(images), casc, valid, shrink, n_per_oct, smooth,
             cf, (m, n), depth, packed)
+        # remember the mining program geometry so the training loops can
+        # prewarm the NEXT length-bucket's program in the background
+        # (prewarm_next_mining_bucket) instead of stalling at the crossing
+        self._mining_geom = (tuple(canvas.shape), canvas.dtype,
+                             tuple(valid.shape))
         level_id_map, _ = packed.level_maps((m, n))
         self.n_loc += int((level_id_map >= 0).sum()) * n_real
         # batch n_weak includes padding images; keep the counter a close

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 from typing import Optional
 
 import jax
@@ -214,6 +215,9 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
         learner.losses.append(float(res.loss))
         pool_fp.apply_stage(res.H0, res.v0)
         pool_tp.apply_stage(res.H1, res.v1)
+        if os.environ.get("WB_TRAIN_PREWARM", "1") == "1":
+            from ..model import prewarm_next_mining_bucket
+            prewarm_next_mining_bucket(model, logger=logger)
         logger.log(15, f"Stage {stage}: loss {float(res.loss):g} "
                        f"p0 {float(res.p0):g} p1 {float(res.p1):g} "
                        f"theta {theta:g}")
