@@ -13,6 +13,7 @@ import sys
 import time
 from collections import defaultdict
 
+import jax
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -58,12 +59,47 @@ def main():
 
     orig_apply = T.DevicePool.apply_stage
 
-    def timed_apply(self, H, v):
+    def timed_apply(self, H, v, count=None):
         t0 = time.perf_counter()
-        orig_apply(self, H, v)
+        orig_apply(self, H, v, count=count)
         t_phase["pool_apply"] += time.perf_counter() - t0
 
     T.DevicePool.apply_stage = timed_apply
+
+    orig_get = jax.device_get
+
+    def timed_get(x):
+        t0 = time.perf_counter()
+        out = orig_get(x)
+        t_phase["device_get"] += time.perf_counter() - t0
+        return out
+
+    jax.device_get = timed_get
+
+    import waldboost_tpu.model as M
+    orig_prewarm = M.prewarm_next_mining_bucket
+
+    def timed_prewarm(*a, **k):
+        t0 = time.perf_counter()
+        out = orig_prewarm(*a, **k)
+        t_phase["prewarm_call"] += time.perf_counter() - t0
+        return out
+
+    M.prewarm_next_mining_bucket = timed_prewarm
+
+    from waldboost_tpu import samples as S
+    orig_gsfi = S.get_samples_from_images
+
+    def timed_gsfi(*a, **k):
+        # labeling time = call wall minus the scan time accrued inside it
+        scan0 = t_phase["mine_scan"]
+        t0 = time.perf_counter()
+        out = list(orig_gsfi(*a, **k))
+        t_phase["mine_label"] += (time.perf_counter() - t0
+                                  - (t_phase["mine_scan"] - scan0))
+        return out
+
+    S.get_samples_from_images = timed_gsfi
 
     orig_make = T.make_train_step
 

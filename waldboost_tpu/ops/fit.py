@@ -61,7 +61,7 @@ def _entropy2(p0: jax.Array, p1: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_depth", "n_bins", "min_samples_leaf"),
+    static_argnames=("max_depth", "n_bins", "min_samples_leaf", "binning"),
 )
 def fit_tree_complete(
     xf: jax.Array,            # (N, F) float32 flattened sample features
@@ -73,6 +73,7 @@ def fit_tree_complete(
     n_bins: int = 256,
     min_samples_leaf: int = 1,
     feature_mask: Optional[jax.Array] = None,  # (max_depth, F) bool allowed per depth
+    binning: str = "uniform",
 ) -> TreeFitResult:
     N, F = xf.shape
     B = int(n_bins)
@@ -83,14 +84,38 @@ def fit_tree_complete(
     w_split = jnp.where(valid, w_split, 0.0).astype(jnp.float32)
     w_pred = jnp.where(valid, w_pred, 0.0).astype(jnp.float32)
 
-    # -- global per-feature quantization grid ------------------------------
-    fmin = jnp.min(jnp.where(valid[:, None], xf, jnp.inf), axis=0)
-    fmax = jnp.max(jnp.where(valid[:, None], xf, -jnp.inf), axis=0)
-    fmin = jnp.where(jnp.isfinite(fmin), fmin, 0.0)
-    fmax = jnp.where(jnp.isfinite(fmax), fmax, 0.0)
-    width = jnp.maximum((fmax - fmin) / B, 1e-12)
-    bins = jnp.clip(jnp.ceil((xf - fmin[None, :]) / width[None, :]) - 1, 0, B - 1)
-    bins = bins.astype(jnp.int32)  # (N, F)
+    if binning == "quantile":
+        # -- per-feature QUANTILE grid (LightGBM-style): outlier features
+        # stretch a uniform [fmin, fmax] grid until most mass shares a few
+        # bins (the measured round-2 training-quality gap); quantile edges
+        # put ~equal sample counts in every bin at any B.  bin(x) = count
+        # of edges < x, so ``x <= edges[b]  <=>  bin(x) <= b`` exactly
+        # (fit/inference consistency, duplicate edges included).
+        xs = jnp.sort(jnp.where(valid[:, None], xf, jnp.inf), axis=0)
+        nv = jnp.sum(valid).astype(jnp.float32)
+        ranks = jnp.arange(1, B, dtype=jnp.float32) * (nv / B)
+        idx = jnp.clip(jnp.ceil(ranks).astype(jnp.int32) - 1, 0, N - 1)
+        edges = xs[idx, :]                      # (B-1, F) nondecreasing
+        edges = jnp.where(jnp.isfinite(edges), edges, jnp.float32(3e38))
+        bins = jax.vmap(
+            lambda e, col: jnp.searchsorted(e, col, side="left"),
+            in_axes=(1, 1), out_axes=1)(edges, xf).astype(jnp.int32)
+
+        def thr_of(best_f, best_b):
+            return edges[jnp.clip(best_b, 0, B - 2), best_f]
+    else:
+        # -- global per-feature uniform quantization grid -------------------
+        fmin = jnp.min(jnp.where(valid[:, None], xf, jnp.inf), axis=0)
+        fmax = jnp.max(jnp.where(valid[:, None], xf, -jnp.inf), axis=0)
+        fmin = jnp.where(jnp.isfinite(fmin), fmin, 0.0)
+        fmax = jnp.where(jnp.isfinite(fmax), fmax, 0.0)
+        width = jnp.maximum((fmax - fmin) / B, 1e-12)
+        bins = jnp.clip(jnp.ceil((xf - fmin[None, :]) / width[None, :]) - 1,
+                        0, B - 1)
+        bins = bins.astype(jnp.int32)  # (N, F)
+
+        def thr_of(best_f, best_b):
+            return fmin[best_f] + (best_b + 1).astype(jnp.float32) * width[best_f]
 
     # -- outputs ------------------------------------------------------------
     feature = jnp.full(n_nodes, -1, jnp.int32)
@@ -155,7 +180,7 @@ def fit_tree_complete(
         best = jnp.argmax(flat, axis=1)              # (n_level,)
         best_f = (best // B).astype(jnp.int32)
         best_b = (best % B).astype(jnp.int32)
-        best_thr = fmin[best_f] + (best_b + 1).astype(jnp.float32) * width[best_f]
+        best_thr = thr_of(best_f, best_b)
 
         # -- leaf decision ---------------------------------------------------
         cnt = jax.ops.segment_sum(

@@ -37,6 +37,8 @@ class StageResult(NamedTuple):
     loss: jax.Array    # ()
     v0: jax.Array = None  # post-stage validity masks (SPRT-pruned pools)
     v1: jax.Array = None
+    n0: jax.Array = None  # () int32 post-prune pool counts (sum(v0)/sum(v1)):
+    n1: jax.Array = None  # computed in-step so the host reads ONE result
 
 
 def tree_predict_device(tree: TreeFitResult, xf: jax.Array, max_depth: int) -> jax.Array:
@@ -57,7 +59,7 @@ def _stage_body(x0, H0, v0, x1, H1, v1, P0, P1, theta_in, use_sprt,
                 feature_mask=None,
                 alpha=0.1, max_depth=2, n_bins=256, min_samples_leaf=1,
                 mesh=None, clip=None, quantizer=None,
-                integer_thresholds=False):
+                integer_thresholds=False, binning="uniform"):
     """x0/x1: (N?, F) flattened padded pools; H: scores; v: valid masks.
     ``theta_in``/``use_sprt``: rejection-schedule override (use_sprt=True ->
     estimate theta from data).
@@ -92,7 +94,7 @@ def _stage_body(x0, H0, v0, x1, H1, v1, P0, P1, theta_in, use_sprt,
 
     tree = fit_tree_complete(xf, y, wb, w, valid, max_depth=max_depth,
                              n_bins=n_bins, min_samples_leaf=min_samples_leaf,
-                             feature_mask=feature_mask)
+                             feature_mask=feature_mask, binning=binning)
     # FPGA mode: integer-floored thresholds + clipped/quantized responses
     # BEFORE score accumulation (the host path's DTree.fit post-transforms,
     # /root/reference/waldboost/fpga/training.py:160-168)
@@ -122,12 +124,15 @@ def _stage_body(x0, H0, v0, x1, H1, v1, P0, P1, theta_in, use_sprt,
     v0n = jnp.logical_and(v0, H0n >= theta)
     v1n = jnp.logical_and(v1, H1n >= theta)
     return StageResult(tree=tree, theta=theta, H0=H0n, H1=H1n, p0=p0, p1=p1,
-                       loss=loss, v0=v0n, v1=v1n)
+                       loss=loss, v0=v0n, v1=v1n,
+                       n0=jnp.sum(v0n, dtype=jnp.int32),
+                       n1=jnp.sum(v1n, dtype=jnp.int32))
 
 
 def make_train_step(alpha: float = 0.1, max_depth: int = 2, n_bins: int = 256,
                     min_samples_leaf: int = 1, mesh=None, clip=None,
-                    quantizer=None, integer_thresholds: bool = False):
+                    quantizer=None, integer_thresholds: bool = False,
+                    binning: str = "uniform"):
     """Build the jitted stage-training step.
 
     Signature of the returned function:
@@ -144,7 +149,8 @@ def make_train_step(alpha: float = 0.1, max_depth: int = 2, n_bins: int = 256,
     body = functools.partial(_stage_body, alpha=alpha, max_depth=max_depth,
                              n_bins=n_bins, min_samples_leaf=min_samples_leaf,
                              mesh=mesh, clip=clip, quantizer=quantizer,
-                             integer_thresholds=integer_thresholds)
+                             integer_thresholds=integer_thresholds,
+                             binning=binning)
     if mesh is None:
         return jax.jit(body)
     sh1 = lambda ndim: data_sharding(mesh, ndim)
@@ -155,7 +161,7 @@ def make_train_step(alpha: float = 0.1, max_depth: int = 2, n_bins: int = 256,
         tree=TreeFitResult(feature=rep, threshold=rep, left=rep, right=rep,
                            pred=rep),
         theta=rep, H0=sh1(1), H1=sh1(1), p0=rep, p1=rep, loss=rep,
-        v0=sh1(1), v1=sh1(1))
+        v0=sh1(1), v1=sh1(1), n0=rep, n1=rep)
     jstep = jax.jit(body, in_shardings=in_sh, out_shardings=out_sh)
 
     def step(*args):

@@ -107,18 +107,22 @@ class DevicePool:
         self.count += accept
         return accept
 
-    def apply_stage(self, H, v) -> None:
+    def apply_stage(self, H, v, count: Optional[int] = None) -> None:
         """Adopt the post-stage scores and pruned validity mask (the crop
-        buffer ``x`` itself is untouched by a stage)."""
+        buffer ``x`` itself is untouched by a stage).  ``count`` is the
+        in-step sum(v) when the caller already fetched it (train_sharded
+        reads the whole stage result in ONE device_get — per-fetch latency
+        through the device tunnel dominated the host tail)."""
         self.H = H
         self.v = v
-        self.count = int(jnp.sum(v))  # one scalar device->host per stage
+        self.count = int(jnp.sum(v)) if count is None else int(count)
 
 
 def train_sharded(model, training_images, mesh=None, learner: Learner = None,
                   length: int = 64, min_tp: int = 1000, min_fp: int = 1000,
                   capacity: Optional[int] = None, theta_schedule=None,
-                  max_depth: int = 2, n_bins: int = 256, seed=None,
+                  max_depth: int = 2, n_bins: int = 256,
+                  binning: str = "uniform", seed=None,
                   callbacks=(), logger: Optional[logging.Logger] = None,
                   mine_batch: int = 8, feature_masks_fn=None,
                   clip=None, quantizer=None,
@@ -155,8 +159,8 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
     pool_tp = DevicePool(capacity, F, mesh=mesh)
     rng = np.random.default_rng(seed)
     step = make_train_step(alpha=learner.alpha, max_depth=max_depth,
-                           n_bins=n_bins, mesh=mesh, clip=clip,
-                           quantizer=quantizer,
+                           n_bins=n_bins, binning=binning, mesh=mesh,
+                           clip=clip, quantizer=quantizer,
                            integer_thresholds=integer_thresholds)
     it = iter(training_images)
 
@@ -207,14 +211,19 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
                    jnp.float32(learner.true_positive_rate),
                    jnp.float32(-np.inf if use_sprt else theta_in),
                    jnp.asarray(bool(use_sprt)), fmask)
-        theta = float(res.theta)
-        weak = _dtree_from_fit(res.tree, (m, n, C))
+        # ONE device->host fetch for everything the host consumes this
+        # stage (tree tables + scalars + pool counts): per-fetch latency
+        # through the device tunnel dominated the stage's host tail
+        tree_h, theta, p0, p1, loss, c0, c1 = jax.device_get(
+            (res.tree, res.theta, res.p0, res.p1, res.loss, res.n0, res.n1))
+        theta = float(theta)
+        weak = _dtree_from_fit(tree_h, (m, n, C))
         model.append(weak, theta)
-        learner.p0.append(float(res.p0))
-        learner.p1.append(float(res.p1))
-        learner.losses.append(float(res.loss))
-        pool_fp.apply_stage(res.H0, res.v0)
-        pool_tp.apply_stage(res.H1, res.v1)
+        learner.p0.append(float(p0))
+        learner.p1.append(float(p1))
+        learner.losses.append(float(loss))
+        pool_fp.apply_stage(res.H0, res.v0, count=c0)
+        pool_tp.apply_stage(res.H1, res.v1, count=c1)
         if os.environ.get("WB_TRAIN_PREWARM", "1") == "1":
             from ..model import prewarm_next_mining_bucket
             prewarm_next_mining_bucket(model, logger=logger)

@@ -84,6 +84,7 @@ class DTree:
     @staticmethod
     def fit(X0, W0, X1, W1, max_depth: int = 2, min_samples_leaf: int = 1,
             allowed_features=None, backend: str = "hist", n_bins: int = 256,
+            binning: str = "uniform",
             clip: Optional[float] = None, quantizer: Optional[int] = None,
             integer_thresholds: bool = False, **sklearn_args) -> "DTree":
         """Fit a weak tree on weighted negative (X0, W0) / positive (X1, W1)
@@ -109,7 +110,7 @@ class DTree:
             tree = DTree._fit_hist(X0, W0, X1, W1, max_depth=max_depth,
                                    min_samples_leaf=min_samples_leaf,
                                    allowed_features=allowed_features,
-                                   n_bins=n_bins)
+                                   n_bins=n_bins, binning=binning)
         if integer_thresholds:
             # For integer-valued features, flooring a threshold in (k, k+1)
             # keeps the split identical while making it HW-evaluable with
@@ -125,7 +126,7 @@ class DTree:
 
     @staticmethod
     def _fit_hist(X0, W0, X1, W1, max_depth, min_samples_leaf,
-                  allowed_features, n_bins) -> "DTree":
+                  allowed_features, n_bins, binning="uniform") -> "DTree":
         X0 = np.asarray(X0)
         X1 = np.asarray(X1)
         shape = X0.shape[1:]
@@ -165,7 +166,8 @@ class DTree:
         res = fit_tree_complete(
             jnp.asarray(Xp), jnp.asarray(Yp), jnp.asarray(Wbp), jnp.asarray(Wp),
             jnp.asarray(valid), max_depth=int(max_depth), n_bins=int(n_bins),
-            min_samples_leaf=int(min_samples_leaf), feature_mask=fmask)
+            min_samples_leaf=int(min_samples_leaf), feature_mask=fmask,
+            binning=binning)
         feat, thr, left, right, pred = prune_heap_tree(
             np.asarray(res.feature), np.asarray(res.threshold),
             np.asarray(res.left), np.asarray(res.right), np.asarray(res.pred))
