@@ -57,6 +57,17 @@ def main():
 
     T.DevicePool.insert = timed_insert
 
+    orig_insert_dev = T.DevicePool.insert_from_device
+
+    def timed_insert_dev(self, src_x, src_H, idx):
+        t0 = time.perf_counter()
+        out = orig_insert_dev(self, src_x, src_H, idx)
+        t_phase["pool_insert"] += time.perf_counter() - t0
+        counts["inserted"] += out
+        return out
+
+    T.DevicePool.insert_from_device = timed_insert_dev
+
     orig_apply = T.DevicePool.apply_stage
 
     def timed_apply(self, H, v, count=None):
@@ -88,18 +99,18 @@ def main():
     M.prewarm_next_mining_bucket = timed_prewarm
 
     from waldboost_tpu import samples as S
-    orig_gsfi = S.get_samples_from_images
+    orig_mlw = S.mine_labeled_windows
 
-    def timed_gsfi(*a, **k):
+    def timed_mlw(*a, **k):
         # labeling time = call wall minus the scan time accrued inside it
         scan0 = t_phase["mine_scan"]
         t0 = time.perf_counter()
-        out = list(orig_gsfi(*a, **k))
+        out = orig_mlw(*a, **k)
         t_phase["mine_label"] += (time.perf_counter() - t0
                                   - (t_phase["mine_scan"] - scan0))
         return out
 
-    S.get_samples_from_images = timed_gsfi
+    S.mine_labeled_windows = timed_mlw
 
     orig_make = T.make_train_step
 

@@ -200,6 +200,37 @@ def test_sharded_train_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(r1.H0), np.asarray(rN.H0), rtol=1e-5)
 
 
+def test_device_pool_insert_from_device_matches_host_insert():
+    """Gather-insert straight from a device crop array fills the SAME slots
+    with the SAME values as sequential host inserts of the same rows."""
+    from waldboost_tpu.parallel.trainer import DevicePool
+
+    rng = np.random.RandomState(7)
+    F = 24
+    src = rng.randn(300, 2, 3, 4).astype(np.float32)  # crop-shaped rows
+    sH = rng.randn(300).astype(np.float32)
+    src_dev, sH_dev = jnp.asarray(src), jnp.asarray(sH)
+
+    rng2 = np.random.RandomState(11)
+    pa = DevicePool(256, F)
+    pb = DevicePool(256, F)
+    seed_x = rng2.randn(40, F).astype(np.float32)
+    seed_H = rng2.randn(40).astype(np.float32)
+    pa.insert(seed_x, seed_H)
+    pb.insert(seed_x, seed_H)
+
+    idx = np.flatnonzero(sH > 0.3)  # some ragged subset
+    # host path: sequential per-chunk inserts of the selected rows
+    pa.insert(src.reshape(300, -1)[idx], sH[idx])
+    # device path: one gather-insert of the same rows
+    pb.insert_from_device(src_dev, sH_dev, idx)
+
+    assert pa.count == pb.count
+    np.testing.assert_array_equal(np.asarray(pa.v), np.asarray(pb.v))
+    np.testing.assert_array_equal(np.asarray(pa.H), np.asarray(pb.H))
+    np.testing.assert_array_equal(np.asarray(pa.x), np.asarray(pb.x))
+
+
 def test_train_sharded_matches_unsharded():
     """wb.train with the device pool: an 8-stage run produces the same model
     sharded over the mesh as on one device (same mining rng; the global

@@ -1561,11 +1561,14 @@ def prewarm_next_mining_bucket(model: "Model", logger=None):
     if nxt <= cur or nxt in warmed:
         return None
     warmed.add(nxt)
-    # build the padded cascade on THIS thread (model state is mutated by
-    # the stage loop); only the compile runs in the background
+    # snapshot HOST-side state on this thread (model is mutated by the
+    # stage loop); everything touching the device — including the cascade
+    # table uploads in cascade_from_stages — runs in the background thread
+    # (synchronous device puts through the axon tunnel measured ~10 s
+    # total main-thread stall per training run, scripts/
+    # profile_train_device.py r3c)
     stages = [w.to_stage_dict() for w in model.classifier]
-    casc, meta = casc_ops.cascade_from_stages(stages, model.theta,
-                                              n_stages=nxt)
+    thetas = list(model.theta)
     canvas_shape, canvas_dtype, valid_shape = geom
     m, n, _ = model.shape
     backend = _resolve_cascade_backend()
@@ -1576,6 +1579,8 @@ def prewarm_next_mining_bucket(model: "Model", logger=None):
         # The executed program is one wasted ~36 ms scan; the compile it
         # front-loads costs seconds.
         try:
+            casc, meta = casc_ops.cascade_from_stages(stages, thetas,
+                                                      n_stages=nxt)
             cvs = jnp.zeros(canvas_shape, canvas_dtype)
             valid = jnp.zeros(valid_shape, bool)
             if backend == "pallas":

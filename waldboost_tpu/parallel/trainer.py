@@ -40,6 +40,25 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _insert_gather_jit(x, H, v, src_x, src_H, idx, kn):
+    """Gather rows ``idx[:kn]`` of device-resident mined crops straight
+    into free pool slots — crop bytes NEVER cross the device<->host tunnel
+    (scripts/profile_train_device.py r3c: the D2H crop fetch + H2D staging
+    re-upload were ~35% of the device-pool training loop)."""
+    K = idx.shape[0]
+    xn = src_x[idx].reshape(K, -1).astype(x.dtype)
+    Hn = src_H[idx].astype(H.dtype)
+    order = jnp.argsort(v, stable=True)          # free slots first
+    slots = order[:K]
+    free = jnp.logical_not(v[slots])
+    take = jnp.logical_and(jnp.arange(K) < kn, free)
+    x = x.at[slots].set(jnp.where(take[:, None], xn, x[slots]))
+    H = H.at[slots].set(jnp.where(take, Hn, H[slots]))
+    v = v.at[slots].set(jnp.logical_or(v[slots], take))
+    return x, H, v
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
 def _insert_jit(x, H, v, xn, Hn, kn):
     """Fill up to ``kn`` new samples into invalid slots of the pool.
 
@@ -107,6 +126,25 @@ class DevicePool:
         self.count += accept
         return accept
 
+    def insert_from_device(self, src_x, src_H, idx) -> int:
+        """Insert rows ``idx`` of an on-device mined-crop array; slot
+        assignment (ascending free slots, insertion order) is identical to
+        sequential :meth:`insert` calls over the same rows."""
+        k = int(len(idx))
+        if k == 0:
+            return 0
+        accept = min(k, self.capacity - self.count)
+        if accept <= 0:
+            return 0
+        idx = np.asarray(idx[:accept], np.int32)
+        K = min(max(64, 1 << (accept - 1).bit_length()), self.capacity)
+        idxp = np.pad(idx, (0, K - accept))
+        self.x, self.H, self.v = _insert_gather_jit(
+            self.x, self.H, self.v, src_x, src_H, jnp.asarray(idxp),
+            jnp.int32(accept))
+        self.count += accept
+        return accept
+
     def apply_stage(self, H, v, count: Optional[int] = None) -> None:
         """Adopt the post-stage scores and pruned validity mask (the crop
         buffer ``x`` itself is untouched by a stage).  ``count`` is the
@@ -165,28 +203,31 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
     it = iter(training_images)
 
     def refill():
-        from ..samples import batched_records, get_samples_from_images
+        from ..samples import batched_records, mine_labeled_windows
 
         need_tp = pool_tp.count < min_tp
         need_fp = pool_fp.count < min_fp
         if not (need_tp or need_fp):
             return
         mined = 0
-        # same batched mining as SamplePool.update: one canvas + cascade
-        # program per image batch instead of per image
+        # same batched mining as SamplePool.update (one canvas + cascade
+        # program per image batch), but crops go straight from the mining
+        # gather into the device pools — no host round trip
         for group in batched_records(it, mine_batch):
-            for _i, boxes in get_samples_from_images(
-                    model, group, tp=need_tp, fp=need_fp, rng=rng,
-                    **label_kwargs):
-                label = boxes.get_field("tp_label")
-                samples = boxes.get_field("samples")
-                scores = boxes.get_field("scores")
-                tp_sel = label == SampleLabel.TRUE_POSITIVE
-                fp_sel = label == SampleLabel.FALSE_POSITIVE
-                if need_tp and tp_sel.any():
-                    pool_tp.insert(samples[tp_sel], scores[tp_sel])
-                if need_fp and fp_sel.any():
-                    pool_fp.insert(samples[fp_sel], scores[fp_sel])
+            res = mine_labeled_windows(model, group, tp=need_tp,
+                                       fp=need_fp, rng=rng, **label_kwargs)
+            if res is not None:
+                pend, samples_dev, scores_dev = res
+                label = np.concatenate(
+                    [b.get_field("tp_label") for _, b in pend])
+                tp_idx = np.flatnonzero(label == SampleLabel.TRUE_POSITIVE)
+                fp_idx = np.flatnonzero(label == SampleLabel.FALSE_POSITIVE)
+                if need_tp and tp_idx.size:
+                    pool_tp.insert_from_device(samples_dev, scores_dev,
+                                               tp_idx)
+                if need_fp and fp_idx.size:
+                    pool_fp.insert_from_device(samples_dev, scores_dev,
+                                               fp_idx)
             mined += len(group)
             need_tp = pool_tp.count < min_tp
             need_fp = pool_fp.count < min_fp

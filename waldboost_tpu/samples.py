@@ -167,17 +167,21 @@ def get_samples_from_image(model: Model, image, gt_boxes: Optional[Boxes],
         yield b
 
 
-def get_samples_from_images(model: Model, records, tp=True, fp=True,
-                            rng=None, **kwargs):
-    """Batched :func:`get_samples_from_image` over same-shape images.
+def mine_labeled_windows(model: Model, records, tp=True, fp=True,
+                         rng=None, **kwargs):
+    """Batched scan + label; crops stay ON DEVICE.
 
     One canvas + cascade program scans the whole batch; the survivor map
-    crosses to the host BIT-PACKED, and the cascade scores + window crops
-    of the windows labeling KEPT come back in one fused device gather —
-    the device->host tunnel is the training loop's bottleneck, so only
-    kept-sample bytes ever cross it.  Labeling runs per image in record
-    order with the same RNG sequence as the serial path.  Yields
-    ``(record_index, dt_boxes)`` pairs.
+    crosses to the host BIT-PACKED; labeling runs per image in record
+    order with the same RNG sequence as the serial path.  The cascade
+    scores + window crops of every labeled-kept window are gathered in one
+    fused device program and returned as DEVICE arrays — callers that keep
+    samples on device (the device-resident training pool) never pay the
+    tunnel for crop bytes.  Returns ``None`` or a triple
+    ``(pend, samples_dev, scores_dev)`` where ``pend`` is a list of
+    ``(record_index, dt_boxes)`` (no 'samples'/'scores' fields yet) and
+    row ``j`` of the device arrays belongs to the ``j``-th box in ``pend``
+    concatenation order (rows past the total count are gather padding).
     """
     import jax.numpy as jnp
 
@@ -191,7 +195,7 @@ def get_samples_from_images(model: Model, records, tp=True, fp=True,
                                  np.repeat(images[-1:], Bp - B, axis=0)])
     scan = model.scan_packed_batch(images, n_real=B)
     if scan is None:
-        return
+        return None
     canvas_dev, hs_dev, packed, per_image = scan
     pend = []  # (record index, Boxes)
     for i, (rec, (rs, cs)) in enumerate(zip(records, per_image)):
@@ -202,7 +206,7 @@ def get_samples_from_images(model: Model, records, tp=True, fp=True,
                                   rng, **kwargs):
             pend.append((i, b))
     if not pend:
-        return
+        return None
     bs = np.concatenate([np.full(len(b), i, np.int32) for i, b in pend])
     rows = np.concatenate([b.get_field("row").flatten() for _, b in pend])
     cols = np.concatenate([b.get_field("col").flatten() for _, b in pend])
@@ -215,8 +219,26 @@ def get_samples_from_images(model: Model, records, tp=True, fp=True,
         jnp.asarray(np.pad(rows, (0, pad)).astype(np.int32)),
         jnp.asarray(np.pad(cols, (0, pad)).astype(np.int32)),
         (m, n))
-    samples = np.asarray(samples)[:k]
-    scores = np.asarray(scores)[:k].astype(np.float32)
+    return pend, samples, scores
+
+
+def get_samples_from_images(model: Model, records, tp=True, fp=True,
+                            rng=None, **kwargs):
+    """Batched :func:`get_samples_from_image` over same-shape images.
+
+    :func:`mine_labeled_windows` does the scan/label/gather; here the
+    kept-sample bytes cross the device->host tunnel (the only crop bytes
+    that ever do) and land as 'samples'/'scores' box fields.  Yields
+    ``(record_index, dt_boxes)`` pairs.
+    """
+    mined = mine_labeled_windows(model, records, tp=tp, fp=fp, rng=rng,
+                                 **kwargs)
+    if mined is None:
+        return
+    pend, samples_dev, scores_dev = mined
+    k = sum(len(b) for _, b in pend)
+    samples = np.asarray(samples_dev)[:k]
+    scores = np.asarray(scores_dev)[:k].astype(np.float32)
     off = 0
     for i, dt_boxes in pend:
         kk = len(dt_boxes)
