@@ -34,6 +34,34 @@ def test_dtree_fit_separates(backend):
     assert tuple(tree.feature[0]) == (1, 2, 0)
 
 
+def test_dtree_quantile_binning_survives_outliers():
+    """A separating feature whose mass sits in [0, 1] with a few 1e6
+    outliers: the uniform-256 grid collapses the mass into one bin (the
+    measured round-2 training-quality gap), quantile edges keep resolving
+    the split.  Fit/inference consistency: thresholds are data values, so
+    predict must reproduce the fitted split exactly."""
+    rng = np.random.RandomState(3)
+    n = 500
+    X0 = rng.rand(n, 1, 1, 2).astype("f") * 0.45        # class 0: [0, .45]
+    X1 = (rng.rand(n, 1, 1, 2) * 0.45 + 0.55).astype("f")  # class 1: [.55, 1]
+    X0[:3, 0, 0, 0] = 1e6  # outliers stretch the uniform grid
+    X0[:, 0, 0, 1] = rng.randn(n)  # noise feature
+    X1[:, 0, 0, 1] = rng.randn(n)
+    W0 = np.full(n, 1.0 / n, "f")
+    W1 = np.full(n, 1.0 / n, "f")
+    tq = tr.DTree.fit(X0, W0, X1, W1, max_depth=1, backend="hist",
+                      binning="quantile")
+    assert tuple(tq.feature[0]) == (0, 0, 0)
+    # all non-outlier class-0 below, all class-1 above the fitted split
+    p0, p1 = tq.predict(X0[3:]), tq.predict(X1)
+    assert (p0 < 0).all() and (p1 > 0).all()
+    # uniform-256 on the same data cannot resolve the squeezed split
+    tu = tr.DTree.fit(X0, W0, X1, W1, max_depth=1, backend="hist",
+                      binning="uniform")
+    pu0, pu1 = tu.predict(X0[3:]), tu.predict(X1)
+    assert ((pu0 < 0).mean() < 0.9) or ((pu1 > 0).mean() < 0.9)
+
+
 def test_dtree_hist_respects_feature_mask():
     X0, X1 = gaussian_data()
     W0 = np.full(len(X0), 1.0 / len(X0), "f")
