@@ -27,29 +27,31 @@ REPS = int(os.environ.get("CALIB_REPS", "3"))
 
 
 def main():
-    import jax.numpy as jnp
-
     import waldboost_tpu as wb  # noqa: F401  (registers channels)
     from __graft_entry__ import _flagship_model
     from bench import _detect_mps
 
     h, w = 480, 640
-    rng = np.random.RandomState(3)
-    probe = rng.randint(0, 256, (h, w)).astype(np.uint8)
-
-    for q in (0.35, 0.42, 0.50, 0.60):
+    qs = tuple(float(x) for x in
+               os.environ.get("CALIB_QS", "0.35,0.42,0.50,0.60").split(","))
+    for q in qs:
+        t0 = time.perf_counter()
+        print(f"# calibrating q={q}", flush=True)
         model = _flagship_model(calib_q=q)
-        # operating point: detections + eval cost on a probe frame
-        dets = model.detect(probe)
-        cost = float(model.eval_cost)
+        th = [t for t in model.theta if np.isfinite(t)]
+        print(f"# q={q} calibrated in {time.perf_counter() - t0:.1f}s; "
+              f"theta[-1]={th[-1]:.3f}", flush=True)
         t0 = time.perf_counter()
         mps = _detect_mps(model, h, w, BATCH, ITERS, 2, nms_iou=0.5,
                           reps=REPS)
         print(json.dumps({"q": q, "mps": round(mps, 1),
-                          "eval_cost": round(cost, 3),
-                          "dets_probe": len(dets),
                           "wall_s": round(time.perf_counter() - t0, 1)}),
               flush=True)
+        # operating-point probe (eval_cost + detections) runs on CPU via
+        # exp_r9_flagcand-style evaluation of the saved model if needed;
+        # keep the TPU leg pure throughput (a detect-path compile stalled
+        # the first run of this sweep for 40+ min)
+        model.save(f"/tmp/calibq_{q:.2f}.pb")
 
 
 if __name__ == "__main__":

@@ -241,4 +241,6 @@ def _train_body(model, training_images, learner, pool, length,
         for cb in callbacks:
             cb(model, learner, stage)
 
+    from .model import join_prewarm_threads
+    join_prewarm_threads(model)
     return learner

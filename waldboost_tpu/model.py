@@ -1599,7 +1599,23 @@ def prewarm_next_mining_bucket(model: "Model", logger=None):
     t = threading.Thread(target=compile_it, daemon=True,
                          name=f"wb-prewarm-{nxt}")
     t.start()
+    # track live prewarm threads on the model so training loops can join
+    # them before returning: a daemon thread still inside an XLA call at
+    # interpreter teardown aborts the process ("terminate called after
+    # throwing ..." — observed after profile_train_device r3e)
+    threads = [th for th in getattr(model, "_mining_prewarm_threads", [])
+               if th.is_alive()]
+    threads.append(t)
+    model._mining_prewarm_threads = threads
     return t
+
+
+def join_prewarm_threads(model, timeout: float = 300.0) -> None:
+    """Wait for outstanding background mining-bucket compiles (a compile
+    finishes in seconds; the timeout is a hung-relay escape hatch)."""
+    for t in getattr(model, "_mining_prewarm_threads", []):
+        t.join(timeout=timeout)
+    model._mining_prewarm_threads = []
 
 
 def detect_multi(models, image, response_scale=None):

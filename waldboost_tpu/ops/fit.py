@@ -17,9 +17,14 @@ and shards (the histograms are the only cross-sample reduction, which makes
 multi-chip training a single ``psum`` — see waldboost_tpu.parallel).
 
 Numerical notes:
-* Split thresholds are bin edges ``fmin + (b+1)*width``; binning uses
-  ``bin(x) = clip(ceil((x-fmin)/width)-1, 0, B-1)`` so that
-  ``x <= threshold  <=>  bin(x) <= b`` exactly (fit/inference consistency).
+* Binning is selectable; the default is per-feature QUANTILE edges
+  (outlier-robust; AUC == sklearn CART within noise, BASELINE.md
+  "Training-quality parity") with thresholds that are actual data values,
+  ``bin(x) =`` count of edges ``< x`` so ``x <= threshold <=> bin(x) <= b``
+  exactly.  ``binning="uniform"`` keeps the global grid
+  ``fmin + (b+1)*width`` with ``bin(x) = clip(ceil((x-fmin)/width)-1, 0,
+  B-1)`` — the same exact fit/inference consistency, and exact splits for
+  integer-valued channels with range <= B.
 * Entropy uses a 0*log(0)=0 convention (the reference's raw ``p*log2(p)`` can
   produce NaN on pure nodes; this is a deliberate robustness improvement).
 * Class balancing matches the FPGA trainer (each class's split-weights sum to
@@ -73,7 +78,7 @@ def fit_tree_complete(
     n_bins: int = 256,
     min_samples_leaf: int = 1,
     feature_mask: Optional[jax.Array] = None,  # (max_depth, F) bool allowed per depth
-    binning: str = "uniform",
+    binning: str = "quantile",
 ) -> TreeFitResult:
     N, F = xf.shape
     B = int(n_bins)
@@ -91,15 +96,29 @@ def fit_tree_complete(
         # put ~equal sample counts in every bin at any B.  bin(x) = count
         # of edges < x, so ``x <= edges[b]  <=>  bin(x) <= b`` exactly
         # (fit/inference consistency, duplicate edges included).
-        xs = jnp.sort(jnp.where(valid[:, None], xf, jnp.inf), axis=0)
-        nv = jnp.sum(valid).astype(jnp.float32)
+        # Edges come from a deterministic strided SUBSAMPLE of <=2048
+        # rows: the (N, F) axis-0 device sort is the cost of this binning
+        # (scripts/exp_r9_qcost.py: 237 ms/stage full vs 44 uniform) and
+        # edge ESTIMATES from a quarter of the pool bin identically for
+        # boosting purposes (LightGBM subsamples the same way).  Stride
+        # keeps the choice independent of the mesh (same rows at any
+        # device count).
+        stride = max(1, -(-N // 2048))
+        xsub = xf[::stride]
+        vsub = valid[::stride]
+        Ns = xsub.shape[0]
+        xs = jnp.sort(jnp.where(vsub[:, None], xsub, jnp.inf), axis=0)
+        nv = jnp.sum(vsub).astype(jnp.float32)
         ranks = jnp.arange(1, B, dtype=jnp.float32) * (nv / B)
-        idx = jnp.clip(jnp.ceil(ranks).astype(jnp.int32) - 1, 0, N - 1)
+        idx = jnp.clip(jnp.ceil(ranks).astype(jnp.int32) - 1, 0, Ns - 1)
         edges = xs[idx, :]                      # (B-1, F) nondecreasing
         edges = jnp.where(jnp.isfinite(edges), edges, jnp.float32(3e38))
-        bins = jax.vmap(
-            lambda e, col: jnp.searchsorted(e, col, side="left"),
-            in_axes=(1, 1), out_axes=1)(edges, xf).astype(jnp.int32)
+        # bin(x) = count of edges < x (== searchsorted side='left'), as a
+        # fused broadcast compare+reduce: searchsorted's scan method is 8
+        # serial GATHER rounds over 2.4M elements on TPU and measured
+        # ~190 ms/stage of the quantile path's cost (exp_r9_qcost)
+        bins = jnp.sum(edges[None, :, :] < xf[:, None, :], axis=1,
+                       dtype=jnp.int32)
 
         def thr_of(best_f, best_b):
             return edges[jnp.clip(best_b, 0, B - 2), best_f]

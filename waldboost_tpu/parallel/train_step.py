@@ -59,7 +59,7 @@ def _stage_body(x0, H0, v0, x1, H1, v1, P0, P1, theta_in, use_sprt,
                 feature_mask=None,
                 alpha=0.1, max_depth=2, n_bins=256, min_samples_leaf=1,
                 mesh=None, clip=None, quantizer=None,
-                integer_thresholds=False, binning="uniform"):
+                integer_thresholds=False, binning="quantile"):
     """x0/x1: (N?, F) flattened padded pools; H: scores; v: valid masks.
     ``theta_in``/``use_sprt``: rejection-schedule override (use_sprt=True ->
     estimate theta from data).
@@ -132,7 +132,7 @@ def _stage_body(x0, H0, v0, x1, H1, v1, P0, P1, theta_in, use_sprt,
 def make_train_step(alpha: float = 0.1, max_depth: int = 2, n_bins: int = 256,
                     min_samples_leaf: int = 1, mesh=None, clip=None,
                     quantizer=None, integer_thresholds: bool = False,
-                    binning: str = "uniform"):
+                    binning: str = "quantile"):
     """Build the jitted stage-training step.
 
     Signature of the returned function:

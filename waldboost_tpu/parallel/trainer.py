@@ -160,7 +160,7 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
                   length: int = 64, min_tp: int = 1000, min_fp: int = 1000,
                   capacity: Optional[int] = None, theta_schedule=None,
                   max_depth: int = 2, n_bins: int = 256,
-                  binning: str = "uniform", seed=None,
+                  binning: str = "quantile", seed=None,
                   callbacks=(), logger: Optional[logging.Logger] = None,
                   mine_batch: int = 8, feature_masks_fn=None,
                   clip=None, quantizer=None,
@@ -268,11 +268,13 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
         if os.environ.get("WB_TRAIN_PREWARM", "1") == "1":
             from ..model import prewarm_next_mining_bucket
             prewarm_next_mining_bucket(model, logger=logger)
-        logger.log(15, f"Stage {stage}: loss {float(res.loss):g} "
-                       f"p0 {float(res.p0):g} p1 {float(res.p1):g} "
+        logger.log(15, f"Stage {stage}: loss {float(loss):g} "
+                       f"p0 {float(p0):g} p1 {float(p1):g} "
                        f"theta {theta:g}")
         for cb in callbacks:
             cb(model, learner, stage)
+    from ..model import join_prewarm_threads
+    join_prewarm_threads(model)
     return learner
 
 

@@ -84,7 +84,7 @@ class DTree:
     @staticmethod
     def fit(X0, W0, X1, W1, max_depth: int = 2, min_samples_leaf: int = 1,
             allowed_features=None, backend: str = "hist", n_bins: int = 256,
-            binning: str = "uniform",
+            binning: str = "quantile",
             clip: Optional[float] = None, quantizer: Optional[int] = None,
             integer_thresholds: bool = False, **sklearn_args) -> "DTree":
         """Fit a weak tree on weighted negative (X0, W0) / positive (X1, W1)
@@ -126,7 +126,7 @@ class DTree:
 
     @staticmethod
     def _fit_hist(X0, W0, X1, W1, max_depth, min_samples_leaf,
-                  allowed_features, n_bins, binning="uniform") -> "DTree":
+                  allowed_features, n_bins, binning="quantile") -> "DTree":
         X0 = np.asarray(X0)
         X1 = np.asarray(X1)
         shape = X0.shape[1:]
