@@ -88,7 +88,7 @@ def main():
     jax.device_get = timed_get
 
     import waldboost_tpu.model as M
-    orig_prewarm = M.prewarm_next_mining_bucket
+    orig_prewarm = M.prewarm_mining_buckets
 
     def timed_prewarm(*a, **k):
         t0 = time.perf_counter()
@@ -96,7 +96,7 @@ def main():
         t_phase["prewarm_call"] += time.perf_counter() - t0
         return out
 
-    M.prewarm_next_mining_bucket = timed_prewarm
+    M.prewarm_mining_buckets = timed_prewarm
 
     from waldboost_tpu import samples as S
     orig_mlw = S.mine_labeled_windows
@@ -135,9 +135,12 @@ def main():
                                        channels="grad_hist"))
     learner = wb.Learner(alpha=0.2, max_depth=2)
 
-    # warmup stages pay all compiles
+    # warmup stages pay all compiles; the pools dict carries the device
+    # pool into the measured segment (same contract as bench.py config 4b)
+    pools = {}
     T.train_sharded(model, gen, mesh=None, learner=learner, length=WARMUP,
-                    min_tp=1000, min_fp=1000, seed=0, mine_batch=MINE_BATCH)
+                    min_tp=1000, min_fp=1000, seed=0, mine_batch=MINE_BATCH,
+                    pools=pools)
     for k in list(t_phase):
         del t_phase[k]
     for k in list(counts):
@@ -155,7 +158,8 @@ def main():
 
     T.train_sharded(model, gen, mesh=None, learner=learner,
                     length=WARMUP + N_STAGES, min_tp=1000, min_fp=1000,
-                    seed=0, mine_batch=MINE_BATCH, callbacks=[StageClock()])
+                    seed=0, mine_batch=MINE_BATCH, callbacks=[StageClock()],
+                    pools=pools)
     wall = time.perf_counter() - wall0
 
     print(f"\n{N_STAGES} stages in {wall:.2f}s = "

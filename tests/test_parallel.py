@@ -284,6 +284,31 @@ def test_train_sharded_resume_and_stats():
     assert model.eval_cost < len(model)
 
 
+def test_train_sharded_pools_carry_over():
+    """A ``pools`` dict carries the device-resident pool across
+    train_sharded calls: the resumed call reuses the SAME pool objects
+    (no re-bootstrap mining) and keeps training the model."""
+    from waldboost_tpu.parallel.trainer import train_sharded
+    from waldboost_tpu.utils import fake_data_generator
+
+    gen = fake_data_generator(seed=29)
+    model = wb.Model((12, 12, 4), dict(shrink=2, n_per_oct=2, smooth=1,
+                                       channels="grad_hist"))
+    learner = wb.Learner(alpha=0.2, max_depth=2)
+    pools = {}
+    train_sharded(model, gen, mesh=None, learner=learner, length=2,
+                  min_tp=100, min_fp=100, seed=1, pools=pools)
+    assert len(model) == 2
+    fp0, tp0 = pools["fp"], pools["tp"]
+    assert fp0.count > 0 and tp0.count > 0
+    train_sharded(model, gen, mesh=None, learner=learner, length=4,
+                  min_tp=100, min_fp=100, seed=1, pools=pools)
+    assert len(model) == 4 and len(learner) == 4
+    assert pools["fp"] is fp0 and pools["tp"] is tp0  # reused, not rebuilt
+    # the carried pool still holds rescored live samples
+    assert fp0.count >= 0 and tp0.count > 0
+
+
 def test_fused_kernel_geometry_detector_exact():
     """The geometry-coupled channel+cascade kernel pair (static backend +
     pallas channels, zero inter-kernel copies) matches Model.detect."""

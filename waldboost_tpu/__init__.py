@@ -227,6 +227,13 @@ def _train_body(model, training_images, learner, pool, length,
 
     pool = pool or SamplePool()
 
+    if os.environ.get("WB_TRAIN_PREWARM", "1") == "1":
+        # resumed models already know their mining geometry: start the
+        # full-horizon bucket compiles before the first stage (no-op on a
+        # fresh model — geometry appears with the first mining scan)
+        from .model import prewarm_mining_buckets
+        prewarm_mining_buckets(model, length, logger=logger)
+
     for stage in range(len(model), length):
         pool.update(model, training_images)
         X0, H0 = pool.get_false_positives()
@@ -236,8 +243,10 @@ def _train_body(model, training_images, learner, pool, length,
             theta=theta_schedule(stage, learner.false_positive_rate))
         logger.log(15, f"Stage {stage}: loss: {stage_loss:g}, fpr: {p0:g}, tpr: {p1:g}")
         if os.environ.get("WB_TRAIN_PREWARM", "1") == "1":
-            from .model import prewarm_next_mining_bucket
-            prewarm_next_mining_bucket(model, logger=logger)
+            # full-horizon prewarm (see parallel/trainer.py): every bucket
+            # crossing up to ``length`` starts compiling in the background
+            from .model import prewarm_mining_buckets
+            prewarm_mining_buckets(model, length, logger=logger)
         for cb in callbacks:
             cb(model, learner, stage)
 

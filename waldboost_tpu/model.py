@@ -1538,29 +1538,53 @@ def _run_packed_serving(image, model: "Model", valid_mask, shrink, n_per_oct,
 
 
 def prewarm_next_mining_bucket(model: "Model", logger=None):
-    """Compile the NEXT length-bucket's mining cascade program in the
-    BACKGROUND, overlapped with training.
+    """Background-compile the NEXT length-bucket's mining program (thin
+    wrapper over :func:`prewarm_mining_buckets` with a one-bucket
+    horizon)."""
+    T = len(model) if model.classifier else 0
+    if T == 0:
+        return None
+    return prewarm_mining_buckets(model, Model._stage_bucket(T) + 1,
+                                  logger=logger)
+
+
+def prewarm_mining_buckets(model: "Model", length: int, logger=None):
+    """Compile EVERY length-bucket mining cascade program a training run to
+    ``length`` stages will need, in ONE background thread, overlapped with
+    training.
 
     The mining scan recompiles whenever the growing cascade crosses a
     length bucket (Model._stage_bucket) — seconds per crossing on the TPU
     compile relay, the dominant cost of the measured training loop
     (scripts/exp_r9_mining.py: the scan itself is ~36 ms/dispatch).  The
     jit cache keys on SHAPES and static metadata, not values, so padding
-    the CURRENT stages to the next bucket compiles exactly the program the
-    crossing will need.  Returns the started thread (or None when the
-    geometry is unknown / the program is already warm).
+    the CURRENT stages to a future bucket compiles exactly the program that
+    bucket's crossing will need.  The training loop knows its target
+    ``length`` up front, so all crossings can start compiling at the first
+    opportunity instead of one bucket ahead (stages outpace the compile
+    relay: a fast loop reaches the next crossing in ~1 s while compiles
+    take seconds — the one-ahead horizon lost the race and the crossing
+    blocked anyway).  Buckets compile in crossing order so the nearest one
+    is ready first.  Returns the started thread (or None when the geometry
+    is unknown / everything is already warm).
     """
     geom = getattr(model, "_mining_geom", None)
     if geom is None or not model.classifier:
         return None
     T = len(model)
     cur = Model._stage_bucket(T)
-    nxt = Model._stage_bucket(cur + 1)
     warmed = getattr(model, "_mining_warmed", set())
     model._mining_warmed = warmed
-    if nxt <= cur or nxt in warmed:
+    targets = []
+    b = cur
+    end = Model._stage_bucket(max(int(length), 1))
+    while b < end:
+        b = Model._stage_bucket(b + 1)
+        if b not in warmed:
+            targets.append(b)
+    if not targets:
         return None
-    warmed.add(nxt)
+    warmed.update(targets)
     # snapshot HOST-side state on this thread (model is mutated by the
     # stage loop); everything touching the device — including the cascade
     # table uploads in cascade_from_stages — runs in the background thread
@@ -1574,30 +1598,32 @@ def prewarm_next_mining_bucket(model: "Model", logger=None):
     backend = _resolve_cascade_backend()
 
     def compile_it():
-        # a REAL call on dummy operands: .lower().compile() would populate
+        # REAL calls on dummy operands: .lower().compile() would populate
         # only the AOT path, not the jit dispatch cache the crossing hits.
-        # The executed program is one wasted ~36 ms scan; the compile it
-        # front-loads costs seconds.
-        try:
-            casc, meta = casc_ops.cascade_from_stages(stages, thetas,
-                                                      n_stages=nxt)
-            cvs = jnp.zeros(canvas_shape, canvas_dtype)
-            valid = jnp.zeros(valid_shape, bool)
-            if backend == "pallas":
-                interpret = jax.default_backend() != "tpu"
-                out = _cascade_pallas_batch_jit(cvs, casc, valid, (m, n),
-                                                meta, interpret)
-            else:
-                out = _cascade_xla_batch_jit(cvs, casc, valid, (m, n), meta)
-            jax.block_until_ready(out)
-        except Exception as e:  # a cold cache-miss at the crossing, not an error
-            if logger is not None:
-                logger.debug("mining prewarm for bucket %d failed: %s",
-                             nxt, e)
+        # Each executed program is one wasted ~36 ms scan; the compiles it
+        # front-loads cost seconds apiece.
+        for nxt in targets:
+            try:
+                casc, meta = casc_ops.cascade_from_stages(stages, thetas,
+                                                          n_stages=nxt)
+                cvs = jnp.zeros(canvas_shape, canvas_dtype)
+                valid = jnp.zeros(valid_shape, bool)
+                if backend == "pallas":
+                    interpret = jax.default_backend() != "tpu"
+                    out = _cascade_pallas_batch_jit(cvs, casc, valid, (m, n),
+                                                    meta, interpret)
+                else:
+                    out = _cascade_xla_batch_jit(cvs, casc, valid, (m, n),
+                                                 meta)
+                jax.block_until_ready(out)
+            except Exception as e:  # a cold crossing cache-miss, not an error
+                if logger is not None:
+                    logger.debug("mining prewarm for bucket %d failed: %s",
+                                 nxt, e)
 
     import threading
     t = threading.Thread(target=compile_it, daemon=True,
-                         name=f"wb-prewarm-{nxt}")
+                         name=f"wb-prewarm-{targets[0]}")
     t.start()
     # track live prewarm threads on the model so training loops can join
     # them before returning: a daemon thread still inside an XLA call at

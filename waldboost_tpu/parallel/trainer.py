@@ -137,7 +137,12 @@ class DevicePool:
         if accept <= 0:
             return 0
         idx = np.asarray(idx[:accept], np.int32)
-        K = min(max(64, 1 << (accept - 1).bit_length()), self.capacity)
+        # pad the index vector to the SOURCE bucket size (already a power
+        # of two from the mining gather), capped at capacity: the jit cache
+        # then holds one program per source bucket instead of one per
+        # (accept-bucket x source-bucket) pair — measured as one ~0.3 s
+        # compile per novel pair in the training profile's pool_insert phase
+        K = min(int(src_x.shape[0]), self.capacity)
         idxp = np.pad(idx, (0, K - accept))
         self.x, self.H, self.v = _insert_gather_jit(
             self.x, self.H, self.v, src_x, src_H, jnp.asarray(idxp),
@@ -164,7 +169,8 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
                   callbacks=(), logger: Optional[logging.Logger] = None,
                   mine_batch: int = 8, feature_masks_fn=None,
                   clip=None, quantizer=None,
-                  integer_thresholds: bool = False, **label_kwargs):
+                  integer_thresholds: bool = False, pools: dict = None,
+                  **label_kwargs):
     """Train ``model`` to ``length`` stages with the device-resident pool.
 
     Semantics mirror ``wb.train`` (pool bootstrap, exp-loss boosting, SPRT
@@ -178,6 +184,13 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
     ``clip``/``quantizer``/``integer_thresholds`` apply the FPGA response
     and threshold transforms IN-STEP (before score accumulation) — together
     these give fpga.train its mesh path.
+
+    ``pools``: an optional MUTABLE dict carrying the device-resident pools
+    across calls ({"fp": DevicePool, "tp": DevicePool}, filled in on first
+    use).  A resumed call (same dict, same model) then continues from the
+    mined-and-rescored pool state instead of re-bootstrapping mining from
+    scratch — the device analog of passing the same host SamplePool to
+    successive ``wb.train`` calls.
     """
     from ..training import BasicRejectionSchedule
 
@@ -193,8 +206,17 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
     m, n, C = model.shape
     F = m * n * C
     capacity = capacity or 2 * max(min_tp, min_fp)
-    pool_fp = DevicePool(capacity, F, mesh=mesh)
-    pool_tp = DevicePool(capacity, F, mesh=mesh)
+    pool_fp = pool_tp = None
+    if pools is not None:
+        pool_fp, pool_tp = pools.get("fp"), pools.get("tp")
+        if pool_fp is not None and (pool_fp.x.shape[1] != F
+                                    or pool_fp.mesh is not mesh):
+            pool_fp = pool_tp = None  # incompatible carry-over: start fresh
+    if pool_fp is None or pool_tp is None:
+        pool_fp = DevicePool(capacity, F, mesh=mesh)
+        pool_tp = DevicePool(capacity, F, mesh=mesh)
+    if pools is not None:
+        pools["fp"], pools["tp"] = pool_fp, pool_tp
     rng = np.random.default_rng(seed)
     step = make_train_step(alpha=learner.alpha, max_depth=max_depth,
                            n_bins=n_bins, binning=binning, mesh=mesh,
@@ -236,6 +258,13 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
         if need_tp or need_fp:
             logger.warning("training images exhausted during mining")
 
+    if os.environ.get("WB_TRAIN_PREWARM", "1") == "1":
+        # resumed models already know their mining geometry: start the
+        # full-horizon bucket compiles before the first stage (no-op on a
+        # fresh model — geometry appears with the first mining scan)
+        from ..model import prewarm_mining_buckets
+        prewarm_mining_buckets(model, length, logger=logger)
+
     for stage in range(len(model), length):
         refill()
         logger.log(15, f"Stage {stage}: pool tp={pool_tp.count} "
@@ -266,8 +295,12 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
         pool_fp.apply_stage(res.H0, res.v0, count=c0)
         pool_tp.apply_stage(res.H1, res.v1, count=c1)
         if os.environ.get("WB_TRAIN_PREWARM", "1") == "1":
-            from ..model import prewarm_next_mining_bucket
-            prewarm_next_mining_bucket(model, logger=logger)
+            # full-horizon prewarm: the target length is known, so every
+            # bucket crossing this run will hit starts compiling now (the
+            # one-ahead horizon lost the race to a ~1 s/stage loop); no-op
+            # once every bucket is warm
+            from ..model import prewarm_mining_buckets
+            prewarm_mining_buckets(model, length, logger=logger)
         logger.log(15, f"Stage {stage}: loss {float(loss):g} "
                        f"p0 {float(p0):g} p1 {float(p1):g} "
                        f"theta {theta:g}")
