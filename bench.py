@@ -9,7 +9,14 @@ publishes no numbers, BASELINE.md).
 Configs (BASELINE.json:6-12):
   1. vga_single_scale — 12x12x4 grad_hist stump model, 640x480, one scale
   2. vga_full_pyramid — shrink=2/n_per_oct=8/smooth=1 pyramid, 64-stage
-     depth-2 cascade, on-device box extraction + NMS  [HEADLINE]
+     depth-2 cascade, on-device box extraction + NMS  [HEADLINE].  The
+     headline cascade is the committed REALLY-TRAINED flagship
+     (models/flagship_synth_64.pb, scripts/train_flagship.py — AUC 0.903
+     on the held-out synthetic corpus): a detector framework's honest
+     number runs under real trained rejection dynamics.  The synthetic
+     quantile-calibrated cascade that headlined rounds 1-2 stays as the
+     `synthetic_calibrated_throughput` diagnostic (training-independent
+     kernel regression tracking).
   3. fhd_stream_depth2 — depth-2 trees, batched 1920x1080 stream
   4. train_loop — SamplePool + Learner.fit_stage (alpha=0.2), synthetic data
   5. fpga_4k — quantized integer channels, multi-channel
@@ -129,8 +136,22 @@ def bench_vga_single_scale(batch, iters, warmup, reps=1):
 
 
 def bench_vga_full_pyramid(batch, iters, warmup, reps=1):
-    """Config 2 (HEADLINE): full pyramid + 64-stage depth-2 cascade +
-    on-device extraction + NMS."""
+    """Config 2 (HEADLINE): full pyramid + the committed trained 64-stage
+    depth-2 cascade + on-device extraction + NMS."""
+    import waldboost_tpu as wb
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "models", "flagship_synth_64.pb")
+    model = wb.load(path)
+    return _detect_mps(model, 480, 640, batch, iters, warmup, nms_iou=0.5,
+                       reps=reps)
+
+
+def bench_synthetic_calibrated(batch, iters, warmup, reps=1):
+    """Config 2 diagnostic: the synthetic quantile-calibrated cascade of
+    __graft_entry__ (random trees over real channel statistics, survivor-
+    quantile thetas) on the same VGA full-pyramid pipeline — tracks kernel
+    regressions independently of any training run."""
     from __graft_entry__ import _flagship_model
     model = _flagship_model()
     return _detect_mps(model, 480, 640, batch, iters, warmup, nms_iou=0.5,
@@ -156,20 +177,6 @@ def bench_fpga_4k(batch, iters, warmup, smooth=0, reps=1):
     model = _flagship_model(channel_opts=opts, image_hw=(540, 960),
                             shape=(12, 12, 5))
     return _detect_mps(model, 2160, 3840, batch, iters, warmup, nms_iou=0.5,
-                       reps=reps)
-
-
-def bench_trained_cascade(batch, iters, warmup, reps=1):
-    """Config 6: the committed REALLY-TRAINED 64-stage cascade
-    (models/flagship_synth_64.pb, scripts/train_flagship.py) on the headline
-    VGA full-pyramid pipeline — confirms the synthetic-calibration headline
-    survives trained rejection dynamics."""
-    import waldboost_tpu as wb
-
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "models", "flagship_synth_64.pb")
-    model = wb.load(path)
-    return _detect_mps(model, 480, 640, batch, iters, warmup, nms_iou=0.5,
                        reps=reps)
 
 
@@ -211,14 +218,19 @@ def bench_train_loop_device_pool(n_stages=12, reps=1):
     learner = wb.Learner(alpha=0.2, max_depth=2)
     from waldboost_tpu.io import prefetch_iterable
     gen = prefetch_iterable(gen, depth=32)
+    # the pools dict carries the device-resident pool across segments —
+    # the same steady-state contract as the host-pool config, which reuses
+    # its SamplePool (a fresh pool per segment would re-measure bootstrap
+    # mining, not the training loop)
+    pools = {}
     train_sharded(model, gen, mesh=None, learner=learner, length=2,
-                  min_tp=1000, min_fp=1000, seed=0)
+                  min_tp=1000, min_fp=1000, seed=0, pools=pools)
     best = np.inf
     for r in range(reps):
         t0 = time.perf_counter()
         train_sharded(model, gen, mesh=None, learner=learner,
                       length=2 + (r + 1) * n_stages,
-                      min_tp=1000, min_fp=1000, seed=0)
+                      min_tp=1000, min_fp=1000, seed=0, pools=pools)
         best = min(best, time.perf_counter() - t0)
     return n_stages / best * 60.0
 
@@ -274,9 +286,12 @@ def main():
     add("training_loop_device_pool",
         lambda: bench_train_loop_device_pool(reps=min(reps, 2)),
         unit="stages/min", baseline=None)
-    add("trained_cascade_throughput",
-        lambda: bench_trained_cascade(batch, iters, warmup, reps=reps))
-    # headline LAST (the driver parses the final JSON line)
+    add("synthetic_calibrated_throughput",
+        lambda: bench_synthetic_calibrated(batch, iters, warmup, reps=reps))
+    # headline LAST (the driver parses the final JSON line): the committed
+    # trained flagship — rounds 1-2 reported it as
+    # trained_cascade_throughput (892.5 in r2) next to a synthetic-cascade
+    # headline; the trained detector IS the honest config-2 workload
     add("full_pyramid_detection_throughput",
         lambda: bench_vga_full_pyramid(batch, iters, warmup, reps=reps))
 
