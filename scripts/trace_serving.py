@@ -29,6 +29,14 @@ def main():
                     channels="grad_hist_4_u1")
         model = _flagship_model(channel_opts=opts, image_hw=(540, 960))
         nms_iou = None
+    elif cfgname == "trained":
+        # the committed trained flagship — the HEADLINE config since round 3
+        import waldboost_tpu as wb
+        h, w = 480, 640
+        batch = int(os.environ.get("TRACE_BATCH", "32"))
+        model = wb.load(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "models", "flagship_synth_64.pb"))
+        nms_iou = 0.5
     else:
         h, w = 480, 640
         batch = int(os.environ.get("TRACE_BATCH", "32"))
