@@ -212,7 +212,14 @@ def mine_labeled_windows(model: Model, records, tp=True, fp=True,
     cols = np.concatenate([b.get_field("col").flatten() for _, b in pend])
     k = rows.size
     m, n, _ = model.shape
-    pad = max(64, 1 << (k - 1).bit_length()) - k  # bucket the jit cache
+    # bucket the gather's jit cache with a HIGH floor: a typical mining
+    # batch keeps well under 1024 windows (candidate caps x mine_batch), so
+    # one program covers every stage — the 64..512 power-of-two buckets
+    # each cost a gather + pool-insert compile pair mid-run (pool_insert
+    # was ~28% of the r3g training profile, nearly all novel-bucket
+    # compiles).  The padding rows are device-side gather work only
+    # (~2 MB); the host fetch path slices [:k] regardless.
+    pad = max(1024, 1 << (k - 1).bit_length()) - k
     samples, scores = _gather_windows_scores_batch_jit(
         canvas_dev, hs_dev,
         jnp.asarray(np.pad(bs, (0, pad))),
