@@ -237,11 +237,13 @@ def bench_train_loop_device_pool(n_stages=12, reps=1):
 
 def main():
     only = os.environ.get("BENCH_CONFIGS", "all")
-    # batch 96 amortizes the ~2 ms per-batch dispatch gap best at the
-    # round-5 kernel speeds (measured on the headline config: 992 MP/s at
-    # 96 vs 968 at 64 and 981 at 128; the round-3 sweep favored 64 when
-    # kernels were 1.5x slower)
-    batch = int(os.environ.get("BENCH_BATCH", "96"))
+    # batch 192 amortizes the per-batch dispatch gap best at the round-3
+    # trained-cascade speeds (measured twice on the headline config:
+    # 1197.5/1194.0 MP/s at 192 vs 1168 at 96, 1161 at 128, 1169 at 256;
+    # earlier rounds favored 96 when kernels were slower).  The FHD/4K
+    # batches below stay at their own measured optima (16 / 8), decoupled
+    # from this default.
+    batch = int(os.environ.get("BENCH_BATCH", "192"))
     # 16+ iterations: the axon tunnel's first dispatches after a compile are
     # erratically slow; 8-iter runs under-measure steady state by ~20%
     iters = int(os.environ.get("BENCH_ITERS", "16"))
@@ -269,14 +271,16 @@ def main():
         lambda: bench_vga_single_scale(batch, iters, warmup, reps=reps))
     # FHD/4K batches stay at their measured optima (16 / 8) independent of
     # the headline batch default
+    fhd_batch = int(os.environ.get("BENCH_BATCH_FHD", "16"))
+    fpga_batch = int(os.environ.get("BENCH_BATCH_4K", "8"))
     add("fhd_depth2_stream_throughput",
-        lambda: bench_fhd_stream_depth2(max(batch // 6, 2), iters, warmup,
+        lambda: bench_fhd_stream_depth2(fhd_batch, iters, warmup,
                                         reps=reps))
     add("fpga_4k_quantized_throughput",
-        lambda: bench_fpga_4k(max(batch // 12, 2), max(iters // 2, 2),
+        lambda: bench_fpga_4k(fpga_batch, max(iters // 2, 2),
                               warmup, reps=reps))
     add("fpga_4k_smooth_throughput",
-        lambda: bench_fpga_4k(max(batch // 12, 2), max(iters // 2, 2),
+        lambda: bench_fpga_4k(fpga_batch, max(iters // 2, 2),
                               warmup, smooth=1, reps=reps))
     # no meaningful reference baseline exists for stages/min (the CPU
     # reference publishes no training numbers): vs_baseline is null
