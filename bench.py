@@ -267,8 +267,11 @@ def main():
         except Exception:
             traceback.print_exc()
 
+    # single-scale measured best at 96 (2320 vs 2281 at 192): the one-level
+    # program is small enough that the bigger batch only grows HBM traffic
+    ss_batch = int(os.environ.get("BENCH_BATCH_SINGLE", "96"))
     add("single_scale_detection_throughput",
-        lambda: bench_vga_single_scale(batch, iters, warmup, reps=reps))
+        lambda: bench_vga_single_scale(ss_batch, iters, warmup, reps=reps))
     # FHD/4K batches stay at their measured optima (16 / 8) independent of
     # the headline batch default
     fhd_batch = int(os.environ.get("BENCH_BATCH_FHD", "16"))
