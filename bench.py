@@ -223,8 +223,11 @@ def bench_train_loop_device_pool(n_stages=12, reps=1):
     # its SamplePool (a fresh pool per segment would re-measure bootstrap
     # mining, not the training loop)
     pools = {}
+    # the warmup segment prewarms every length bucket the measured
+    # segments will cross (its end-of-call join absorbs the compiles)
     train_sharded(model, gen, mesh=None, learner=learner, length=2,
-                  min_tp=1000, min_fp=1000, seed=0, pools=pools)
+                  min_tp=1000, min_fp=1000, seed=0, pools=pools,
+                  prewarm_length=2 + reps * n_stages)
     best = np.inf
     for r in range(reps):
         t0 = time.perf_counter()

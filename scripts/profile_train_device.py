@@ -140,7 +140,7 @@ def main():
     pools = {}
     T.train_sharded(model, gen, mesh=None, learner=learner, length=WARMUP,
                     min_tp=1000, min_fp=1000, seed=0, mine_batch=MINE_BATCH,
-                    pools=pools)
+                    pools=pools, prewarm_length=WARMUP + N_STAGES)
     for k in list(t_phase):
         del t_phase[k]
     for k in list(counts):

@@ -170,7 +170,7 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
                   mine_batch: int = 8, feature_masks_fn=None,
                   clip=None, quantizer=None,
                   integer_thresholds: bool = False, pools: dict = None,
-                  **label_kwargs):
+                  prewarm_length: Optional[int] = None, **label_kwargs):
     """Train ``model`` to ``length`` stages with the device-resident pool.
 
     Semantics mirror ``wb.train`` (pool bootstrap, exp-loss boosting, SPRT
@@ -191,6 +191,12 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
     mined-and-rescored pool state instead of re-bootstrapping mining from
     scratch — the device analog of passing the same host SamplePool to
     successive ``wb.train`` calls.
+
+    ``prewarm_length``: bucket-prewarm horizon when it exceeds ``length``
+    — a segmented run (e.g. train to 8, evaluate, continue to 64) can tell
+    the FIRST segment the eventual target so every length-bucket mining
+    program compiles in that segment's background instead of racing a
+    later segment's stage loop.
     """
     from ..training import BasicRejectionSchedule
 
@@ -258,12 +264,13 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
         if need_tp or need_fp:
             logger.warning("training images exhausted during mining")
 
+    horizon = max(length, prewarm_length or 0)
     if os.environ.get("WB_TRAIN_PREWARM", "1") == "1":
         # resumed models already know their mining geometry: start the
         # full-horizon bucket compiles before the first stage (no-op on a
         # fresh model — geometry appears with the first mining scan)
         from ..model import prewarm_mining_buckets
-        prewarm_mining_buckets(model, length, logger=logger)
+        prewarm_mining_buckets(model, horizon, logger=logger)
 
     for stage in range(len(model), length):
         refill()
@@ -300,7 +307,7 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
             # one-ahead horizon lost the race to a ~1 s/stage loop); no-op
             # once every bucket is warm
             from ..model import prewarm_mining_buckets
-            prewarm_mining_buckets(model, length, logger=logger)
+            prewarm_mining_buckets(model, horizon, logger=logger)
         logger.log(15, f"Stage {stage}: loss {float(loss):g} "
                        f"p0 {float(p0):g} p1 {float(p1):g} "
                        f"theta {theta:g}")
