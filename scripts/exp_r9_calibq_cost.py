@@ -5,10 +5,17 @@ TPU for throughput; this companion verifies each q's OPERATING POINT so a
 faster calibration stays honest: eval_cost (mean weak evaluations per
 window, the reference's cascade-cost diagnostic,
 /root/reference/waldboost/model.py:69-89) must stay in the 2-5 band that
-really-trained detectors occupy, and the detection count on scenes must
-not collapse (a cascade that rejects everything instantly would be "fast"
-but useless).  Reports, per q: eval_cost on a uniform-noise frame (the
-bench workload), eval_cost + box count on synthetic scenes, and the
+really-trained detectors occupy, and survivor depth must vary with q.
+
+MEASURED OUTCOME (recorded per ADVICE r3): the synthetic random-tree
+cascade detects ZERO boxes on scenes at EVERY q in 0.35-0.60 (only the
+trained anchor detects; random trees have no signal to fire on), so the
+box-count column discriminates nothing between candidates — the q=0.6
+default choice rests on (a) eval_cost staying inside the 2-5 trained
+band on scenes and (b) noise eval_cost varying smoothly with q (deeper
+tails at higher q = later rejection = the diagnostic still exercises the
+full cascade depth).  Reports, per q: eval_cost on a uniform-noise frame
+(the bench workload), eval_cost + box count on synthetic scenes, and the
 committed trained flagship (commit 40dc3ca) as the reality anchor.
 
   XLA_FLAGS=--xla_force_host_platform_device_count=1 \

@@ -29,6 +29,43 @@ import os
 
 import numpy as np
 
+
+def _enable_persistent_compilation_cache() -> None:
+    """Point jax at an on-disk compilation cache (VERDICT r3 #1).
+
+    Every fresh process re-paid multi-second XLA compiles for the same
+    training/serving programs (the driver-captured training loop ran ~8x
+    below its compile-free steady state).  The persistent cache makes those
+    compiles one-time per machine: later processes deserialize the compiled
+    executable instead of re-invoking the (nondeterministically slow, 2 s -
+    6 min) compile relay.  Default location is ``.jax_cache`` next to the
+    package (the repo root); override with ``WB_JAX_CACHE_DIR`` (empty/"0"
+    disables).  A user-configured ``jax_compilation_cache_dir`` wins.
+    """
+    cache_dir = os.environ.get("WB_JAX_CACHE_DIR")
+    if cache_dir in ("", "0", "off"):
+        return
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache")
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            # cache everything: tiny entries are cheap and the training
+            # loop's cost is many small-to-medium programs
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              -1)
+    except Exception:  # never make import fail over a cache knob
+        pass
+
+
+_enable_persistent_compilation_cache()
+
 from . import boxes as bbx  # noqa: F401  (public box substrate)
 from . import channels, groundtruth, samples  # noqa: F401
 from .boxes import Boxes  # noqa: F401

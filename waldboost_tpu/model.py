@@ -1573,8 +1573,13 @@ def prewarm_mining_buckets(model: "Model", length: int, logger=None):
         return None
     T = len(model)
     cur = Model._stage_bucket(T)
-    warmed = getattr(model, "_mining_warmed", set())
-    model._mining_warmed = warmed
+    # the warmed set is keyed on the mining geometry: a geometry change
+    # (new image shape / dtype) means every bucket's program is cold again
+    geom_key = (tuple(geom[0]), str(geom[1]), tuple(geom[2]))
+    prev_key, warmed = getattr(model, "_mining_warmed", (None, set()))
+    if prev_key != geom_key:
+        warmed = set()
+    model._mining_warmed = (geom_key, warmed)
     targets = []
     b = cur
     end = Model._stage_bucket(max(int(length), 1))
@@ -1617,6 +1622,10 @@ def prewarm_mining_buckets(model: "Model", length: int, logger=None):
                                                  meta)
                 jax.block_until_ready(out)
             except Exception as e:  # a cold crossing cache-miss, not an error
+                # un-mark the bucket so the next prewarm call retries it
+                # instead of leaving it falsely warm (the crossing would
+                # silently pay the full blocking compile)
+                warmed.discard(nxt)
                 if logger is not None:
                     logger.debug("mining prewarm for bucket %d failed: %s",
                                  nxt, e)
@@ -1690,7 +1699,6 @@ def detect_multi(models, image, response_scale=None):
                             level_id_map, inv_scales,
                             int((level_id_map >= 0).sum()))
         valid, level_id_map, inv_scales, n_valid = geom[(m, n)]
-        mm.n_loc += n_valid
         casc, depth = mm._get_cascade()
         rs = cs = scores = None
         if casc.n_stages > TWO_PHASE_PREFIX:
@@ -1702,7 +1710,7 @@ def detect_multi(models, image, response_scale=None):
                 canvas, casc, valid, (m, n), depth,
                 sc=mm._get_static_cascade())
             if int(count1) <= min(TWO_PHASE_CAPACITY, valid.size):
-                mm.n_weak += int(n_weak)
+                mm._track_cost(int(n_weak), n_valid)
                 sel = np.asarray(aliveK)
                 idxs = np.asarray(idx)[sel]
                 scores = np.asarray(H)[sel]
@@ -1710,7 +1718,7 @@ def detect_multi(models, image, response_scale=None):
         if rs is None:
             hs, alive, n_weak = _run_cascade_serving(canvas, mm, valid,
                                                      (m, n))
-            mm.n_weak += int(n_weak)
+            mm._track_cost(int(n_weak), n_valid)
             alive_np = np.asarray(alive)
             rs, cs = np.nonzero(alive_np)
             scores = np.asarray(hs)[rs, cs] if rs.size \
@@ -1913,6 +1921,74 @@ class Model:
     def reset(self) -> None:
         self.n_loc = 0
         self.n_weak = 0
+        #: worst-case counters (the reference's unfinished roadmap item
+        #: "Keep worst case eval. cost", /root/reference/NOTES.md:70):
+        #: highest per-scan average weak evals and number of scans tracked
+        self.n_images = 0
+        self.worst_eval_cost = 0.0
+        #: accumulated per-stage survivor counts (see survivor_histogram)
+        self.stage_survivors = None
+
+    def _track_cost(self, n_weak: int, n_loc: int, images: int = 1) -> None:
+        """Fold one scan's counters into the running totals AND the
+        worst-case stats.  ``images`` > 1 marks a batched scan whose
+        per-image breakdown is unavailable (the batch average is then one
+        worst-case sample — a lower bound on the true per-image max)."""
+        self.n_weak += n_weak
+        self.n_loc += n_loc
+        if n_loc > 0:
+            self.n_images += images
+            self.worst_eval_cost = max(self.worst_eval_cost, n_weak / n_loc)
+
+    def cost_stats(self) -> dict:
+        """Cascade-efficiency counters: running average, worst-case scan,
+        and the accumulated per-stage survivor histogram (None until
+        :meth:`survivor_histogram` has run)."""
+        return {
+            "eval_cost": self.eval_cost,
+            "worst_eval_cost": self.worst_eval_cost,
+            "n_images": self.n_images,
+            "n_loc": self.n_loc,
+            "n_weak": self.n_weak,
+            "stage_survivors": (None if self.stage_survivors is None
+                                else np.asarray(self.stage_survivors)),
+        }
+
+    def survivor_histogram(self, image) -> np.ndarray:
+        """Per-stage survivor counts for one image: ``out[t]`` = windows
+        still alive ENTERING stage ``t`` over the full packed pyramid.
+        Accumulates into ``self.stage_survivors`` (reset on cascade
+        growth).  A diagnostic pass over the XLA cascade backend; the
+        serving kernels are untouched."""
+        from .ops.cascade import cascade_survivor_counts
+
+        image = np.asarray(image)
+        if image.ndim != 2:
+            raise ValueError("Image must have 2 dimensions")
+        m, n, _ = self.shape
+        shrink, n_per_oct, smooth, cf = _normalize_opts(self.channel_opts)
+        packed = _packed_plan_cached(image.shape[0], image.shape[1], shrink,
+                                     n_per_oct, (m, n), halo=cf.halo)
+        T = len(self)
+        if not packed.levels or T == 0:
+            return np.zeros(T, np.int64)
+        valid = jnp.asarray(packed.valid_mask((m, n)))
+        casc, depth = self._get_cascade()
+        canvas = _canvas_jit(jnp.asarray(image), shrink, n_per_oct, smooth,
+                             cf, packed)
+        counts, n_weak = jax.jit(
+            cascade_survivor_counts, static_argnums=(2, 3))(
+                canvas, casc, (m, n), depth, init_alive=valid)
+        # cascade tables are padded to the jit stage bucket (inactive
+        # stages); the histogram reports the real stages only
+        counts = np.asarray(counts).astype(np.int64)[:T]
+        level_id_map, _ = packed.level_maps((m, n))
+        self._track_cost(int(n_weak), int((level_id_map >= 0).sum()))
+        if (self.stage_survivors is None
+                or len(self.stage_survivors) != len(counts)):
+            self.stage_survivors = np.zeros(len(counts), np.int64)
+        self.stage_survivors += counts
+        return counts
 
     # -- container protocol ---------------------------------------------
     def __getitem__(self, i):
@@ -2025,17 +2101,17 @@ class Model:
         assert ch_image == ch_cls, \
             f"Invalid number of channels. Expected {ch_cls} given {ch_image}."
         gu, gv = max(u - m, 0), max(v - n, 0)
-        self.n_loc += gu * gv
         if gu == 0 or gv == 0:
             e = np.empty(0, np.int64)
             return e, e, np.empty(0, np.float32)
         if not self.classifier:
+            self._track_cost(0, gu * gv)
             rs, cs = np.indices((gu, gv))
             return rs.flatten(), cs.flatten(), np.zeros(gu * gv, np.float32)
         casc, depth = self._get_cascade()
         chw = jnp.transpose(jnp.asarray(X), (2, 0, 1))
         hs, alive, n_weak = _grid_eval_jit(chw, casc, (m, n), depth)
-        self.n_weak += int(n_weak)
+        self._track_cost(int(n_weak), gu * gv)
         alive = np.asarray(alive)
         rs, cs = np.nonzero(alive)
         return rs, cs, np.asarray(hs)[rs, cs]
@@ -2067,8 +2143,7 @@ class Model:
             jnp.asarray(image), casc, valid, shrink, n_per_oct, smooth, cf,
             (m, n), depth, packed)
         level_id_map, _ = packed.level_maps((m, n))
-        self.n_loc += int((level_id_map >= 0).sum())
-        self.n_weak += int(n_weak)
+        self._track_cost(int(n_weak), int((level_id_map >= 0).sum()))
         alive_np = np.asarray(alive)
         rs, cs = np.nonzero(alive_np)
         scores = np.asarray(hs)[rs, cs] if rs.size else np.empty(0, np.float32)
@@ -2107,10 +2182,11 @@ class Model:
         self._mining_geom = (tuple(canvas.shape), canvas.dtype,
                              tuple(valid.shape))
         level_id_map, _ = packed.level_maps((m, n))
-        self.n_loc += int((level_id_map >= 0).sum()) * n_real
         # batch n_weak includes padding images; keep the counter a close
         # estimate by scaling (eval_cost is a diagnostic running average)
-        self.n_weak += int(n_weak) * n_real // images.shape[0]
+        self._track_cost(int(n_weak) * n_real // images.shape[0],
+                         int((level_id_map >= 0).sum()) * n_real,
+                         images=n_real)
         # transfer the survivor map BIT-PACKED (8x fewer bytes through the
         # tunnel); scores stay ON DEVICE — callers fetch them only for the
         # windows labeling kept, fused with the crop gather
@@ -2170,7 +2246,7 @@ class Model:
         valid = jnp.asarray(packed.valid_mask((m, n)))
         casc, depth = self._get_cascade()
         level_id_map, inv_scales = packed.level_maps((m, n))
-        self.n_loc += int((level_id_map >= 0).sum())
+        n_valid = int((level_id_map >= 0).sum())
         gv = packed.canvas_w - n
 
         # two-phase fast path: lockstep prefix + compacted suffix (exact as
@@ -2182,7 +2258,7 @@ class Model:
                 canvas, casc, valid, (m, n), depth,
                 sc=self._get_static_cascade())
             if int(count1) <= min(TWO_PHASE_CAPACITY, valid.size):
-                self.n_weak += int(n_weak)
+                self._track_cost(int(n_weak), n_valid)
                 sel = np.asarray(aliveK)
                 idx = np.asarray(idx)[sel]
                 scores = np.asarray(H)[sel]
@@ -2194,7 +2270,7 @@ class Model:
         _, hs, alive, n_weak = _run_packed_serving(
             jnp.asarray(image), self, valid, shrink, n_per_oct, smooth, cf,
             (m, n), packed)
-        self.n_weak += int(n_weak)
+        self._track_cost(int(n_weak), n_valid)
         alive_np = np.asarray(alive)
         rs, cs = np.nonzero(alive_np)
         scores = np.asarray(hs)[rs, cs] if rs.size else np.empty(0, np.float32)
@@ -2242,8 +2318,7 @@ class Model:
             jnp.asarray(image), self, valid, shrink, n_per_oct, smooth, cf,
             (m, n), packed)
         level_id_map, inv_scales = packed.level_maps((m, n))
-        self.n_loc += int((level_id_map >= 0).sum())
-        self.n_weak += int(n_weak)
+        self._track_cost(int(n_weak), int((level_id_map >= 0).sum()))
         offsets = np.array([(pl.y, pl.x) for pl in packed.levels], np.int32)
         rects, scores, valid_k = topk_detections(
             hs, alive, jnp.asarray(level_id_map), jnp.asarray(offsets),

@@ -357,6 +357,66 @@ def cascade_response_grid(chns: jax.Array, casc: Cascade, window: Tuple[int, int
     return hs, alive, n_weak
 
 
+def cascade_survivor_counts(chns: jax.Array, casc: Cascade,
+                            window: Tuple[int, int], meta,
+                            init_alive: Optional[jax.Array] = None
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """Per-stage survivor counts: the cascade-depth observability the
+    reference left as a roadmap TODO ("Keep worst case eval. cost",
+    /root/reference/NOTES.md:70).
+
+    Returns ``(counts, n_weak)`` where ``counts[t]`` is the number of
+    windows still ALIVE entering stage ``t`` (i.e. evaluated by stage
+    ``t``'s weak classifier when that stage is active) and ``n_weak`` is
+    the scalar total of weak evaluations (== ``(counts * active).sum()``).
+    A diagnostic pass over the XLA cascade — the serving Pallas kernel
+    stays untouched."""
+    if isinstance(meta, int):
+        meta = CascadeMeta(depth=meta, n_internal=int(casc.n_nodes))
+    C, U, V = chns.shape
+    m, n = window
+    gu, gv = max(U - m, 0), max(V - n, 0)
+    T = casc.n_stages
+    if gu == 0 or gv == 0:
+        return jnp.zeros((T,), jnp.int32), jnp.zeros((), jnp.int32)
+    hs = jnp.zeros((gu, gv), jnp.float32)
+    alive = jnp.ones((gu, gv), bool) if init_alive is None else init_alive
+    n_weak = jnp.zeros((), jnp.int32)
+    depth = max(meta.depth, 1)
+    n_slice = min(max(meta.n_internal, 1), casc.n_nodes)
+    complete = getattr(meta, "complete", False)
+    NN = casc.n_nodes
+    node0 = jnp.zeros((gu, gv), jnp.int32)
+
+    def stage(carry, params):
+        hs, alive, n_weak = carry
+        fr, fc, fch, thr, left, right, pred, theta, active = params
+        entering = jnp.sum(alive, dtype=jnp.int32)
+        bins = []
+        for j in range(NN):
+            if j < n_slice:
+                patch = jax.lax.dynamic_slice(chns, (fch[j], fr[j], fc[j]),
+                                              (1, gu, gv))[0]
+                bins.append(patch.astype(jnp.float32) <= thr[j])
+            else:
+                bins.append(jnp.zeros((), bool))
+        if complete:
+            resp = _route_complete(bins, pred, depth)
+        else:
+            resp = _route_and_predict(bins, left, right, pred, node0, depth,
+                                      NN)
+        n_weak = n_weak + entering * active.astype(jnp.int32)
+        hs = hs + jnp.where(alive, resp, 0.0)
+        alive = jnp.logical_and(alive, hs >= theta)
+        return (hs, alive, n_weak), entering
+
+    (hs, alive, n_weak), counts = jax.lax.scan(
+        stage, (hs, alive, n_weak),
+        (casc.fr, casc.fc, casc.fch, casc.thr, casc.left, casc.right,
+         casc.pred, casc.theta, casc.active))
+    return counts, n_weak
+
+
 def cascade_stage_responses(chns: jax.Array, casc: Cascade,
                             window: Tuple[int, int], meta) -> jax.Array:
     """Per-stage weak responses of every window origin: (T, GU, GV) float32.

@@ -215,9 +215,21 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
     pool_fp = pool_tp = None
     if pools is not None:
         pool_fp, pool_tp = pools.get("fp"), pools.get("tp")
-        if pool_fp is not None and (pool_fp.x.shape[1] != F
-                                    or pool_fp.mesh is not mesh):
-            pool_fp = pool_tp = None  # incompatible carry-over: start fresh
+        # carried pool scores are only valid for the SAME model object at
+        # the SAME stage count it had when the previous call returned; a
+        # different model (or externally grown/truncated cascade) with a
+        # matching feat-dim would otherwise be silently reused with stale H
+        tag = (id(model), len(model), F, mesh)
+        if pool_fp is not None and pools.get("model_tag") != tag:
+            logger.info("pools carry-over rejected (model/stage/mesh "
+                        "changed): re-bootstrapping the device pool")
+            pool_fp = pool_tp = None
+        if pool_fp is not None and pool_fp.capacity < _round_up(
+                capacity, 256):
+            logger.warning(
+                "pools carry-over keeps the previous capacity %d; the "
+                "requested capacity %d is ignored", pool_fp.capacity,
+                capacity)
     if pool_fp is None or pool_tp is None:
         pool_fp = DevicePool(capacity, F, mesh=mesh)
         pool_tp = DevicePool(capacity, F, mesh=mesh)
@@ -296,9 +308,7 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
         theta = float(theta)
         weak = _dtree_from_fit(tree_h, (m, n, C))
         model.append(weak, theta)
-        learner.p0.append(float(p0))
-        learner.p1.append(float(p1))
-        learner.losses.append(float(loss))
+        learner.record_stage(p0, p1, loss)
         pool_fp.apply_stage(res.H0, res.v0, count=c0)
         pool_tp.apply_stage(res.H1, res.v1, count=c1)
         if os.environ.get("WB_TRAIN_PREWARM", "1") == "1":
@@ -315,6 +325,10 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
             cb(model, learner, stage)
     from ..model import join_prewarm_threads
     join_prewarm_threads(model)
+    if pools is not None:
+        # stamp what the carried pool scores are valid FOR: this model
+        # object at this stage count on this mesh (checked on pickup)
+        pools["model_tag"] = (id(model), len(model), F, mesh)
     return learner
 
 

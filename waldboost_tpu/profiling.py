@@ -55,6 +55,26 @@ class Meter:
     totals: Dict[str, float] = field(default_factory=dict)
     items: Dict[str, float] = field(default_factory=dict)
     pixels: Dict[str, float] = field(default_factory=dict)
+    counters: Dict[str, float] = field(default_factory=dict)
+
+    def note_model(self, model, name: str = "detector") -> None:
+        """Fold a Model's cascade-efficiency counters (running average +
+        worst-case scan + survivor histogram, Model.cost_stats) into the
+        report — the observability the reference's roadmap asked for
+        ("Keep worst case eval. cost", /root/reference/NOTES.md:70)."""
+        stats = model.cost_stats()
+        self.counters[f"{name}.eval_cost"] = stats["eval_cost"]
+        self.counters[f"{name}.worst_eval_cost"] = stats["worst_eval_cost"]
+        self.counters[f"{name}.n_images"] = stats["n_images"]
+        surv = stats["stage_survivors"]
+        if surv is not None and len(surv) and surv[0] > 0:
+            # survivor curve summary: depth at which survivors fall below
+            # 10% / 1% of scanned windows (full histogram via cost_stats)
+            frac = surv / float(surv[0])
+            for q, lbl in ((0.1, "depth_10pct"), (0.01, "depth_1pct")):
+                below = (frac < q).nonzero()[0]
+                self.counters[f"{name}.{lbl}"] = float(
+                    below[0] if len(below) else len(surv))
 
     @contextlib.contextmanager
     def phase(self, name: str, items: float = 0, pixels: float = 0,
@@ -79,4 +99,6 @@ class Meter:
             if self.pixels.get(name):
                 parts.append(f"{self.pixels[name] / dt / 1e6:.1f} MP/s")
             lines.append("  ".join(parts))
+        for name, val in sorted(self.counters.items()):
+            lines.append(f"{name}: {val:g}")
         return "\n".join(lines)

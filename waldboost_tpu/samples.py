@@ -298,33 +298,43 @@ class SamplePool:
         self.mine_batch = max(int(mine_batch), 1)
 
     def update(self, model: Model, iterable: Iterable[dict]) -> None:
+        """One bootstrap round: rescore the pool with the grown cascade,
+        drop rejected windows, then mine images until both quotas refill."""
         self.update_scores(model)
         self.remove_low_scoring()
+        need = self.deficit()
+        if not (need["tp"] or need["fp"]):
+            return
+        parts = ([] if self.samples is None else [self.samples])
+        parts += list(self._mine(model, iterable, need))
+        if len(parts) > (self.samples is not None):
+            self.samples = bbx.concatenate(parts)
+
+    def deficit(self) -> dict:
+        """How many tp/fp samples are missing vs the quotas (>= 0 each)."""
         stats = self.pool_stats()
-        sample_tp = max(self.min_tp - stats["num_tp"], 0)
-        sample_fp = max(self.min_fp - stats["num_fp"], 0)
-        self.logger.log(
-            15, "pool fill tp=%d/%d fp=%d/%d", stats["num_tp"], self.min_tp,
-            stats["num_fp"], self.min_fp)
-        if sample_tp or sample_fp:
-            new_samples = []
-            for group in batched_records(iterable, self.mine_batch):
-                tp = sample_tp > 0
-                fp = sample_fp > 0
-                for _i, dt_boxes in get_samples_from_images(
-                        model, group, tp=tp, fp=fp, rng=self.rng,
-                        **self.label_boxes_args):
-                    lbl = dt_boxes.get_field("tp_label")
-                    sample_tp -= int((lbl == SampleLabel.TRUE_POSITIVE).sum())
-                    sample_fp -= int((lbl == SampleLabel.FALSE_POSITIVE).sum())
-                    new_samples.append(dt_boxes)
-                if sample_fp <= 0 and sample_tp <= 0:
-                    break
-            if new_samples:
-                if self.samples is not None:
-                    self.samples = bbx.concatenate([self.samples] + new_samples)
-                else:
-                    self.samples = bbx.concatenate(new_samples)
+        self.logger.log(15, "pool fill tp=%d/%d fp=%d/%d",
+                        stats["num_tp"], self.min_tp,
+                        stats["num_fp"], self.min_fp)
+        return {"tp": max(self.min_tp - stats["num_tp"], 0),
+                "fp": max(self.min_fp - stats["num_fp"], 0)}
+
+    def _mine(self, model: Model, iterable: Iterable[dict], need: dict):
+        """Yield labeled survivor boxes from ``mine_batch``-image groups,
+        decrementing ``need`` in place, until both deficits reach zero (or
+        the stream ends).  Which classes to collect is re-decided per group
+        so a satisfied quota stops contributing mid-run."""
+        for group in batched_records(iterable, self.mine_batch):
+            mined = get_samples_from_images(
+                model, group, tp=need["tp"] > 0, fp=need["fp"] > 0,
+                rng=self.rng, **self.label_boxes_args)
+            for _i, dt_boxes in mined:
+                lbl = dt_boxes.get_field("tp_label")
+                need["tp"] -= int((lbl == SampleLabel.TRUE_POSITIVE).sum())
+                need["fp"] -= int((lbl == SampleLabel.FALSE_POSITIVE).sum())
+                yield dt_boxes
+            if need["tp"] <= 0 and need["fp"] <= 0:
+                return
 
     def pool_stats(self) -> dict:
         if self.samples is None:

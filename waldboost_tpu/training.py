@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import logging
 import pickle
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -266,65 +266,109 @@ def loss(H0, H1) -> float:
     return m0 + m1
 
 
+class StageRecord(NamedTuple):
+    """Per-stage training statistics: survivor rates under the new theta
+    (p0 negatives / p1 positives) and the post-stage exp-loss."""
+
+    p0: float
+    p1: float
+    loss: float
+
+
 class Learner:
     """Boosting learner: appends one stage per ``fit_stage`` call.
 
-    State (alpha, weak-classifier factory + args, per-stage p0/p1/loss) is
-    pickle-checkpointable for resume, matching
-    /root/reference/waldboost/training.py:105-157.
+    Stage statistics live in one ``history`` list of :class:`StageRecord`;
+    the ``p0``/``p1``/``losses`` views and the pickle checkpoint keep the
+    reference's three-parallel-list surface
+    (/root/reference/waldboost/training.py:105-157) so old checkpoints load
+    and external code reads the same names.
     """
+
+    _CHECKPOINT_FIELDS = ("alpha", "wh", "wh_args")
 
     def __init__(self, alpha: float = 0.1, wh=DTree, **wh_args):
         self.alpha = alpha
         self.wh = wh
         self.wh_args = wh_args
-        self.p0 = []
-        self.p1 = []
-        self.losses = []
+        self.history: list[StageRecord] = []
 
-    @staticmethod
-    def from_dict(d: dict) -> "Learner":
-        L = Learner(alpha=d["alpha"], wh=d["wh"], **d["wh_args"])
-        L.p0 = d["p0"]
-        L.p1 = d["p1"]
-        L.losses = d["losses"]
-        if len(L.p0) != len(L.losses) or len(L.p1) != len(L.losses):
-            raise ValueError("Wrong values for p0, p1 or loss")
-        return L
+    # -- stage history ----------------------------------------------------
+    def record_stage(self, p0: float, p1: float, loss_: float) -> None:
+        """Append one stage's statistics (used by both the host
+        ``fit_stage`` and the sharded trainer's device stage)."""
+        self.history.append(StageRecord(float(p0), float(p1), float(loss_)))
 
-    def save(self, filename: str) -> None:
-        with open(filename, "wb") as f:
-            pickle.dump(self.__dict__, f)
+    @property
+    def p0(self) -> list:
+        return [s.p0 for s in self.history]
 
-    @staticmethod
-    def load(filename: str) -> "Learner":
-        with open(filename, "rb") as f:
-            return Learner.from_dict(pickle.load(f))
+    @property
+    def p1(self) -> list:
+        return [s.p1 for s in self.history]
+
+    @property
+    def losses(self) -> list:
+        return [s.loss for s in self.history]
 
     @property
     def false_positive_rate(self) -> float:
-        return float(np.prod(self.p0)) if self.p0 else 1.0
+        out = 1.0
+        for s in self.history:
+            out *= s.p0
+        return out
 
     @property
     def true_positive_rate(self) -> float:
-        return float(np.prod(self.p1)) if self.p1 else 1.0
+        out = 1.0
+        for s in self.history:
+            out *= s.p1
+        return out
 
     @property
     def loss(self):
-        return self.losses[-1] if self.losses else None
+        return self.history[-1].loss if self.history else None
 
     def __len__(self) -> int:
-        return len(self.losses)
+        return len(self.history)
 
     def __bool__(self) -> bool:
         return True
 
     def get_stats(self) -> dict:
+        """Cumulative rate curves + loss trajectory, one entry per stage."""
+        rec = np.array(self.history, "f8").reshape(len(self.history), 3)
         return {
-            "false_positive_rate": np.cumprod(self.p0),
-            "true_positive_rate": np.cumprod(self.p1),
-            "loss": np.array(self.losses),
+            "false_positive_rate": np.cumprod(rec[:, 0]),
+            "true_positive_rate": np.cumprod(rec[:, 1]),
+            "loss": rec[:, 2].copy(),
         }
+
+    # -- checkpointing ----------------------------------------------------
+    def to_dict(self) -> dict:
+        """Checkpoint payload; the stage history is flattened to the
+        reference's three-list layout for cross-compatibility."""
+        d = {k: getattr(self, k) for k in self._CHECKPOINT_FIELDS}
+        d.update(p0=self.p0, p1=self.p1, losses=self.losses)
+        return d
+
+    @staticmethod
+    def from_dict(d: dict) -> "Learner":
+        L = Learner(alpha=d["alpha"], wh=d["wh"], **d["wh_args"])
+        stats = [d[k] for k in ("p0", "p1", "losses")]
+        if len({len(s) for s in stats}) != 1:
+            raise ValueError("Wrong values for p0, p1 or loss")
+        L.history = [StageRecord(*t) for t in zip(*stats)]
+        return L
+
+    def save(self, filename: str) -> None:
+        with open(filename, "wb") as f:
+            pickle.dump(self.to_dict(), f)
+
+    @staticmethod
+    def load(filename: str) -> "Learner":
+        with open(filename, "rb") as f:
+            return Learner.from_dict(pickle.load(f))
 
     def fit_stage(self, model, X0, H0, X1, H1, theta: Optional[float] = None,
                   **wh_args) -> Tuple[float, float, float]:
@@ -348,11 +392,9 @@ class Learner:
                 H0, self.false_positive_rate, H1, self.true_positive_rate,
                 self.alpha)
 
-        p0 = float((H0 >= theta).sum() / max(H0.size, 1))
-        p1 = float((H1 >= theta).sum() / max(H1.size, 1))
-        self.p0.append(p0)
-        self.p1.append(p1)
-        self.losses.append(loss(H0, H1))
+        self.record_stage((H0 >= theta).sum() / max(H0.size, 1),
+                          (H1 >= theta).sum() / max(H1.size, 1),
+                          loss(H0, H1))
 
         model.append(weak, theta)
         return self.loss, self.false_positive_rate, self.true_positive_rate
