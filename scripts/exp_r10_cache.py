@@ -2,8 +2,14 @@
 TPU backend?  Run twice in fresh processes; second run's compile time should
 collapse if the cache is honored.  Usage: python scripts/exp_r10_cache.py tag
 """
+import logging
 import sys
 import time
+
+logging.basicConfig(level=logging.DEBUG)
+for noisy in ("jax._src.dispatch", "jax._src.interpreters",
+              "jax._src.xla_bridge"):
+    logging.getLogger(noisy).setLevel(logging.INFO)
 
 import jax
 import jax.numpy as jnp

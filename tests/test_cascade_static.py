@@ -165,16 +165,19 @@ def test_masked_kernel_serving_variants(setup):
                                                 tile=(64, 128),
                                                 interpret=True)
     ref = np.asarray(ref)
-    for ps, lazy, mu, me in [(False, False, 2, False), (True, False, 2, False),
-                             (True, True, 2, False), (True, True, 4, False),
-                             (True, True, 1, False),  # serving default
-                             (True, False, 1000, False),
-                             (False, False, 2, True), (True, False, 2, True),
-                             (True, True, 2, True)]:
+    for ps, lazy, mu, me, at in [
+            (False, False, 2, False, False), (True, False, 2, False, False),
+            (True, True, 2, False, False), (True, True, 4, False, False),
+            (True, True, 1, False, False),  # serving default
+            (True, False, 1000, False, False),
+            (False, False, 2, True, False), (True, False, 2, True, False),
+            (True, True, 2, True, False),
+            # deferred AND-tree rejection encoding (WB_CASC_ENC=andtree)
+            (False, False, 2, False, True), (True, True, 1, False, True)]:
         mk, _, count = cascade_masked_grid_static(
             cvs, sc, valid, window, tile=(64, 128), interpret=True,
             with_n_weak=False, preshift=ps, preshift_lazy=lazy,
-            preshift_min_uses=mu, block=4, margin_enc=me)
-        assert np.array_equal(np.asarray(mk), ref), (ps, lazy, mu, me)
+            preshift_min_uses=mu, block=4, margin_enc=me, and_tree=at)
+        assert np.array_equal(np.asarray(mk), ref), (ps, lazy, mu, me, at)
         assert np.array_equal(np.asarray(count), np.asarray(count0)), \
-            (ps, lazy, mu, me)
+            (ps, lazy, mu, me, at)

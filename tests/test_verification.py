@@ -74,3 +74,38 @@ def test_detect_and_verify_empty_image():
     tiny = np.zeros((8, 8), np.uint8)  # too small for any level
     boxes = V.detect_and_verify(tiny, model, module, params)
     assert len(boxes) == 0
+
+
+def test_verifier_does_not_degrade_auc():
+    """Regression guard for the measured uplift (BASELINE.md round 4:
+    +0.044 AUC at full scale, scripts/exp_r10_verifier.py): at test scale
+    the verified detections must rank at least as well as the raw cascade
+    (within a small deterministic tolerance)."""
+    from itertools import islice
+
+    import waldboost_tpu as wb
+    from waldboost_tpu.testing import Evaluator, evaluate_model
+    from waldboost_tpu.utils import fake_data_generator
+
+    gen = fake_data_generator(seed=11)
+    model = wb.Model((12, 12, 4), dict(shrink=2, n_per_oct=4, smooth=1,
+                                       channels="grad_hist"))
+    pool = wb.SamplePool(min_tp=300, min_fp=300, seed=0)
+    wb.train(model, gen, pool=pool, length=8,
+             learner=wb.Learner(alpha=0.2, max_depth=2))
+
+    X0, H0 = pool.get_false_positives()
+    X1, H1 = pool.get_true_positives()
+    module, params = V.init_verifier(model.shape, seed=0)
+    params = V.train(module, params, X0, H0, X1, H1, epochs=2, steps=120,
+                     batch_size=64, verbose=False)
+
+    corpus = list(islice(fake_data_generator(seed=999), 40))
+    auc_base = evaluate_model(corpus, model).evaluate()["auc"]
+    ev = Evaluator()
+    for i, d in enumerate(corpus, 1):
+        dt = V.detect_and_verify(d["image"], model, module, params)
+        ev.add_ground_truth(i, d["groundtruth_boxes"], d["image"].shape)
+        ev.add_detections(i, dt)
+    auc_ver = ev.evaluate()["auc"]
+    assert auc_ver >= auc_base - 0.03, (auc_base, auc_ver)

@@ -112,7 +112,7 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                         n_stages_cap=None, block=BLOCK, bands=1,
                         masked_out=False, with_nweak=True,
                         preshift_min_uses=2, preshift_lazy=False,
-                        margin_enc=False):
+                        margin_enc=False, and_tree=False):
     """Generate the specialized kernel body: unrolled stages, static slices,
     immediate-constant thresholds/predictions, blockwise tile early exit.
 
@@ -170,7 +170,17 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
     # cmp+astype+mul), half the early-exit cond carry, and the output IS
     # the carry (no final where pass).  Survivors and scores are identical:
     # -inf + resp stays -inf, so the latch is permanent.
-    inf_enc = masked_out and not with_nweak and not margin_enc
+    # deferred-AND encoding: carry (hs, alive) with UNMASKED sequential
+    # adds (bit-exact scores), collect each stage's theta compare, and fold
+    # them into `alive` with one balanced multiply TREE per early-exit
+    # block.  The -inf latch's per-stage add->cmp->select is one serial
+    # 3-op dependency chain; here the hs chain is adds only (1 serial
+    # op/stage) and the compares/AND-tree schedule freely around it.
+    # Survivor set identical (SPRT rejection is "some prefix compare
+    # failed"; AND of {0,1} floats is exact and associative).
+    at_enc = masked_out and not with_nweak and not margin_enc and and_tree
+    inf_enc = masked_out and not with_nweak and not margin_enc \
+        and not and_tree
     # margin encoding: instead of latching hs to -inf on rejection, carry the
     # running margin  mg = min_t (hs_t - theta_t)  alongside the UNLATCHED
     # prefix sum hs.  A window survives iff mg >= 0 (same set as the latch:
@@ -220,6 +230,7 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
 
         def make_block(ts, b0, bh, blk_i=None):
             def block_fn(carry):
+                oks = []
                 if mg_enc:
                     hs, mg = carry
                     alive = None
@@ -270,12 +281,24 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                             mg = jnp.minimum(mg, hs - th)
                         elif inf_enc:
                             hs = jnp.where(hs >= th, hs, -jnp.inf)
+                        elif at_enc:
+                            # off the hs critical path: folded below
+                            oks.append((hs >= th).astype(jnp.float32))
                         else:
                             alive = alive * (hs >= th).astype(jnp.float32)
                 if mg_enc:
                     return (hs, mg)
                 if inf_enc:
                     return (hs,)
+                if at_enc:
+                    # balanced multiply tree over the block's compares
+                    # ({0,1} floats: exact, associative)
+                    while len(oks) > 1:
+                        oks = [a * b for a, b in zip(oks[::2], oks[1::2])] \
+                            + ([oks[-1]] if len(oks) % 2 else [])
+                    if oks:
+                        alive = alive * oks[0]
+                    return (hs, alive)
                 return (hs, alive, nweak_acc) if with_nweak else (hs, alive)
             return block_fn
 
@@ -581,7 +604,7 @@ def cascade_response_grid_static(
     static_argnames=("sc", "window", "tile", "interpret", "n_stages_cap",
                      "content_hw", "block", "with_n_weak", "preshift",
                      "bands", "preshift_min_uses", "preshift_lazy",
-                     "margin_enc"),
+                     "margin_enc", "and_tree"),
 )
 def cascade_masked_grid_static(
     canvas: jax.Array, sc: StaticCascade, valid_mask: jax.Array,
@@ -590,7 +613,7 @@ def cascade_masked_grid_static(
     content_hw: Optional[Tuple[int, int]] = None, block: int = BLOCK,
     with_n_weak: bool = True, preshift: bool = False, bands: int = 1,
     preshift_min_uses: int = 2, preshift_lazy: bool = False,
-    margin_enc: bool = False,
+    margin_enc: bool = False, and_tree: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Serving-extraction form of :func:`cascade_response_grid_static`.
 
@@ -639,7 +662,7 @@ def cascade_masked_grid_static(
                                  bands=bands,
                                  preshift_min_uses=preshift_min_uses,
                                  preshift_lazy=preshift_lazy,
-                                 margin_enc=margin_enc)
+                                 margin_enc=margin_enc, and_tree=and_tree)
 
     grid = (B, gi, gj)
     mask_spec = pl.BlockSpec((TU, TV), lambda b, i, j: (i, j),

@@ -34,6 +34,14 @@ def _serving_block():
     return parts[0] if len(parts) == 1 else parts
 
 
+def _serving_and_tree() -> bool:
+    """Dead-window encoding of the serving cascade kernel: "inf" (default,
+    -inf latch) or "andtree" (deferred per-block AND-tree rejection — same
+    survivor set and scores, shorter per-stage dependency chain)."""
+    import os
+    return os.environ.get("WB_CASC_ENC", "inf") == "andtree"
+
+
 def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                           mesh=None, donate: bool = False,
                           n_stages_cap: Optional[int] = None,
@@ -200,7 +208,8 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                               # than one slab copy
                                               # (scripts/exp_r5_pshift.py)
                                               preshift_min_uses=1,
-                                              block=_serving_block())
+                                              block=_serving_block(),
+                                              and_tree=_serving_and_tree())
     elif backend == "static":
         # cascade-specialized kernel with the batch as a grid dimension:
         # one launch evaluates the whole (per-shard) batch
@@ -229,7 +238,8 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                               # than one slab copy
                                               # (scripts/exp_r5_pshift.py)
                                               preshift_min_uses=1,
-                                              block=_serving_block())
+                                              block=_serving_block(),
+                                              and_tree=_serving_and_tree())
     elif backend == "pallas":
         # the generic fused kernel cannot be vmapped (unblocked ANY-space
         # operand); loop per-image kernel calls inside one jitted program
