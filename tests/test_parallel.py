@@ -308,6 +308,20 @@ def test_train_sharded_pools_carry_over():
     # the carried pool still holds rescored live samples
     assert fp0.count >= 0 and tp0.count > 0
 
+    # the carried pool is tagged with (model, stage count, mesh): an
+    # externally grown cascade invalidates the pool's H scores, so the
+    # next call must re-bootstrap instead of silently reusing them
+    # (ADVICE r3 #2)
+    from waldboost_tpu.training import DTree
+    w0, _ = model[0]
+    model.append(DTree(w0.feature, w0.threshold, w0.left, w0.right,
+                       w0.prediction), -np.inf)
+    learner.record_stage(1.0, 1.0, learner.loss)  # keep lengths consistent
+    train_sharded(model, gen, mesh=None, learner=learner, length=6,
+                  min_tp=100, min_fp=100, seed=1, pools=pools)
+    assert len(model) == 6
+    assert pools["fp"] is not fp0 and pools["tp"] is not tp0  # re-bootstrap
+
 
 def test_fused_kernel_geometry_detector_exact():
     """The geometry-coupled channel+cascade kernel pair (static backend +

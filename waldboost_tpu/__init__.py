@@ -60,6 +60,9 @@ def _enable_persistent_compilation_cache() -> None:
                               0.0)
             jax.config.update("jax_persistent_cache_min_entry_size_bytes",
                               -1)
+            # bounded on-disk footprint (LRU eviction above this)
+            jax.config.update("jax_compilation_cache_max_size",
+                              4 * 1024 ** 3)
     except Exception:  # never make import fail over a cache knob
         pass
 
