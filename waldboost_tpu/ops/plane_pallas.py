@@ -47,8 +47,9 @@ zeros for any tap window that overruns the true row count).
 
 Bit-exactness: the corner dots consume the same bf16 corner values as the
 XLA mats path with f32 accumulation (one-hot selectors: the dot is an
-exact gather), and the lerp/floor runs the same f32 expression as
-model._lerp_block, so the canvas is bitwise identical to the XLA path at
+exact gather), and the lerp/floor runs the same f32 expression as the XLA
+combine step (polyphase._combine_block / ops.exact.combine4_exact), so
+the canvas is bitwise identical to the XLA path at
 the pinned test sizes (tests/test_polyphase.py).  At FHD scale a ~1e-6
 fraction of values (19 of 19.7M measured) flip by exactly one uint8
 quantum: lerp results landing within one float-rounding of an integer
