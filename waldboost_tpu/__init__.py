@@ -60,9 +60,12 @@ def _enable_persistent_compilation_cache() -> None:
                               0.0)
             jax.config.update("jax_persistent_cache_min_entry_size_bytes",
                               -1)
-            # bounded on-disk footprint (LRU eviction above this)
-            jax.config.update("jax_compilation_cache_max_size",
-                              4 * 1024 ** 3)
+            # NOTE: jax_compilation_cache_max_size (LRU eviction) was
+            # tried and reverted: its per-entry -atime bookkeeping races
+            # when several processes share the cache (spurious
+            # "Error writing persistent cache entry" warnings).  The
+            # cache is ~100 MB at this project's program count; delete
+            # the directory to reclaim space.
     except Exception:  # never make import fail over a cache knob
         pass
 

@@ -36,6 +36,7 @@ Numerical notes:
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -89,6 +90,8 @@ def fit_tree_complete(
     w_split = jnp.where(valid, w_split, 0.0).astype(jnp.float32)
     w_pred = jnp.where(valid, w_pred, 0.0).astype(jnp.float32)
 
+    use_einsum_hist = os.environ.get("WB_HIST_EINSUM", "1") == "1"
+
     if binning == "quantile":
         # -- per-feature QUANTILE grid (LightGBM-style): outlier features
         # stretch a uniform [fmin, fmax] grid until most mass shares a few
@@ -119,6 +122,7 @@ def fit_tree_complete(
         # ~190 ms/stage of the quantile path's cost (exp_r9_qcost)
         bins = jnp.sum(edges[None, :, :] < xf[:, None, :], axis=1,
                        dtype=jnp.int32)
+        edges_cmp = edges  # (B-1, F): bins <= b  <=>  x <= edges[b]
 
         def thr_of(best_f, best_b):
             return edges[jnp.clip(best_b, 0, B - 2), best_f]
@@ -132,6 +136,11 @@ def fit_tree_complete(
         bins = jnp.clip(jnp.ceil((xf - fmin[None, :]) / width[None, :]) - 1,
                         0, B - 1)
         bins = bins.astype(jnp.int32)  # (N, F)
+        # einsum-histogram comparison edges, matching thr_of's expression
+        # (the direct x <= edge comparison is self-consistent with the
+        # thresholds inference applies)
+        edges_cmp = fmin[None, :] + jnp.arange(
+            1, B, dtype=jnp.float32)[:, None] * width[None, :]
 
         def thr_of(best_f, best_b):
             return fmin[best_f] + (best_b + 1).astype(jnp.float32) * width[best_f]
@@ -165,19 +174,62 @@ def fit_tree_complete(
         at_level = jnp.logical_and(node >= base, valid)
         local = jnp.where(at_level, node - base, n_level)  # trash slot n_level
 
-        # -- histograms: (F, n_level, 2, B) weighted class histograms -------
-        seg_nc = local * 2 + y  # (N,)
-        segid = seg_nc[:, None] * B + bins  # (N, F)
-        n_seg = (n_level + 1) * 2 * B
+        # -- histograms: (F, n_level, B) cumulative class masses ------------
+        if use_einsum_hist:
+            # MXU path: l[c, f, b] = sum_n wc[c, n] * [x_nf <= edge_bf] as
+            # ONE (C, N) @ (N, F*(B-1)) indicator contraction.  The vmapped
+            # per-feature segment-sum alternative lowers to F serial
+            # scatters and measured 38 of the stage program's 40.6 ms on
+            # TPU (scripts/exp_r10_steptrace.py).  The indicator is exact
+            # {0, 1}; the TPU's default bf16 matmul pass rounds only the
+            # weights' mantissa (2^-9 relative), which can perturb split
+            # RANKING near exact ties only — leaf predictions and stage
+            # statistics flow through the exact f32 segment-sums around
+            # this.  WB_HIST_EINSUM=0 restores the scatter path.
+            C2 = n_level * 2
+            cls = jnp.where(at_level, local * 2 + y, C2)
+            wc = jnp.where(cls[None, :] == jnp.arange(C2)[:, None],
+                           w_split[None, :], 0.0)            # (C2, N) f32
+            ind = xf[:, :, None] <= edges_cmp.T[None, :, :]  # (N, F, B-1)
+            # bf16 operands (default on TPU) halve the indicator's HBM
+            # traffic — {0,1} is bf16-exact, the accumulator stays f32,
+            # and the TPU's DEFAULT f32 matmul pass rounds operands to
+            # bf16 anyway (so numerics are identical on TPU and only the
+            # traffic differs: 12.1 -> 6.5 ms/step, exp_r10_stepcost.py).
+            # CPU keeps true-f32 operands (bf16 there is emulated AND
+            # would change numerics, since CPU matmuls are real f32).
+            bf16_hist = os.environ.get("WB_HIST_BF16", "tpu")
+            if (bf16_hist == "1"
+                    or (bf16_hist == "tpu"
+                        and jax.default_backend() == "tpu")):
+                l_part = jnp.einsum("cn,nfb->cfb",
+                                    wc.astype(jnp.bfloat16),
+                                    ind.astype(jnp.bfloat16),
+                                    preferred_element_type=jnp.float32)
+            else:
+                l_part = jnp.einsum("cn,nfb->cfb", wc,
+                                    ind.astype(jnp.float32))
+            tot_c = jnp.sum(wc, axis=1)                      # exact totals
+            l_all = jnp.concatenate(
+                [l_part, jnp.broadcast_to(tot_c[:, None, None],
+                                          (C2, F, 1))], axis=-1)
+            l_all = l_all.reshape(n_level, 2, F, B)
+            l0 = jnp.transpose(l_all[:, 0], (1, 0, 2))       # (F, n_level, B)
+            l1 = jnp.transpose(l_all[:, 1], (1, 0, 2))
+        else:
+            seg_nc = local * 2 + y  # (N,)
+            segid = seg_nc[:, None] * B + bins  # (N, F)
+            n_seg = (n_level + 1) * 2 * B
 
-        def per_feature(seg_col):
-            return jax.ops.segment_sum(w_split, seg_col, num_segments=n_seg)
+            def per_feature(seg_col):
+                return jax.ops.segment_sum(w_split, seg_col,
+                                           num_segments=n_seg)
 
-        hist = jax.vmap(per_feature, in_axes=1)(segid)  # (F, n_seg)
-        hist = hist.reshape(F, n_level + 1, 2, B)[:, :n_level]  # drop trash
+            hist = jax.vmap(per_feature, in_axes=1)(segid)  # (F, n_seg)
+            hist = hist.reshape(F, n_level + 1, 2, B)[:, :n_level]
 
-        l0 = jnp.cumsum(hist[:, :, 0, :], axis=-1)  # (F, n_level, B)
-        l1 = jnp.cumsum(hist[:, :, 1, :], axis=-1)
+            l0 = jnp.cumsum(hist[:, :, 0, :], axis=-1)  # (F, n_level, B)
+            l1 = jnp.cumsum(hist[:, :, 1, :], axis=-1)
         l0_tot = l0[..., -1:]
         l1_tot = l1[..., -1:]
         r0 = l0_tot - l0

@@ -133,6 +133,23 @@ def make_train_step(alpha: float = 0.1, max_depth: int = 2, n_bins: int = 256,
                     min_samples_leaf: int = 1, mesh=None, clip=None,
                     quantizer=None, integer_thresholds: bool = False,
                     binning: str = "quantile"):
+    """Build (or reuse) the jitted stage-training step.
+
+    Memoized on its parameters: successive ``train_sharded`` calls (e.g.
+    the segmented bench loop, or train/evaluate/continue workflows) share
+    ONE jit instance, so only the first segment ever traces/compiles —
+    a fresh instance per segment measured ~12 s at its first dispatch
+    (scripts/exp_r10_benchdp.py).
+    """
+    return _make_train_step_cached(alpha, max_depth, n_bins,
+                                   min_samples_leaf, mesh, clip, quantizer,
+                                   integer_thresholds, binning)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_train_step_cached(alpha, max_depth, n_bins, min_samples_leaf,
+                            mesh, clip, quantizer, integer_thresholds,
+                            binning):
     """Build the jitted stage-training step.
 
     Signature of the returned function:
