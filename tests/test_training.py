@@ -176,3 +176,44 @@ def test_fit_stage_explicit_zero_theta_not_refit():
     learner.fit_stage(model, X0, np.zeros(len(X0), "f"),
                       X1, np.zeros(len(X1), "f"), theta=0.0)
     assert model.theta[0] == 0.0
+
+
+def test_hist_einsum_matches_scatter_path():
+    """The MXU indicator-einsum histogram path (round 4, WB_HIST_EINSUM)
+    must grow the same tree as the segment-sum scatter path on
+    well-separated data (both are f32 on CPU; association order differs,
+    so only exact-tie splits could legitimately diverge)."""
+    import os
+
+    from waldboost_tpu.ops import fit as F
+
+    rng = np.random.RandomState(7)
+    n, feat = 512, 24
+    X0 = rng.randn(n, feat).astype(np.float32)
+    X1 = rng.randn(n, feat).astype(np.float32)
+    X1[:, 5] += 2.5
+    X0[:, 11] -= 1.5
+    W0 = np.full(n, 0.5 / n, np.float32)
+    W1 = np.full(n, 0.5 / n, np.float32)
+    old = os.environ.get("WB_HIST_EINSUM")
+    try:
+        trees = {}
+        for mode in ("1", "0"):
+            os.environ["WB_HIST_EINSUM"] = mode
+            tree = tr.DTree.fit(X0.reshape(n, feat, 1, 1), W0,
+                                X1.reshape(n, feat, 1, 1), W1,
+                                max_depth=2, backend="hist")
+            trees[mode] = tree
+    finally:
+        if old is None:
+            os.environ.pop("WB_HIST_EINSUM", None)
+        else:
+            os.environ["WB_HIST_EINSUM"] = old
+    t1, t0 = trees["1"], trees["0"]
+    f1 = [None if f is None else tuple(np.asarray(f).ravel())
+          for f in t1.feature]
+    f0 = [None if f is None else tuple(np.asarray(f).ravel())
+          for f in t0.feature]
+    assert f1 == f0
+    np.testing.assert_allclose(t1.threshold, t0.threshold, rtol=1e-6)
+    np.testing.assert_allclose(t1.prediction, t0.prediction, rtol=1e-5)
