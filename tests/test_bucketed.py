@@ -84,3 +84,29 @@ def test_bucketed_grad_mag_midpipeline_reflect():
     got = det.detect(img)
     want = model.detect(img)
     assert _box_set(want) == _box_set(got)
+
+
+def test_bucketed_mesh_matches_unmeshed():
+    """BucketedDetector(mesh=...) must return exactly the no-mesh boxes
+    (data parallelism over the group batch changes the device layout,
+    never the answer) — CPU-mesh equality backing the dryrun's
+    BucketedDetector(mesh) leg (VERDICT r3 #4)."""
+    import jax
+    import pytest
+
+    from waldboost_tpu.parallel.bucket import BucketedDetector
+    from waldboost_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = make_mesh(4)
+    model = _model()
+    rng = np.random.RandomState(5)
+    imgs = [rng.randint(0, 256, (45, 60)).astype(np.uint8)
+            for _ in range(4)]
+    plain = BucketedDetector(model, bucket=32, k=128).detect_many(imgs)
+    meshed = BucketedDetector(model, bucket=32, k=128,
+                              mesh=mesh, max_batch=4).detect_many(imgs)
+    assert len(plain) == len(meshed) == 4
+    for a, b in zip(plain, meshed):
+        assert _box_set(a) == _box_set(b)

@@ -222,3 +222,39 @@ def test_make_multi_detector_boxes_batched(monkeypatch):
             s_scores * (1.0 if kix == 0 else 2.0), rtol=1e-6)
         np.testing.assert_array_equal(valid[sel].reshape(2, -1), s_valid)
         np.testing.assert_array_equal(count[:, kix], s_count)
+
+
+def test_make_multi_detector_boxes_mesh_matches_unmeshed():
+    """Heterogeneous multi-model serving under a mesh returns exactly the
+    no-mesh outputs (CPU-mesh equality backing the dryrun's multi-model
+    leg, VERDICT r3 #4)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from waldboost_tpu import model as M
+    from waldboost_tpu.parallel import detect as D
+    from waldboost_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = make_mesh(4)
+    models = _hetero_models()
+    rng = np.random.RandomState(11)
+    imgs = jnp.asarray(rng.randint(0, 256, (4, 96, 128)).astype(np.uint8))
+
+    try:
+        M.set_cascade_backend("static")
+        fn0, _ = D.make_multi_detector_boxes(models, (96, 128), k=32,
+                                             nms_iou=0.5,
+                                             with_n_weak=False)
+        plain = [np.asarray(x) for x in fn0(imgs)]
+        fnm, _ = D.make_multi_detector_boxes(models, (96, 128), k=32,
+                                             nms_iou=0.5, mesh=mesh,
+                                             with_n_weak=False)
+        meshed = [np.asarray(x) for x in fnm(imgs)]
+    finally:
+        M.set_cascade_backend("auto")
+
+    for a, b in zip(plain, meshed):
+        np.testing.assert_array_equal(a, b)
