@@ -277,7 +277,10 @@ def main():
         lambda: bench_vga_single_scale(ss_batch, iters, warmup, reps=reps))
     # FHD/4K batches stay at their measured optima (16 / 8) independent of
     # the headline batch default
-    fhd_batch = int(os.environ.get("BENCH_BATCH_FHD", "16"))
+    # FHD batch re-swept round 4 after the AND-tree encoding switch
+    # (scripts/exp_r10_batchsweep.py): 1189.8 / 1210.2 MP/s at 16 / 24
+    # (headline stays at 192: 1201.4/1201.8/1174.0 at 192/224/256)
+    fhd_batch = int(os.environ.get("BENCH_BATCH_FHD", "24"))
     fpga_batch = int(os.environ.get("BENCH_BATCH_4K", "8"))
     add("fhd_depth2_stream_throughput",
         lambda: bench_fhd_stream_depth2(fhd_batch, iters, warmup,
