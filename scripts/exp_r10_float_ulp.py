@@ -32,15 +32,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
-def ulp_dist(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Element-wise ULP distance between two f32 arrays (order-preserving
-    integer mapping of the float lattice; handles sign crossings)."""
-    ai = a.view(np.int32).astype(np.int64)
-    bi = b.view(np.int32).astype(np.int64)
-    # map negative floats to a monotone integer line
-    ai = np.where(ai < 0, np.int64(-0x80000000) - ai, ai)
-    bi = np.where(bi < 0, np.int64(-0x80000000) - bi, bi)
-    return np.abs(ai - bi)
+from waldboost_tpu.testing import ulp_distance as ulp_dist  # one definition
 
 
 def main():

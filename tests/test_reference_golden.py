@@ -260,12 +260,7 @@ def test_reference_float_image_golden(ref, tmp_path):
     # channel pyramid: float path within the MEASURED ULP bound (PARITY.md
     # round 4 / scripts/exp_r10_float_ulp.py: max 260 ULP / 9.2e-05 abs
     # over a 40-image 3.5M-value corpus; asserted here with 2x headroom)
-    def ulp_dist(a, b):
-        ai = a.view(np.int32).astype(np.int64)
-        bi = b.view(np.int32).astype(np.int64)
-        ai = np.where(ai < 0, np.int64(-0x80000000) - ai, ai)
-        bi = np.where(bi < 0, np.int64(-0x80000000) - bi, bi)
-        return np.abs(ai - bi)
+    from waldboost_tpu.testing import ulp_distance as ulp_dist
 
     opts_ref = dict(shrink=2, n_per_oct=4, smooth=1,
                     channels=ref.channels.grad_hist)

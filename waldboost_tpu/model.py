@@ -63,6 +63,12 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+#: monotone Model instance ids (collision-free where id() is not)
+import itertools as _itertools
+
+_MODEL_UID = _itertools.count()
+
+
 # ---------------------------------------------------------------------------
 # jitted device programs (module-level for cross-model cache sharing)
 # ---------------------------------------------------------------------------
@@ -365,6 +371,10 @@ class Model:
         self._static_cascade = None
         self._static_version = -1
         self._version = 0
+        #: process-unique instance id (id() is reused after GC — a pools
+        #: carry-over tag keyed on it could false-match a NEW model landing
+        #: on a freed address; see parallel.trainer's model_tag)
+        self._uid = next(_MODEL_UID)
         self.reset()
 
     # -- stats ---------------------------------------------------------

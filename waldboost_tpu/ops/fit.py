@@ -65,9 +65,25 @@ def _entropy2(p0: jax.Array, p1: jax.Array) -> jax.Array:
     return h0 + h1
 
 
+def hist_mode_from_env() -> str:
+    """Resolve the histogram implementation OUTSIDE any jit: "einsum_bf16"
+    (MXU indicator contraction, bf16 operands — the TPU default),
+    "einsum_f32", or "scatter" (the legacy vmapped segment-sum).  Callers
+    resolve this per call and pass it as the STATIC ``hist_mode`` argument;
+    reading the env inside the traced function would bake the first
+    value into the jit cache and silently ignore later toggles."""
+    if os.environ.get("WB_HIST_EINSUM", "1") != "1":
+        return "scatter"
+    bf16 = os.environ.get("WB_HIST_BF16", "tpu")
+    if bf16 == "1" or (bf16 == "tpu" and jax.default_backend() == "tpu"):
+        return "einsum_bf16"
+    return "einsum_f32"
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("max_depth", "n_bins", "min_samples_leaf", "binning"),
+    static_argnames=("max_depth", "n_bins", "min_samples_leaf", "binning",
+                     "hist_mode"),
 )
 def fit_tree_complete(
     xf: jax.Array,            # (N, F) float32 flattened sample features
@@ -80,17 +96,28 @@ def fit_tree_complete(
     min_samples_leaf: int = 1,
     feature_mask: Optional[jax.Array] = None,  # (max_depth, F) bool allowed per depth
     binning: str = "quantile",
+    hist_mode: str = "auto",  # see hist_mode_from_env (static)
 ) -> TreeFitResult:
     N, F = xf.shape
     B = int(n_bins)
     D = int(max_depth)
     n_nodes = 2 ** (D + 1) - 1
+    if hist_mode == "auto":
+        # trace-time fallback for direct callers; the package's own call
+        # sites resolve outside the jit so env toggles take effect
+        hist_mode = hist_mode_from_env()
+    # the einsum path materializes an (N, F, B-1) indicator operand; at
+    # large pool capacities that can exceed sensible HBM budgets where the
+    # scatter path ran in O(N*F) — bound it (static decision from shapes)
+    ind_bytes = N * F * max(B - 1, 1) * (2 if hist_mode == "einsum_bf16"
+                                         else 4)
+    if hist_mode != "scatter" and ind_bytes > 2 * 1024 ** 3:
+        hist_mode = "scatter"
+    use_einsum_hist = hist_mode != "scatter"
 
     xf = xf.astype(jnp.float32)
     w_split = jnp.where(valid, w_split, 0.0).astype(jnp.float32)
     w_pred = jnp.where(valid, w_pred, 0.0).astype(jnp.float32)
-
-    use_einsum_hist = os.environ.get("WB_HIST_EINSUM", "1") == "1"
 
     if binning == "quantile":
         # -- per-feature QUANTILE grid (LightGBM-style): outlier features
@@ -198,10 +225,7 @@ def fit_tree_complete(
             # traffic differs: 12.1 -> 6.5 ms/step, exp_r10_stepcost.py).
             # CPU keeps true-f32 operands (bf16 there is emulated AND
             # would change numerics, since CPU matmuls are real f32).
-            bf16_hist = os.environ.get("WB_HIST_BF16", "tpu")
-            if (bf16_hist == "1"
-                    or (bf16_hist == "tpu"
-                        and jax.default_backend() == "tpu")):
+            if hist_mode == "einsum_bf16":
                 l_part = jnp.einsum("cn,nfb->cfb",
                                     wc.astype(jnp.bfloat16),
                                     ind.astype(jnp.bfloat16),

@@ -59,7 +59,8 @@ def _stage_body(x0, H0, v0, x1, H1, v1, P0, P1, theta_in, use_sprt,
                 feature_mask=None,
                 alpha=0.1, max_depth=2, n_bins=256, min_samples_leaf=1,
                 mesh=None, clip=None, quantizer=None,
-                integer_thresholds=False, binning="quantile"):
+                integer_thresholds=False, binning="quantile",
+                hist_mode="auto"):
     """x0/x1: (N?, F) flattened padded pools; H: scores; v: valid masks.
     ``theta_in``/``use_sprt``: rejection-schedule override (use_sprt=True ->
     estimate theta from data).
@@ -94,7 +95,8 @@ def _stage_body(x0, H0, v0, x1, H1, v1, P0, P1, theta_in, use_sprt,
 
     tree = fit_tree_complete(xf, y, wb, w, valid, max_depth=max_depth,
                              n_bins=n_bins, min_samples_leaf=min_samples_leaf,
-                             feature_mask=feature_mask, binning=binning)
+                             feature_mask=feature_mask, binning=binning,
+                             hist_mode=hist_mode)
     # FPGA mode: integer-floored thresholds + clipped/quantized responses
     # BEFORE score accumulation (the host path's DTree.fit post-transforms,
     # /root/reference/waldboost/fpga/training.py:160-168)
@@ -141,15 +143,17 @@ def make_train_step(alpha: float = 0.1, max_depth: int = 2, n_bins: int = 256,
     a fresh instance per segment measured ~12 s at its first dispatch
     (scripts/exp_r10_benchdp.py).
     """
+    from ..ops.fit import hist_mode_from_env
     return _make_train_step_cached(alpha, max_depth, n_bins,
                                    min_samples_leaf, mesh, clip, quantizer,
-                                   integer_thresholds, binning)
+                                   integer_thresholds, binning,
+                                   hist_mode_from_env())
 
 
 @functools.lru_cache(maxsize=32)
 def _make_train_step_cached(alpha, max_depth, n_bins, min_samples_leaf,
                             mesh, clip, quantizer, integer_thresholds,
-                            binning):
+                            binning, hist_mode="auto"):
     """Build the jitted stage-training step.
 
     Signature of the returned function:
@@ -167,7 +171,7 @@ def _make_train_step_cached(alpha, max_depth, n_bins, min_samples_leaf,
                              n_bins=n_bins, min_samples_leaf=min_samples_leaf,
                              mesh=mesh, clip=clip, quantizer=quantizer,
                              integer_thresholds=integer_thresholds,
-                             binning=binning)
+                             binning=binning, hist_mode=hist_mode)
     if mesh is None:
         return jax.jit(body)
     sh1 = lambda ndim: data_sharding(mesh, ndim)

@@ -219,7 +219,7 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
         # the SAME stage count it had when the previous call returned; a
         # different model (or externally grown/truncated cascade) with a
         # matching feat-dim would otherwise be silently reused with stale H
-        tag = (id(model), len(model), F, mesh)
+        tag = (getattr(model, "_uid", id(model)), len(model), F, mesh)
         if pool_fp is not None and pools.get("model_tag") != tag:
             logger.info("pools carry-over rejected (model/stage/mesh "
                         "changed): re-bootstrapping the device pool")
@@ -328,7 +328,8 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
     if pools is not None:
         # stamp what the carried pool scores are valid FOR: this model
         # object at this stage count on this mesh (checked on pickup)
-        pools["model_tag"] = (id(model), len(model), F, mesh)
+        pools["model_tag"] = (getattr(model, "_uid", id(model)),
+                              len(model), F, mesh)
     return learner
 
 

@@ -17,8 +17,22 @@ import numpy as np
 from . import boxes as bbx
 from .boxes import Boxes
 
-__all__ = ["Evaluator", "evaluate_model", "detect_on_images", "random_iterator",
+__all__ = ["Evaluator", "evaluate_model", "detect_on_images", "random_iterator", "ulp_distance",
            "precision_recall", "auc"]
+
+
+def ulp_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Element-wise ULP distance between two float32 arrays: 0 = bitwise
+    equal, 1 = adjacent representables.  Negative floats are remapped onto
+    the monotone integer line so sign crossings count correctly.  Shared by
+    the float-image golden test and the PARITY ULP-bound measurement
+    (scripts/exp_r10_float_ulp.py) so the published bound and the asserted
+    bound use ONE definition."""
+    ai = np.asarray(a, np.float32).view(np.int32).astype(np.int64)
+    bi = np.asarray(b, np.float32).view(np.int32).astype(np.int64)
+    ai = np.where(ai < 0, np.int64(-0x80000000) - ai, ai)
+    bi = np.where(bi < 0, np.int64(-0x80000000) - bi, bi)
+    return np.abs(ai - bi)
 
 
 def precision_recall(y_true: np.ndarray, scores: np.ndarray):

@@ -163,11 +163,12 @@ class DTree:
                 fmask[d, np.asarray(allowed_features[d], int)] = True
             fmask = jnp.asarray(fmask)
 
+        from .ops.fit import hist_mode_from_env
         res = fit_tree_complete(
             jnp.asarray(Xp), jnp.asarray(Yp), jnp.asarray(Wbp), jnp.asarray(Wp),
             jnp.asarray(valid), max_depth=int(max_depth), n_bins=int(n_bins),
             min_samples_leaf=int(min_samples_leaf), feature_mask=fmask,
-            binning=binning)
+            binning=binning, hist_mode=hist_mode_from_env())
         feat, thr, left, right, pred = prune_heap_tree(
             np.asarray(res.feature), np.asarray(res.threshold),
             np.asarray(res.left), np.asarray(res.right), np.asarray(res.pred))
