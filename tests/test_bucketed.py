@@ -110,3 +110,26 @@ def test_bucketed_mesh_matches_unmeshed():
     assert len(plain) == len(meshed) == 4
     for a, b in zip(plain, meshed):
         assert _box_set(a) == _box_set(b)
+
+
+def test_bucketed_track_cost_matches_detect():
+    """track_cost=True folds the kernel's per-image weak-eval counts into
+    the model's counters with the same totals Model.detect records (the
+    runtime-geometry path scans the same windows with the same rejection)."""
+    from waldboost_tpu.parallel.bucket import BucketedDetector
+
+    model = _model()
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (45, 60)).astype(np.uint8)
+
+    model.reset()
+    ref_boxes = model.detect(img)
+    ref_weak, ref_loc = model.n_weak, model.n_loc
+
+    model.reset()
+    det = BucketedDetector(model, bucket=32, k=128, track_cost=True)
+    got_boxes = det.detect(img)
+    assert _box_set(got_boxes) == _box_set(ref_boxes)
+    assert model.n_loc == ref_loc
+    assert model.n_weak == ref_weak
+    assert model.cost_stats()["n_images"] == 1

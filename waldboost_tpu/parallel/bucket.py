@@ -303,15 +303,22 @@ class BucketedDetector:
 
     def __init__(self, model: Model, bucket: int = 128, k: int = 1024,
                  nms_iou: Optional[float] = None, mesh=None,
-                 max_batch: int = 16):
+                 max_batch: int = 16, track_cost: bool = False):
         self.model = model
         self.bucket = int(bucket)
         self.k = k
         self.nms_iou = nms_iou
         self.mesh = mesh
         self.max_batch = int(max_batch)
+        #: opt-in eval-cost observability: fold each image's in-kernel
+        #: weak-evaluation count into the model's cost counters
+        #: (Model._track_cost / cost_stats) like Model.detect does.  Off by
+        #: default — the counter costs one extra accumulate per stage in
+        #: the serving kernel.
+        self.track_cost = bool(track_cost)
         self._fns = {}
         self._geoms = {}
+        self._nvalid = {}
         self.compiles = 0  # observability: bucket programs built so far
 
     def _snap(self, h: int, w: int) -> Tuple[int, int]:
@@ -325,7 +332,7 @@ class BucketedDetector:
         if hw not in self._fns:
             built = make_bucket_detector_boxes(
                 self.model, hw, k=self.k, nms_iou=self.nms_iou,
-                mesh=self.mesh)
+                mesh=self.mesh, with_n_weak=self.track_cost)
             self._fns[hw] = built[0] if built is not None else None
             self.compiles += 1
         return self._fns[hw]
@@ -339,6 +346,8 @@ class BucketedDetector:
                 self.model.channel_opts)
             g = bucket_geometry(bucket_hw, real_hw, (m, n), shrink,
                                 n_per_oct, smooth, cf.name, exact)
+            # host-side scanned-window count for eval-cost tracking
+            self._nvalid[key] = int(np.asarray(g["valid"]).sum())
             self._geoms[key] = jax.device_put(dict(g))
         return self._geoms[key]
 
@@ -361,11 +370,18 @@ class BucketedDetector:
             batch = np.zeros((nbp, H, W), chunk[0].dtype)
             for j, im in enumerate(chunk):
                 batch[j, :im.shape[0], :im.shape[1]] = im
-            rects_b, scores_b, valid_b, count_b, _ = fn(jnp.asarray(batch), g)
+            rects_b, scores_b, valid_b, count_b, nweak_b = fn(
+                jnp.asarray(batch), g)
             rects_b = np.asarray(rects_b)
             scores_b = np.asarray(scores_b)
             valid_b = np.asarray(valid_b)
             count_b = np.asarray(count_b)
+            if self.track_cost:
+                nweak_b = np.asarray(nweak_b)
+                nv = self._nvalid[(bucket_hw, real_hw, exact)]
+                for j in range(nb):
+                    if count_b[j] >= 0:  # fallback path tracks via detect
+                        self.model._track_cost(int(nweak_b[j]), nv)
             for j, im in enumerate(chunk):
                 if count_b[j] < 0:
                     # extraction overflow / recall miss: per-size exact
