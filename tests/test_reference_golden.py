@@ -186,6 +186,39 @@ def test_reference_written_pb_loads_bitcompatible(ref, tmp_path):
     np.testing.assert_array_equal(H0[m0], H1[m1])
 
 
+def test_reference_written_learner_pickle_loads(ref, tmp_path):
+    """A Learner checkpoint WRITTEN BY THE REFERENCE loads here.
+
+    The reference pickles ``Learner.__dict__`` including the ``wh`` class
+    object (/root/reference/waldboost/training.py:125-132), so the file
+    carries a ``waldboost.training.DTree`` global; ``Learner.load``'s
+    interop unpickler must remap it to this package's DTree."""
+    import waldboost_tpu as wb
+    from waldboost_tpu.training import DTree
+
+    rL = ref.training.Learner(alpha=0.15, max_depth=2)
+    rL.p0 = [0.8, 0.7]
+    rL.p1 = [0.99, 0.98]
+    rL.losses = [0.9, 0.85]
+    path = str(tmp_path / "ref_learner.pkl")
+    rL.save(path)
+
+    ours = wb.Learner.load(path)
+    assert ours.alpha == 0.15
+    assert ours.wh is DTree  # remapped, NOT the reference class
+    assert ours.wh_args == {"max_depth": 2}
+    assert ours.p0 == [0.8, 0.7]
+    assert ours.p1 == [0.99, 0.98]
+    assert ours.losses == [0.9, 0.85]
+    assert len(ours) == 2
+
+    # and the round-trip back through OUR save stays loadable
+    path2 = str(tmp_path / "resaved.pkl")
+    ours.save(path2)
+    again = wb.Learner.load(path2)
+    assert again.wh is DTree and again.losses == [0.9, 0.85]
+
+
 def test_reference_fpga_channels_golden(ref):
     """Integer FPGA channels vs the reference's stencil code: exact."""
     from waldboost_tpu.fpga.channels import grad_hist_4_u1, grad_mag_u1

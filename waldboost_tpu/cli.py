@@ -91,12 +91,24 @@ def detect_main(argv=None):
 
 
 def train_main(argv=None):
-    """Train a detector on synthetic data or a bbGt-style dataset dir."""
+    """Train a detector on synthetic data (default) or a bbGt-style dataset
+    (``--images DIR --annotations DIR``, the entry the reference drives from
+    /root/reference/scripts/training.py:27-60) — records flow through the
+    native C++ prefetching loader when available, Python fallbacks
+    otherwise."""
     import waldboost_tpu as wb
     from waldboost_tpu.utils import fake_data_generator
 
     p = argparse.ArgumentParser(description="WaldBoost TPU trainer")
     p.add_argument("-o", "--output", required=True, help="Output model file")
+    p.add_argument("--images", default=None, metavar="DIR",
+                   help="Training image directory (bbGt-style dataset); "
+                        "default: synthetic fake_data_generator stream")
+    p.add_argument("--annotations", default=None, metavar="DIR",
+                   help="bbGt v3 annotation directory (same-stem .txt files)")
+    p.add_argument("--image-ext", default=".pgm",
+                   help="Image extension in --images (native loader decodes "
+                        "P5/P6 PNM; others fall back to PIL)")
     p.add_argument("--length", type=int, default=32, help="Number of stages")
     p.add_argument("--shape", type=int, nargs=3, default=(12, 12, 4),
                    metavar=("H", "W", "C"), help="Detection window shape")
@@ -123,7 +135,14 @@ def train_main(argv=None):
                 smooth=args.smooth, channels=args.channels)
     model = wb.Model(tuple(args.shape), opts)
     pool = wb.SamplePool(min_tp=args.min_tp, min_fp=args.min_fp, seed=args.seed)
-    data = fake_data_generator(seed=args.seed)
+    dataset = None
+    if args.images:
+        from waldboost_tpu.io import bbgt_training_stream
+        data = dataset = bbgt_training_stream(
+            args.images, args.annotations or args.images,
+            image_ext=args.image_ext, loop=True)
+    else:
+        data = fake_data_generator(seed=args.seed)
 
     if args.fpga:
         from waldboost_tpu import fpga
@@ -134,6 +153,8 @@ def train_main(argv=None):
                            learner=wb.Learner(alpha=args.alpha,
                                               max_depth=args.max_depth))
     model.save(args.output)
+    if dataset is not None and hasattr(dataset, "close"):
+        dataset.close()  # stop the native loader's worker threads
     if args.learner_state:
         learner.save(args.learner_state)
     stats = learner.get_stats()

@@ -25,8 +25,8 @@ from ..boxes import Boxes
 logger = logging.getLogger(__name__)
 
 __all__ = ["native_available", "read_bbgt_native", "load_pnm_gray",
-           "PrefetchDataset", "bbgt_dataset_paths", "prefetch_iterable",
-           "Prefetcher"]
+           "PrefetchDataset", "bbgt_dataset_paths", "bbgt_training_stream",
+           "prefetch_iterable", "Prefetcher"]
 
 
 def prefetch_iterable(iterable, depth: int = 16):
@@ -321,3 +321,42 @@ class PrefetchDataset:
             self.close()
         except Exception:
             pass
+
+
+def bbgt_training_stream(image_dir: str, annotation_dir: str,
+                         image_ext: str = ".pgm", ann_ext: str = ".txt",
+                         loop: bool = True, prefer_native: bool = True,
+                         n_threads: int = 4, queue_cap: int = 16):
+    """Training-record stream over a bbGt-style dataset directory pair.
+
+    Yields ``{"image", "groundtruth_boxes"}`` dicts — the record shape
+    ``waldboost_tpu.train`` consumes (the dataset-dir training entry the
+    reference drives from /root/reference/scripts/training.py:27-60).
+    With the native loader built, records come from the C++ threaded
+    :class:`PrefetchDataset`; otherwise a pure-Python generator decodes
+    through the PIL/parser fallbacks.  ``loop=True`` cycles the dataset
+    forever (training pulls records until pool quotas are met each stage).
+    """
+    img_paths, ann_paths = bbgt_dataset_paths(image_dir, annotation_dir,
+                                              image_ext, ann_ext)
+    if not img_paths:
+        raise FileNotFoundError(
+            f"no '{image_ext}' images found in {image_dir!r}")
+    if prefer_native and native_available():
+        return PrefetchDataset(img_paths, ann_paths, n_threads=n_threads,
+                               queue_cap=queue_cap, loop=loop)
+
+    def _gen():
+        while True:
+            for i, (ip, ap) in enumerate(zip(img_paths, ann_paths)):
+                image = load_pnm_gray(ip)
+                if ap:
+                    gt = read_bbgt_native(ap)
+                else:
+                    gt = Boxes(np.zeros((0, 4), np.float32),
+                               ignore=np.zeros(0, np.int32))
+                yield dict(image=image, groundtruth_boxes=gt, index=i)
+            if not loop:
+                return
+
+    return _gen()

@@ -267,6 +267,24 @@ def loss(H0, H1) -> float:
     return m0 + m1
 
 
+class _InteropUnpickler(pickle.Unpickler):
+    """Unpickler that resolves reference-package globals here.
+
+    Reference learner checkpoints reference classes by module path
+    (``waldboost.training.DTree`` et al.); this package is the drop-in
+    replacement, so ``waldboost[.sub]`` remaps to ``waldboost_tpu[.sub]``
+    when the target exists there.  Anything else resolves normally."""
+
+    def find_class(self, module, name):
+        if module == "waldboost" or module.startswith("waldboost."):
+            remapped = "waldboost_tpu" + module[len("waldboost"):]
+            try:
+                return super().find_class(remapped, name)
+            except (AttributeError, ModuleNotFoundError, ImportError):
+                pass
+        return super().find_class(module, name)
+
+
 class StageRecord(NamedTuple):
     """Per-stage training statistics: survivor rates under the new theta
     (p0 negatives / p1 positives) and the post-stage exp-loss."""
@@ -368,8 +386,17 @@ class Learner:
 
     @staticmethod
     def load(filename: str) -> "Learner":
+        """Load a learner checkpoint — ours, or one written by the reference
+        package.
+
+        The reference pickles ``Learner.__dict__`` INCLUDING the ``wh`` class
+        object itself (/root/reference/waldboost/training.py:125-132), so a
+        reference-written file carries a global reference to
+        ``waldboost.training.DTree``.  :class:`_InteropUnpickler` remaps any
+        ``waldboost.*`` global to this package's equivalent, making both
+        checkpoint dialects load through the same path."""
         with open(filename, "rb") as f:
-            return Learner.from_dict(pickle.load(f))
+            return Learner.from_dict(_InteropUnpickler(f).load())
 
     def fit_stage(self, model, X0, H0, X1, H1, theta: Optional[float] = None,
                   **wh_args) -> Tuple[float, float, float]:
