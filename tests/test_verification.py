@@ -109,3 +109,72 @@ def test_verifier_does_not_degrade_auc():
         ev.add_detections(i, dt)
     auc_ver = ev.evaluate()["auc"]
     assert auc_ver >= auc_base - 0.03, (auc_base, auc_ver)
+
+
+def test_verify_scores_single_dispatch_matches_chunked():
+    """The one-dispatch bucket-padded verifier program (round 5) must match
+    the round-3 host chunk loop it replaced."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    X0, H0, _, _ = _toy_pools(rng, n=300)  # non-pow2 count -> real padding
+    module, params = V.init_verifier((8, 8, 4), seed=3)
+    apply = jax.jit(functools.partial(module.apply, deterministic=True))
+    ref = []
+    for i in range(0, X0.shape[0], 256):
+        ref.append(np.asarray(apply(params, jnp.asarray(X0[i:i + 256]))))
+    ref = np.concatenate(ref) + H0
+    got = V.verify_scores(module, params, X0, H0)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    # memoized program: a second call reuses the same traced program
+    p1 = V.get_verifier_program(module, params)
+    p2 = V.get_verifier_program(module, params)
+    assert p1 is p2
+
+
+def test_verify_scores_mesh_matches_single_device():
+    from waldboost_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(4)
+    X0, H0, _, _ = _toy_pools(rng, n=100)
+    module, params = V.init_verifier((8, 8, 4), seed=4)
+    base = V.verify_scores(module, params, X0, H0)
+    mesh = make_mesh(8)
+    sharded = V.verify_scores(module, params, X0, H0, mesh=mesh)
+    np.testing.assert_allclose(sharded, base, rtol=1e-5, atol=1e-6)
+
+
+def test_bucketed_fused_verifier_matches_detect_and_verify():
+    """BucketedDetector(verifier=...) fuses CNN re-scoring into the bucket
+    program; its boxes + verified scores must match the per-size
+    detect_and_verify path."""
+    from waldboost_tpu.parallel.bucket import BucketedDetector
+
+    rng = np.random.RandomState(5)
+    model = make_model(n_stages=3, shape=(8, 8, 4),
+                       opts=dict(shrink=2, n_per_oct=2, smooth=1,
+                                 channels="grad_hist"))
+    module, params = V.init_verifier((8, 8, 4), seed=5)
+    det = BucketedDetector(model, bucket=64, verifier=(module, params))
+    imgs = [rng.randint(0, 256, (48, 64)).astype(np.uint8)
+            for _ in range(3)]
+    got = det.detect_many(imgs)
+    for im, bx in zip(imgs, got):
+        ref = V.detect_and_verify(im, model, module, params)
+        assert len(bx) == len(ref)
+        assert bx.has_field("cascade_scores")
+        if not len(bx):
+            continue
+        order_g = np.lexsort(bx.get().T)
+        order_r = np.lexsort(ref.get().T)
+        np.testing.assert_allclose(bx.get()[order_g], ref.get()[order_r],
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(
+            bx.get_field("scores")[order_g],
+            ref.get_field("scores")[order_r], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            bx.get_field("cascade_scores")[order_g],
+            ref.get_field("cascade_scores")[order_r], rtol=1e-5, atol=1e-5)

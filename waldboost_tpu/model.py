@@ -667,10 +667,16 @@ class Model:
         return canvas, hs, packed, per_image
 
     def gather_windows_device(self, image_or_canvas, rs, cs,
-                              is_canvas: bool = False) -> np.ndarray:
+                              is_canvas: bool = False,
+                              as_device: bool = False):
         """Crop (m, n, C) windows at canvas origins on device and transfer
         only the crops (vmapped dynamic_slice) — the training-mining path's
-        replacement for pulling the whole channel canvas to the host."""
+        replacement for pulling the whole channel canvas to the host.
+
+        ``as_device=True`` returns ``(crops_dev, k)`` with the bucket-padded
+        crops still device-resident (k real rows first) — consumers that
+        keep computing on device (the CNN verifier program) skip the
+        windows' host round-trip entirely."""
         m, n, _ = self.shape
         if is_canvas:
             canvas = image_or_canvas
@@ -686,13 +692,16 @@ class Model:
         cs = np.asarray(cs, np.int32)
         k = rs.size
         if k == 0:
-            return np.empty((0, m, n, canvas.shape[0]),
-                            np.dtype(str(canvas.dtype)))
+            empty = np.empty((0, m, n, canvas.shape[0]),
+                             np.dtype(str(canvas.dtype)))
+            return (jnp.asarray(empty), 0) if as_device else empty
         # bucket the crop count so jit compiles O(log K) programs, not O(K)
         pad = max(64, 1 << (k - 1).bit_length()) - k
         rs_p = jnp.asarray(np.pad(rs, (0, pad)))
         cs_p = jnp.asarray(np.pad(cs, (0, pad)))
         crops = _gather_windows_jit(canvas, rs_p, cs_p, (m, n))
+        if as_device:
+            return crops, k
         return np.asarray(crops[:k])
 
     def detect(self, image) -> Boxes:

@@ -133,13 +133,12 @@ def extract_detections_approx(hs: jax.Array, alive: jax.Array,
     return rects, scores, valid, count
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "with_coords"))
 def extract_detections_masked(masked: jax.Array, count: jax.Array,
                               level_id: jax.Array, offsets: jax.Array,
                               inv_scales: jax.Array, window: jax.Array,
-                              k: int = 256
-                              ) -> Tuple[jax.Array, jax.Array, jax.Array,
-                                         jax.Array]:
+                              k: int = 256, with_coords: bool = False
+                              ) -> Tuple[jax.Array, ...]:
     """Extraction from a kernel-emitted masked map (hs where alive, -inf
     elsewhere; see ops.cascade_static.cascade_masked_grid_static).
 
@@ -169,6 +168,12 @@ def extract_detections_masked(masked: jax.Array, count: jax.Array,
     rects = jnp.stack([x1, y1, x1 + n, y1 + m], axis=1)
     rects = rects * inv_scales[lid][:, None]
     rects = jnp.where(valid[:, None], rects, 0.0)
+    if with_coords:
+        # canvas window-grid coords of each survivor (garbage where ~valid;
+        # in-bounds, so downstream gathers stay safe) — the fused verifier
+        # crops windows at these origins without leaving the program
+        return rects, scores, valid, count, rs.astype(jnp.int32), \
+            cs.astype(jnp.int32)
     return rects, scores, valid, count
 
 

@@ -205,7 +205,8 @@ def _canvas_rt_one(image, g, packed: PackedPyramidPlan, cf, shrink: int,
 def make_bucket_detector_boxes(model: Model, bucket_hw: Tuple[int, int],
                                k: int = 1024,
                                nms_iou: Optional[float] = None,
-                               mesh=None, with_n_weak: bool = False):
+                               mesh=None, with_n_weak: bool = False,
+                               verifier=None):
     """ONE-program true-size detection for every image size inside a bucket.
 
     Returns ``(fn, packed)`` with ``fn(images, geom) -> (rects, scores,
@@ -215,7 +216,15 @@ def make_bucket_detector_boxes(model: Model, bucket_hw: Tuple[int, int],
     dict of :func:`bucket_geometry` (device arrays).  The survivor set and
     scores are exactly ``Model.detect`` at the REAL size; ``count == -1``
     flags extraction overflow (callers fall back to the per-size path).
-    Returns None when the model's channel function has no canvas mode."""
+    Returns None when the model's channel function has no canvas mode.
+
+    ``verifier=(module, params)`` fuses CNN re-scoring INTO the program:
+    each extracted survivor's (m, n, C) window is cropped from the already-
+    resident channel canvas and re-scored ``cnn(X) + H`` in the same
+    dispatch (/root/reference/waldboost/verification.py:85-105's flow, with
+    zero extra host round-trips); ``scores`` become the verified scores,
+    NMS (if any) ranks by them, and a sixth output carries the raw cascade
+    scores."""
     from ..ops.cascade_static import (cascade_masked_grid_static,
                                       static_cascade_from_model)
     from ..ops.nms import extract_detections_masked, nms_device
@@ -250,16 +259,36 @@ def make_bucket_detector_boxes(model: Model, bucket_hw: Tuple[int, int],
             and_tree=_serving_and_tree())
 
         def extract_one(mk, cnt):
-            rects, scores, vld, cnt = extract_detections_masked(
-                mk, cnt, g["lid"], offs, g["iscales"], wnd, k=k)
-            if nms_iou is not None:
-                keep = nms_device(rects, scores, vld,
-                                  iou_threshold=float(nms_iou))
-                vld = jnp.logical_and(vld, keep)
-            return rects, scores, vld, cnt
+            return extract_detections_masked(
+                mk, cnt, g["lid"], offs, g["iscales"], wnd, k=k,
+                with_coords=True)
 
-        rects, scores, vld, count = jax.vmap(extract_one)(masked, count)
-        return rects, scores, vld, count, n_weak
+        rects, scores, vld, count, rs, cs = jax.vmap(extract_one)(masked,
+                                                                  count)
+        casc_scores = scores
+        if verifier is not None:
+            vmod, vparams = verifier
+
+            def windows_one(cv, rs_i, cs_i):
+                def crop(r, c):
+                    sl = jax.lax.dynamic_slice(
+                        cv, (0, r, c), (cv.shape[0], m, n))
+                    return jnp.transpose(sl, (1, 2, 0))
+                return jax.vmap(crop)(rs_i, cs_i)
+
+            wins = jax.vmap(windows_one)(cvs, rs, cs)  # (B, k, m, n, C)
+            B, K = wins.shape[:2]
+            adj = vmod.apply(vparams, wins.reshape((B * K,) + wins.shape[2:])
+                             .astype(jnp.float32),
+                             deterministic=True).reshape(B, K)
+            scores = jnp.where(vld, scores + adj, scores)
+
+        if nms_iou is not None:
+            def nms_one(r, s, v):
+                keep = nms_device(r, s, v, iou_threshold=float(nms_iou))
+                return jnp.logical_and(v, keep)
+            vld = jax.vmap(nms_one)(rects, scores, vld)
+        return rects, scores, vld, count, n_weak, casc_scores
 
     if mesh is None:
         return jax.jit(body), packed
@@ -273,7 +302,8 @@ def make_bucket_detector_boxes(model: Model, bucket_hw: Tuple[int, int],
         body, mesh=mesh,
         in_specs=(P(DATA_AXIS, None, None), P()),
         out_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None),
-                   P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS)),
+                   P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
+                   P(DATA_AXIS, None)),
         check_vma=False)
     jbody = jax.jit(sharded,
                     in_shardings=(data_sharding(mesh, 3), replicated(mesh)))
@@ -303,13 +333,19 @@ class BucketedDetector:
 
     def __init__(self, model: Model, bucket: int = 128, k: int = 1024,
                  nms_iou: Optional[float] = None, mesh=None,
-                 max_batch: int = 16, track_cost: bool = False):
+                 max_batch: int = 16, track_cost: bool = False,
+                 verifier=None):
         self.model = model
         self.bucket = int(bucket)
         self.k = k
         self.nms_iou = nms_iou
         self.mesh = mesh
         self.max_batch = int(max_batch)
+        #: optional (module, params) CNN verifier fused into every bucket
+        #: program: survivors are re-scored cnn(window) + H on device in the
+        #: same dispatch, 'scores' become the verified scores (NMS ranks by
+        #: them) and 'cascade_scores' carries the raw cascade response
+        self.verifier = verifier
         #: opt-in eval-cost observability: fold each image's in-kernel
         #: weak-evaluation count into the model's cost counters
         #: (Model._track_cost / cost_stats) like Model.detect does.  Off by
@@ -332,7 +368,8 @@ class BucketedDetector:
         if hw not in self._fns:
             built = make_bucket_detector_boxes(
                 self.model, hw, k=self.k, nms_iou=self.nms_iou,
-                mesh=self.mesh, with_n_weak=self.track_cost)
+                mesh=self.mesh, with_n_weak=self.track_cost,
+                verifier=self.verifier)
             self._fns[hw] = built[0] if built is not None else None
             self.compiles += 1
         return self._fns[hw]
@@ -351,14 +388,28 @@ class BucketedDetector:
             self._geoms[key] = jax.device_put(dict(g))
         return self._geoms[key]
 
+    def _fallback_detect(self, im):
+        """Per-size exact path (canvas-less channel function, or extraction
+        overflow): same verified-scores + NMS semantics as the bucket
+        program, off the bucket fast path."""
+        if self.verifier is not None:
+            from ..verification import detect_and_verify
+            bx = detect_and_verify(im, self.model, *self.verifier)
+        else:
+            bx = self.model.detect(im)
+        if self.nms_iou is not None and len(bx):
+            from ..boxes import non_max_suppression
+            bx = non_max_suppression(bx, iou_threshold=float(self.nms_iou))
+        return bx
+
     def _run_group(self, bucket_hw, real_hw, images):
         from ..boxes import Boxes
 
         fn = self._fn(bucket_hw)
         if fn is None:
-            # channel function without canvas mode: per-size exact path
-            # (recompiles per size — correct, slow)
-            return [self.model.detect(im) for im in images]
+            # channel function without canvas mode (recompiles per size —
+            # correct, slow)
+            return [self._fallback_detect(im) for im in images]
         H, W = bucket_hw
         exact = np.issubdtype(images[0].dtype, np.integer)
         g = self._geom(bucket_hw, real_hw, exact)
@@ -370,12 +421,14 @@ class BucketedDetector:
             batch = np.zeros((nbp, H, W), chunk[0].dtype)
             for j, im in enumerate(chunk):
                 batch[j, :im.shape[0], :im.shape[1]] = im
-            rects_b, scores_b, valid_b, count_b, nweak_b = fn(
+            rects_b, scores_b, valid_b, count_b, nweak_b, casc_b = fn(
                 jnp.asarray(batch), g)
             rects_b = np.asarray(rects_b)
             scores_b = np.asarray(scores_b)
             valid_b = np.asarray(valid_b)
             count_b = np.asarray(count_b)
+            if self.verifier is not None:
+                casc_b = np.asarray(casc_b)
             if self.track_cost:
                 nweak_b = np.asarray(nweak_b)
                 nv = self._nvalid[(bucket_hw, real_hw, exact)]
@@ -386,11 +439,14 @@ class BucketedDetector:
                 if count_b[j] < 0:
                     # extraction overflow / recall miss: per-size exact
                     # dense fallback (same true-size semantics)
-                    out.append(self.model.detect(im))
+                    out.append(self._fallback_detect(im))
                     continue
                 sel = valid_b[j]
                 bx = Boxes(rects_b[j][sel])
                 bx.set_field("scores", scores_b[j][sel].astype(np.float32))
+                if self.verifier is not None:
+                    bx.set_field("cascade_scores",
+                                 casc_b[j][sel].astype(np.float32))
                 out.append(bx)
         return out
 
