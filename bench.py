@@ -61,9 +61,14 @@ def _timeit(fn, batches, iters, warmup, reps=1):
 
 
 def _detect_mps(model, h, w, batch, iters, warmup, nms_iou=None, k=128,
-                k_row=16, reps=1):
+                k_row=16, reps=1, frames=None, fast=False):
     """End-to-end batched detection throughput: channels + cascade +
-    on-device box extraction (+ optional on-device NMS)."""
+    on-device box extraction (+ optional on-device NMS).
+
+    ``frames``: optional (N, h, w) uint8 pool of frames to cycle through
+    (default: fresh uniform noise per dispatch).  ``fast``: build the
+    detector under WB_SERVING_MODE=fast (bf16 serving kernels — the opt-in
+    non-bit-exact mode; the env is resolved at build time)."""
     import jax
     import jax.numpy as jnp
 
@@ -71,8 +76,19 @@ def _detect_mps(model, h, w, batch, iters, warmup, nms_iou=None, k=128,
 
     # with_n_weak=False: serving parity with the reference's detect (boxes +
     # scores only; the evaluation counter is an eval_cost diagnostic)
-    fn, _ = make_batched_detector_boxes(model, (h, w), k=k, k_row=k_row,
-                                        nms_iou=nms_iou, with_n_weak=False)
+    prev = os.environ.get("WB_SERVING_MODE")
+    if fast:
+        os.environ["WB_SERVING_MODE"] = "fast"
+    try:
+        fn, _ = make_batched_detector_boxes(model, (h, w), k=k, k_row=k_row,
+                                            nms_iou=nms_iou,
+                                            with_n_weak=False)
+    finally:
+        if fast:
+            if prev is None:
+                os.environ.pop("WB_SERVING_MODE", None)
+            else:
+                os.environ["WB_SERVING_MODE"] = prev
 
     # one jitted reduce (vs three eager ops = three extra dispatches per
     # iteration through the tunnel); it forces materialization of every
@@ -87,10 +103,20 @@ def _detect_mps(model, h, w, batch, iters, warmup, nms_iou=None, k=128,
         return _force(rects, valid, count)
 
     rng = np.random.RandomState(0)
-    batches = [
-        jnp.asarray(rng.randint(0, 256, (batch, h, w)).astype(np.uint8))
-        for _ in range(iters * reps + warmup)
-    ]
+    n_batches = iters * reps + warmup
+    if frames is None:
+        batches = [
+            jnp.asarray(rng.randint(0, 256, (batch, h, w)).astype(np.uint8))
+            for _ in range(n_batches)
+        ]
+    else:
+        # cycle the frame pool with a distinct rotation per batch (the axon
+        # runtime dedupes identical executions — no two batches may match)
+        N = frames.shape[0]
+        batches = []
+        for i in range(n_batches):
+            idx = (np.arange(batch) * 7 + i * 13) % N
+            batches.append(jnp.asarray(frames[idx]))
     dt = _timeit(run, batches, iters, warmup, reps=reps)
     return h * w / 1e6 * batch * iters / dt
 
@@ -145,6 +171,42 @@ def bench_vga_full_pyramid(batch, iters, warmup, reps=1):
     model = wb.load(path)
     return _detect_mps(model, 480, 640, batch, iters, warmup, nms_iou=0.5,
                        reps=reps)
+
+
+def bench_vga_full_pyramid_fast(batch, iters, warmup, reps=1):
+    """Config 2, WB_SERVING_MODE=fast: the opt-in bf16 serving mode (no
+    exactness contract — deviation quantified in BASELINE.md's fast-mode
+    table).  Same trained flagship, same pipeline, fast kernels."""
+    import waldboost_tpu as wb
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "models", "flagship_synth_64.pb")
+    model = wb.load(path)
+    return _detect_mps(model, 480, 640, batch, iters, warmup, nms_iou=0.5,
+                       reps=reps, fast=True)
+
+
+def _scene_frames(n=64, hw=(480, 640), seed=100):
+    """Fixed seeded corpus of OBJECT-BEARING VGA frames (multi-scale
+    rectangles + clutter, utils.scene_generator) — the honest-workload
+    counterpart of the uniform-noise headline (VERDICT r4 weak #2: noise
+    frames reward rejection aggressiveness; scene frames measure the
+    detector doing work: flagship eval_cost 1.22 on noise vs 2.38 on
+    scenes, BASELINE.md)."""
+    from waldboost_tpu.utils import scene_generator
+    gen = scene_generator(seed=seed, hw=hw)
+    return np.stack([next(gen)["image"] for _ in range(n)])
+
+
+def bench_scene_frames(batch, iters, warmup, reps=1):
+    """Config 2s: the trained flagship on scene frames (objects present)."""
+    import waldboost_tpu as wb
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "models", "flagship_synth_64.pb")
+    model = wb.load(path)
+    return _detect_mps(model, 480, 640, batch, iters, warmup, nms_iou=0.5,
+                       reps=reps, frames=_scene_frames())
 
 
 def bench_synthetic_calibrated(batch, iters, warmup, reps=1):
@@ -301,6 +363,15 @@ def main():
         unit="stages/min", baseline=None)
     add("synthetic_calibrated_throughput",
         lambda: bench_synthetic_calibrated(batch, iters, warmup, reps=reps))
+    # scene-frame honesty metric: the same trained flagship on object-
+    # bearing frames (eval_cost ~2.4 vs 1.22 on noise) — guards the
+    # headline against rejection-aggressiveness workload drift
+    add("scene_frame_detection_throughput",
+        lambda: bench_scene_frames(batch, iters, warmup, reps=reps))
+    # opt-in fast mode (bf16 serving kernels, no exactness contract)
+    add("full_pyramid_fast_throughput",
+        lambda: bench_vga_full_pyramid_fast(batch, iters, warmup,
+                                            reps=reps))
     # headline LAST (the driver parses the final JSON line): the committed
     # trained flagship — rounds 1-2 reported it as
     # trained_cascade_throughput (892.5 in r2) next to a synthetic-cascade

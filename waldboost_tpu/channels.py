@@ -400,12 +400,12 @@ grad_hist = register_channel_function(
         canvas_fn=_grad_hist_canvas_fn,
         canvas_fn_poly=_grad_hist_poly_fn,
         poly_kernel=lambda planes, mask, smooth, interpret, content_hw=None,
-        out_grid=None, crop=True, alloc_grid=None: __import__(
+        out_grid=None, crop=True, alloc_grid=None, fast=False: __import__(
             "waldboost_tpu.ops.channels_pallas", fromlist=["x"]
         ).grad_hist_poly_pallas(planes, mask, smooth, n_bins=4, full=False,
                                 bias=0.0, interpret=interpret,
                                 content_hw=content_hw, out_grid=out_grid,
-                                crop=crop, alloc_grid=alloc_grid),
+                                crop=crop, alloc_grid=alloc_grid, fast=fast),
     )
 )
 

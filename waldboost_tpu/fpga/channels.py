@@ -148,7 +148,8 @@ def _fpga_poly_kernel(kind):
     (ops.channels_pallas.fpga_poly_pallas).  ``mask`` is the
     (ring, interior) pair from :func:`_fpga_kernel_masks`."""
     def k(planes, mask, smooth, interpret, content_hw=None, out_grid=None,
-          crop=True, alloc_grid=None):
+          crop=True, alloc_grid=None, fast=False):
+        # integer channels have no exactness tax to relax; fast is a no-op
         ring, interior = mask
         from ..ops.channels_pallas import fpga_poly_pallas
         return fpga_poly_pallas(planes, ring, kind=kind, smooth=smooth,

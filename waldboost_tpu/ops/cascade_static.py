@@ -112,7 +112,8 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                         n_stages_cap=None, block=BLOCK, bands=1,
                         masked_out=False, with_nweak=True,
                         preshift_min_uses=2, preshift_lazy=False,
-                        margin_enc=False, and_tree=False):
+                        margin_enc=False, and_tree=False, fast=False,
+                        fast_scores="bf16"):
     """Generate the specialized kernel body: unrolled stages, static slices,
     immediate-constant thresholds/predictions, blockwise tile early exit.
 
@@ -181,6 +182,20 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
     at_enc = masked_out and not with_nweak and not margin_enc and and_tree
     inf_enc = masked_out and not with_nweak and not margin_enc \
         and not and_tree
+    # fast serving mode (WB_SERVING_MODE=fast): the whole per-stage vector
+    # chain runs in bf16 — compares, selects, (optionally) the score adds.
+    # bf16 tiles pack 2 lanes per VPU register, so the instruction-
+    # throughput-bound stage loop (BASELINE.md "Serving-wall records")
+    # executes up to 2x fewer vector ops.  NOT bit-exact: a window whose
+    # channel value sits within bf16 resolution of a node threshold can
+    # route differently; quantified in BASELINE.md's fast-mode table.
+    # ``fast_scores="bf16"`` accumulates hs in bf16 too (max throughput;
+    # score resolution ~2^-8 relative); "f32" keeps f32 accumulation —
+    # routing still bf16, one widening cast per stage.
+    assert not fast or (at_enc or inf_enc), \
+        "fast mode requires the serving (masked, no-counter) encodings"
+    cdt = jnp.bfloat16 if fast else jnp.float32
+    sdt = jnp.bfloat16 if (fast and fast_scores == "bf16") else jnp.float32
     # margin encoding: instead of latching hs to -inf on rejection, carry the
     # running margin  mg = min_t (hs_t - theta_t)  alongside the UNLATCHED
     # prefix sum hs.  A window survives iff mg >= 0 (same set as the latch:
@@ -265,8 +280,14 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                         if isinstance(lo, float) and isinstance(hi, float) \
                                 and lo == hi:
                             return lo
+                        if isinstance(lo, float):
+                            lo = jnp.asarray(lo, cdt)
+                        if isinstance(hi, float):
+                            hi = jnp.asarray(hi, cdt)
                         return jnp.where(bin_, lo, hi)
                     resp = resp_of(0)
+                    if not isinstance(resp, float) and resp.dtype != sdt:
+                        resp = resp.astype(sdt)
                     if with_nweak:
                         nweak_acc = nweak_acc + alive
                     # hs accumulates UNMASKED (no alive*resp multiply): a
@@ -283,7 +304,7 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                             hs = jnp.where(hs >= th, hs, -jnp.inf)
                         elif at_enc:
                             # off the hs critical path: folded below
-                            oks.append((hs >= th).astype(jnp.float32))
+                            oks.append((hs >= th).astype(cdt))
                         else:
                             alive = alive * (hs >= th).astype(jnp.float32)
                 if mg_enc:
@@ -324,10 +345,11 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                                        jnp.inf, -jnp.inf))
                 elif inf_enc:
                     carry = (jnp.where(mask[b0:b0 + bh, :] > 0.0,
-                                       0.0, -jnp.inf),)
+                                       jnp.zeros((bh, TV), sdt),
+                                       jnp.asarray(-jnp.inf, sdt)),)
                 else:
-                    carry = (jnp.zeros((bh, TV), jnp.float32),
-                             mask[b0:b0 + bh, :])
+                    carry = (jnp.zeros((bh, TV), sdt),
+                             mask[b0:b0 + bh, :].astype(cdt))
                     if with_nweak:
                         carry = carry + (jnp.zeros((bh, TV), jnp.float32),)
                 # int block -> uniform schedule; tuple -> explicit per-block
@@ -363,11 +385,15 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                     cnt_b = jnp.sum(ok.astype(jnp.float32)).astype(jnp.int32)
                 elif inf_enc:
                     hs = carry[0]
-                    out_ref[b0:b0 + bh, :] = hs
+                    out_ref[b0:b0 + bh, :] = hs.astype(jnp.float32)
                     alive_f = (hs > -jnp.inf).astype(jnp.float32)
                     cnt_b = jnp.sum(alive_f).astype(jnp.int32)
                 else:
-                    hs, alive = carry[0], carry[1]
+                    hs = carry[0].astype(jnp.float32)
+                    # f32 for the count sum: a bf16 accumulator saturates at
+                    # 256 (8 mantissa bits), and count feeds the extraction
+                    # completeness check
+                    alive = carry[1].astype(jnp.float32)
                     out_ref[b0:b0 + bh, :] = jnp.where(alive > 0.0, hs,
                                                        -jnp.inf)
                     cnt_b = jnp.sum(alive).astype(jnp.int32)
@@ -604,7 +630,7 @@ def cascade_response_grid_static(
     static_argnames=("sc", "window", "tile", "interpret", "n_stages_cap",
                      "content_hw", "block", "with_n_weak", "preshift",
                      "bands", "preshift_min_uses", "preshift_lazy",
-                     "margin_enc", "and_tree"),
+                     "margin_enc", "and_tree", "fast", "fast_scores"),
 )
 def cascade_masked_grid_static(
     canvas: jax.Array, sc: StaticCascade, valid_mask: jax.Array,
@@ -613,7 +639,8 @@ def cascade_masked_grid_static(
     content_hw: Optional[Tuple[int, int]] = None, block: int = BLOCK,
     with_n_weak: bool = True, preshift: bool = False, bands: int = 1,
     preshift_min_uses: int = 2, preshift_lazy: bool = False,
-    margin_enc: bool = False, and_tree: bool = False,
+    margin_enc: bool = False, and_tree: bool = False, fast: bool = False,
+    fast_scores: str = "bf16",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Serving-extraction form of :func:`cascade_response_grid_static`.
 
@@ -632,7 +659,12 @@ def cascade_masked_grid_static(
     carry); ``n_weak`` is then all zeros.  The reference's ``detect`` returns
     boxes/scores only (/root/reference/waldboost/model.py:129-151) — the
     counter is an eval_cost diagnostic, not a serving output.
+
+    ``fast=True`` (WB_SERVING_MODE=fast): bf16 tiles + bf16 stage chain —
+    NOT bit-exact (see _make_static_kernel); requires the no-counter
+    encodings, so it is ignored when ``with_n_weak`` or ``margin_enc``.
     """
+    fast = bool(fast) and not with_n_weak and not margin_enc
     batched = canvas.ndim == 4
     if not batched:
         canvas = canvas[None]
@@ -646,12 +678,13 @@ def cascade_masked_grid_static(
     TU, TV, gi, gj, HU, HV = cascade_grid((U, V), window, tile)
     U_pad = gi * TU + HU
     V_pad = gj * TV + HV
+    tdt = jnp.bfloat16 if fast else jnp.float32
     if content_hw is not None:
         assert canvas.shape[2] >= U_pad and canvas.shape[3] >= V_pad, \
             (canvas.shape, U_pad, V_pad)
-        canvas_p = canvas.astype(jnp.float32)
+        canvas_p = canvas.astype(tdt)
     else:
-        canvas_p = jnp.pad(canvas.astype(jnp.float32),
+        canvas_p = jnp.pad(canvas.astype(tdt),
                            ((0, 0), (0, 0), (0, U_pad - U), (0, V_pad - V)))
     mask_p = jnp.pad(valid_mask.astype(jnp.float32),
                      ((0, gi * TU - gu), (0, gj * TV - gv)))
@@ -662,14 +695,16 @@ def cascade_masked_grid_static(
                                  bands=bands,
                                  preshift_min_uses=preshift_min_uses,
                                  preshift_lazy=preshift_lazy,
-                                 margin_enc=margin_enc, and_tree=and_tree)
+                                 margin_enc=margin_enc, and_tree=and_tree,
+                                 fast=fast, fast_scores=fast_scores)
 
     grid = (B, gi, gj)
     mask_spec = pl.BlockSpec((TU, TV), lambda b, i, j: (i, j),
                              memory_space=pltpu.VMEM)
 
+    isz = 2 if fast else 4
     scratch = [
-        pltpu.VMEM((2, C, TU + HU, TV + HV), jnp.float32),  # double-buffer
+        pltpu.VMEM((2, C, TU + HU, TV + HV), tdt),  # double-buffer
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if preshift:
@@ -687,14 +722,13 @@ def cascade_masked_grid_static(
         # the double-buffered tiles, output/mask blocks, and live carries
         # (~4 MB at the default tile; scale the slack with the tile area —
         # a (256,512) tile OOM'd at the flat 11 MB bound)
-        pre_bytes = max(n_pairs, 1) * (TU + HU) * TV * 4
-        tile_bytes = 2 * C * (TU + HU) * (TV + HV) * 4
+        pre_bytes = max(n_pairs, 1) * (TU + HU) * TV * isz
+        tile_bytes = 2 * C * (TU + HU) * (TV + HV) * isz
         live_bytes = 6 * TU * TV * 4  # out + mask + hs/alive carries
         if pre_bytes + tile_bytes + live_bytes > 14 * 2 ** 20:
             preshift = False
     if preshift:
-        scratch.append(pltpu.VMEM((max(n_pairs, 1), TU + HU, TV),
-                                  jnp.float32))
+        scratch.append(pltpu.VMEM((max(n_pairs, 1), TU + HU, TV), tdt))
 
         def kernel3(mask_ref, canvas_hbm, out_ref, stats_ref, tile_ref,
                     dma_sem, pre_ref):

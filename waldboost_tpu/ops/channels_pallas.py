@@ -144,7 +144,7 @@ def _db_fetch(srcs, TU, TV, content_grid):
 
 
 def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
-                 content_grid=None, exact_plan=None):
+                 content_grid=None, exact_plan=None, odt=jnp.float32):
     HR, HC = 8, 128  # fetched halo (alignment); compute uses 2 plane px
 
     def kernel(*refs):
@@ -239,7 +239,7 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
                         outk = jnp.where(mask > 0, outk, 0.0)
                 else:
                     outk = pooled[1:TU + 1, 1:TV + 1]
-                out_ref[k] = outk
+                out_ref[k] = outk.astype(odt)
 
         # a tile is live when it's inside the content grid AND (with the
         # smooth interior mask) some output survives the mask select — gap
@@ -264,7 +264,7 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
         @pl.when(jnp.logical_not(live))
         def _dead_tile():
             for k in range(n_bins):
-                out_ref[k] = jnp.zeros((TU, TV), jnp.float32)
+                out_ref[k] = jnp.zeros((TU, TV), odt)
 
     return kernel
 
@@ -272,7 +272,7 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
 @functools.partial(
     jax.jit,
     static_argnames=("smooth", "n_bins", "full", "bias", "tile", "interpret",
-                     "content_hw", "out_grid", "crop", "alloc_grid"),
+                     "content_hw", "out_grid", "crop", "alloc_grid", "fast"),
 )
 def grad_hist_poly_pallas(
     planes: jax.Array, interior_mask: Optional[jax.Array],
@@ -280,7 +280,7 @@ def grad_hist_poly_pallas(
     tile: Tuple[int, int] = TILE, interpret: bool = False,
     content_hw: Optional[Tuple[int, int]] = None,
     out_grid: Optional[Tuple[int, int]] = None, crop: bool = True,
-    alloc_grid: Optional[Tuple[int, int]] = None,
+    alloc_grid: Optional[Tuple[int, int]] = None, fast: bool = False,
 ) -> jax.Array:
     """Pooled grad_hist channel canvas from polyphase planes, fused.
 
@@ -326,14 +326,21 @@ def grad_hist_poly_pallas(
     content_grid = (gi_c, gj_c) if (gi, gj) != (gi_c, gj_c) else None
     # bf16 planes mark uint8 image content (model._poly_planes): engage the
     # exact projection plan so the kernel matches the reference's f64 store
-    # bit for bit (channels._project_hist does the same on the XLA path)
+    # bit for bit (channels._project_hist does the same on the XLA path).
+    # fast serving mode (WB_SERVING_MODE=fast) skips the plan — the plain
+    # f32 cos/sin projection chain (the dd-projection exactness tax was
+    # ~19 us/VGA-img, BASELINE.md "Serving-wall records") — and emits a
+    # bf16 canvas (halves the canvas write + the cascade kernel's DMA, and
+    # feeds the bf16 cascade stage chain natively).  Deviation quantified
+    # in BASELINE.md's fast-mode table.
     exact_plan = None
-    if planes_p.dtype == jnp.bfloat16:
+    if planes_p.dtype == jnp.bfloat16 and not fast:
         from .exact import projection_plan
         exact_plan = projection_plan(n_bins, full)
+    odt = jnp.bfloat16 if fast else jnp.float32
     kernel = _make_kernel(TU, TV, smooth, n_bins, full, float(bias),
                           with_mask, content_grid=content_grid,
-                          exact_plan=exact_plan)
+                          exact_plan=exact_plan, odt=odt)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     args = [planes_p]
@@ -368,7 +375,7 @@ def grad_hist_poly_pallas(
                                lambda b, i, j: (b, 0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_bins, agi * TU, agj * TV),
-                                       jnp.float32),
+                                       odt),
         scratch_shapes=[
             # leading 2: double-buffer slots (DMA prefetch across grid steps)
             pltpu.VMEM((2, 2, 2, TU + 2 * HR, TV + 2 * HC), planes_p.dtype),

@@ -251,12 +251,14 @@ def make_bucket_detector_boxes(model: Model, bucket_hw: Tuple[int, int],
         is_int = jnp.issubdtype(images.dtype, jnp.integer)
         cvs = jax.vmap(lambda im: _canvas_rt_one(
             im, g, packed, cf, shrink, smooth, halo, n_oct, is_int))(images)
-        from .detect import _serving_and_tree
+        from .detect import (_serving_and_tree, _serving_fast,
+                             _serving_fast_scores)
         masked, n_weak, count = cascade_masked_grid_static(
             cvs, sc, g["valid"], (m, n), interpret=interpret,
             with_n_weak=with_n_weak, preshift=True, preshift_lazy=True,
             preshift_min_uses=1, block=block,
-            and_tree=_serving_and_tree())
+            and_tree=_serving_and_tree(), fast=_serving_fast(),
+            fast_scores=_serving_fast_scores())
 
         def extract_one(mk, cnt):
             return extract_detections_masked(

@@ -44,6 +44,24 @@ def _serving_and_tree() -> bool:
     return os.environ.get("WB_CASC_ENC", "andtree") == "andtree"
 
 
+def _serving_fast() -> bool:
+    """Opt-in fast serving mode (``WB_SERVING_MODE=fast``): bf16 channel
+    canvas with the plain f32 projection chains (no dd-projection exactness
+    tax) + the bf16 cascade stage chain.  NOT bit-exact vs the reference —
+    the default ("exact") keeps the zero-mismatch contract; the fast mode's
+    measured deviation/throughput trade lives in BASELINE.md.  Read OUTSIDE
+    jit (trace-time env landmine, CLAUDE.md) and passed as static args."""
+    import os
+    return os.environ.get("WB_SERVING_MODE", "exact") == "fast"
+
+
+def _serving_fast_scores() -> str:
+    """hs accumulation dtype in fast mode: "bf16" (default, max throughput)
+    or "f32" (bf16 routing, f32 scores)."""
+    import os
+    return os.environ.get("WB_FAST_SCORES", "bf16")
+
+
 def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                           mesh=None, donate: bool = False,
                           n_stages_cap: Optional[int] = None,
@@ -149,6 +167,7 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                               tuple(image_shape))
             if fspec["vmem_bytes"] > 14 * 2 ** 20 or not fspec["shelves"]:
                 fspec = None
+        fast = _serving_fast()
         if fspec is not None:
             from ..model import _poly_planes_fused
 
@@ -166,7 +185,8 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                                 geom=geom))(images)
                 return cf.poly_kernel(planes, interior, smooth, interpret,
                                       content_hw=(Hc, Wc),
-                                      alloc_grid=out_grid, crop=False)
+                                      alloc_grid=out_grid, crop=False,
+                                      fast=fast)
 
             canvas_b.mats = fmats
         else:
@@ -182,7 +202,8 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                 # uninitialized instead of paying zero-fill pad tiles
                 return cf.poly_kernel(planes, interior, smooth, interpret,
                                       content_hw=(Hc, Wc),
-                                      alloc_grid=out_grid, crop=False)
+                                      alloc_grid=out_grid, crop=False,
+                                      fast=fast)
 
             canvas_b.mats = mats
 
@@ -211,7 +232,9 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                               # (scripts/exp_r5_pshift.py)
                                               preshift_min_uses=1,
                                               block=_serving_block(),
-                                              and_tree=_serving_and_tree())
+                                              and_tree=_serving_and_tree(),
+                                              fast=fast,
+                                              fast_scores=_serving_fast_scores())
     elif backend == "static":
         # cascade-specialized kernel with the batch as a grid dimension:
         # one launch evaluates the whole (per-shard) batch
@@ -241,7 +264,9 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                               # (scripts/exp_r5_pshift.py)
                                               preshift_min_uses=1,
                                               block=_serving_block(),
-                                              and_tree=_serving_and_tree())
+                                              and_tree=_serving_and_tree(),
+                                              fast=_serving_fast(),
+                                              fast_scores=_serving_fast_scores())
     elif backend == "pallas":
         # the generic fused kernel cannot be vmapped (unblocked ANY-space
         # operand); loop per-image kernel calls inside one jitted program
