@@ -1,0 +1,74 @@
+"""Opt-in fast serving mode (WB_SERVING_MODE=fast): deviation bounds.
+
+Fast mode trades the bit-exactness contract for throughput: the channel
+kernel skips the dd-projection exactness tax and computes/emits bf16; the
+cascade kernel ingests the bf16 canvas (stage chain stays f32 — Mosaic
+legalizes no packed 16-bit compares, scripts/probe_mosaic_bf16*.py).
+These tests pin: exact mode unchanged, fast-mode deviation bounded.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from __graft_entry__ import _flagship_model
+from waldboost_tpu.parallel.detect import make_batched_detector_boxes
+
+
+@pytest.fixture()
+def model():
+    return _flagship_model(seed=0, n_stages=16, shape=(8, 8, 4),
+                           channel_opts=dict(shrink=2, n_per_oct=2, smooth=1,
+                                             channels="grad_hist"),
+                           image_hw=(96, 128))
+
+
+def _build(model, mode):
+    prev = os.environ.get("WB_SERVING_MODE")
+    os.environ["WB_SERVING_MODE"] = mode
+    try:
+        fn, _ = make_batched_detector_boxes(model, (96, 128), k=512,
+                                            with_n_weak=False)
+    finally:
+        if prev is None:
+            os.environ.pop("WB_SERVING_MODE", None)
+        else:
+            os.environ["WB_SERVING_MODE"] = prev
+    return fn
+
+
+def _boxes(out, b):
+    rects, scores, valid, count, _ = out
+    v = np.asarray(valid[b])
+    return ({tuple(np.round(x, 2)) for x in np.asarray(rects[b])[v]},
+            np.asarray(scores[b])[v])
+
+
+def test_fast_mode_bounded_deviation(model):
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randint(0, 256, (4, 96, 128)).astype(np.uint8))
+    oe = _build(model, "exact")(imgs)
+    of = _build(model, "fast")(imgs)
+    total = flips = 0
+    for b in range(4):
+        se, _ = _boxes(oe, b)
+        sf, _ = _boxes(of, b)
+        total += max(len(se), 1)
+        flips += len(se ^ sf)
+    # deviation exists but is a small fraction of boxes (TPU-measured
+    # flip rate ~1% on scenes; the CPU interpret bound here is loose)
+    assert flips <= 0.25 * total, (flips, total)
+
+
+def test_exact_mode_env_default_unchanged(model):
+    """Without the env (default), the serving path must equal an explicit
+    WB_SERVING_MODE=exact build bit-for-bit."""
+    rng = np.random.RandomState(1)
+    imgs = jnp.asarray(rng.randint(0, 256, (2, 96, 128)).astype(np.uint8))
+    o_def = _build(model, os.environ.get("WB_SERVING_MODE", "exact"))(imgs)
+    o_ex = _build(model, "exact")(imgs)
+    for a, b in zip(o_def[:4], o_ex[:4]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -308,9 +308,18 @@ def test_reference_float_image_golden(ref, tmp_path):
             assert rs == pytest.approx(ts, rel=1e-9)
             rc32 = rc.astype(np.float32)
             tc32 = np.asarray(tc, np.float32)
-            np.testing.assert_allclose(tc32, rc32, rtol=1e-3, atol=2e-4)
+            np.testing.assert_allclose(tc32, rc32, rtol=1e-5, atol=1e-5)
             max_ulp = max(max_ulp, int(ulp_dist(tc32, rc32).max()))
-    assert max_ulp <= 512, max_ulp
+    # round-5 double-float path (ops.dd): resize lerp, [1,2,1] prefilter
+    # accumulation, and projection store all replicate the reference's f64
+    # chains; the sole residue is resize values landing ON f32 rounding
+    # midpoints (rational pyramid scales make those COMMON), where the f64
+    # chain's 2^-53 noise picks the side — measured 0.09% of values, <=5
+    # ULP after downstream amplification (was 260 ULP in round 4).
+    # Emulating f64's per-op roundings needs triple-f32 expansions +
+    # per-element directed rounding (~10-20x the dd op count) — the
+    # PARITY.md float-status record justifies stopping at this bound.
+    assert max_ulp <= 16, max_ulp
 
     # detections: identical box geometry up to threshold-borderline flips
     n_total = n_flip = n_common = n_score_off = 0
@@ -328,5 +337,5 @@ def test_reference_float_image_golden(ref, tmp_path):
             if abs(a[key] - b[key]) > 1e-3:
                 n_score_off += 1  # a split within the resize noise flipped
     assert n_common > 100
-    assert n_flip <= 0.02 * n_total, (n_flip, n_total)
-    assert n_score_off <= 0.02 * n_common, (n_score_off, n_common)
+    assert n_flip <= 0.005 * n_total, (n_flip, n_total)
+    assert n_score_off <= 0.005 * n_common, (n_score_off, n_common)

@@ -260,7 +260,9 @@ def _project_hist(gx: jax.Array, gy: jax.Array, n_bins: int, full: bool,
     ``exact``: the gradients are uint8-image integers, so each bin equals
     the reference's NumPy-2 semantics ``f32(f64(gx*cos - gy*sin))`` via the
     exhaustively-verified plan of ops.exact.projection_plan (PARITY.md §1c).
-    Non-integer inputs use the plain f32 projection (documented deviation).
+    Non-integer inputs evaluate the same f64-promoted store in double-float
+    arithmetic (ops.dd.proj_dd, round 5 — the round-4 plain-f32 projection
+    was a few-ULP documented deviation).
     """
     plan = None
     if exact:
@@ -270,13 +272,11 @@ def _project_hist(gx: jax.Array, gy: jax.Array, n_bins: int, full: bool,
         from .ops.exact import project_bins
         chns = jnp.stack(project_bins(gx, gy, plan))
     else:
+        from .ops.dd import proj_dd
         max_theta = 2 * np.pi if full else np.pi
         theta = np.linspace(0, max_theta, n_bins + 1)[:-1]
-        cs = np.cos(theta).astype(np.float32)
-        sn = np.sin(theta).astype(np.float32)
-        exp = (None,) * gx.ndim
-        chns = gx[None] * cs[(slice(None),) + exp] \
-            - gy[None] * sn[(slice(None),) + exp]
+        chns = jnp.stack([proj_dd(gx, gy, np.cos(t), np.sin(t))
+                          for t in theta])
     value = jnp.maximum(jnp.abs(chns) - bias, 0.0)
     return jnp.sign(chns) * value if full else value
 
@@ -287,7 +287,8 @@ def _grad_hist_fn(image: jax.Array, n_bins: int = 4, full: bool = False,
     Mirrors /root/reference/waldboost/channels.py:40-52."""
     if exact is None:
         exact = image.dtype == jnp.uint8
-    gx, gy = imops.gradients(image.astype(jnp.float32))
+    gx, gy = imops.gradients(image.astype(jnp.float32),
+                             float_dd=not exact)
     return _project_hist(gx, gy, n_bins, full, bias, exact)
 
 
@@ -334,25 +335,40 @@ def _shift(p: jax.Array, dr: int, dc: int) -> jax.Array:
     return p
 
 
-def _gradients_poly(planes: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def _gradients_poly(planes: jax.Array,
+                    float_dd: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Full-resolution smoothed gradients of a 2x2-polyphase canvas.
 
     ``planes``: (2, 2, H, W) with planes[a, b, i, j] = canvas[2i+a, 2j+b].
     Returns (gx, gy) in the same polyphase layout.  Cross-phase shifted adds
     replicate ops.image.gradients exactly (integer inputs make f32 sums
     exact, so the association is irrelevant; the term order still matches).
+
+    ``float_dd``: float-image content — the [1,2,1] prefilter sums
+    error-free and rounds ONCE (scipy.ndimage's f64 accumulator semantics;
+    ops.image._conv121_dd has the single-plane form).
     """
+    if float_dd:
+        from .ops.dd import two_sum
+
+        def tap3(a, b, c):
+            s1, e1 = two_sum(a, 2.0 * b)
+            s2, e2 = two_sum(s1, c)
+            return s2 + (e1 + e2)
+    else:
+        def tap3(a, b, c):
+            return a + 2.0 * b + c
     P = [[planes[0, 0], planes[0, 1]], [planes[1, 0], planes[1, 1]]]
     # sx[a][b] = x[2i+a, 2j+b-1] + 2 x[2i+a, 2j+b] + x[2i+a, 2j+b+1]
-    sx = [[_shift(P[a][1], 0, -1) + 2.0 * P[a][0] + P[a][1],
-           P[a][0] + 2.0 * P[a][1] + _shift(P[a][0], 0, +1)]
+    sx = [[tap3(_shift(P[a][1], 0, -1), P[a][0], P[a][1]),
+           tap3(P[a][0], P[a][1], _shift(P[a][0], 0, +1))]
           for a in (0, 1)]
     # gy[a][b] = sx[2i+a-1, j] - sx[2i+a+1, j]
     gy = [[_shift(sx[1][b], -1, 0) - sx[1][b] for b in (0, 1)],
           [sx[0][b] - _shift(sx[0][b], +1, 0) for b in (0, 1)]]
     # sy[a][b] = x[2i+a-1, 2j+b] + 2 x[2i+a, 2j+b] + x[2i+a+1, 2j+b]
-    sy = [[_shift(P[1][b], -1, 0) + 2.0 * P[0][b] + P[1][b] for b in (0, 1)],
-          [P[0][b] + 2.0 * P[1][b] + _shift(P[0][b], +1, 0) for b in (0, 1)]]
+    sy = [[tap3(_shift(P[1][b], -1, 0), P[0][b], P[1][b]) for b in (0, 1)],
+          [tap3(P[0][b], P[1][b], _shift(P[0][b], +1, 0)) for b in (0, 1)]]
     # gx[a][b] = sy[i, 2j+b-1] - sy[i, 2j+b+1]
     gx = [[_shift(sy[a][1], 0, -1) - sy[a][1],
            sy[a][0] - _shift(sy[a][0], 0, +1)] for a in (0, 1)]
@@ -371,7 +387,8 @@ def _grad_hist_poly_fn(planes: jax.Array, ctx: CanvasCtx, n_bins: int = 4,
     content (bf16 plane dtype or ctx.exact_int).
     """
     exact = ctx.exact_int or planes.dtype == jnp.bfloat16
-    gx, gy = _gradients_poly(planes.astype(jnp.float32))  # (2,2,H,W) each
+    gx, gy = _gradients_poly(planes.astype(jnp.float32),
+                             float_dd=not exact)  # (2,2,H,W) each
     # (C, 2, 2, H, W) projections
     value = _project_hist(gx, gy, n_bins, full, bias, exact)
     pooled = (((value[:, 0, 0] + value[:, 1, 0]) + value[:, 0, 1])

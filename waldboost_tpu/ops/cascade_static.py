@@ -182,20 +182,19 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
     at_enc = masked_out and not with_nweak and not margin_enc and and_tree
     inf_enc = masked_out and not with_nweak and not margin_enc \
         and not and_tree
-    # fast serving mode (WB_SERVING_MODE=fast): the whole per-stage vector
-    # chain runs in bf16 — compares, selects, (optionally) the score adds.
-    # bf16 tiles pack 2 lanes per VPU register, so the instruction-
-    # throughput-bound stage loop (BASELINE.md "Serving-wall records")
-    # executes up to 2x fewer vector ops.  NOT bit-exact: a window whose
-    # channel value sits within bf16 resolution of a node threshold can
-    # route differently; quantified in BASELINE.md's fast-mode table.
-    # ``fast_scores="bf16"`` accumulates hs in bf16 too (max throughput;
-    # score resolution ~2^-8 relative); "f32" keeps f32 accumulation —
-    # routing still bf16, one widening cast per stage.
+    # fast serving mode (WB_SERVING_MODE=fast): the canvas/tiles are bf16
+    # (half the channel-kernel write + cascade DMA traffic; values are the
+    # fast channel kernel's bf16 roundings — NOT bit-exact), but the stage
+    # chain itself stays f32: Mosaic (v5e, jax 0.9) legalizes NO packed
+    # 16-bit vector compares — neither bf16 arith.cmpf nor i16 arith.cmpi
+    # on bitcast operands (scripts/probe_mosaic_bf16.py / _bf16b.py probe
+    # records) — so the hoped-for 2x-packed compare/select chain cannot
+    # compile; operand reads upcast once at the preshift slab copy.
     assert not fast or (at_enc or inf_enc), \
         "fast mode requires the serving (masked, no-counter) encodings"
-    cdt = jnp.bfloat16 if fast else jnp.float32
-    sdt = jnp.bfloat16 if (fast and fast_scores == "bf16") else jnp.float32
+    del fast_scores  # routing/score dtypes are pinned f32 (see above)
+    cdt = jnp.float32
+    sdt = jnp.float32
     # margin encoding: instead of latching hs to -inf on rejection, carry the
     # running margin  mg = min_t (hs_t - theta_t)  alongside the UNLATCHED
     # prefix sum hs.  A window survives iff mg >= 0 (same set as the latch:
@@ -260,8 +259,11 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                     for p2, fb in first_block.items():
                         if fb == blk_i:
                             ch2, c2 = p2
+                            # slabs are f32; bf16 tiles (fast mode) upcast
+                            # here, once per pair
                             pre_ref[pair_idx[p2]] = \
-                                tile_ref[slot, ch2, :, c2:c2 + TV]
+                                tile_ref[slot, ch2, :, c2:c2 + TV] \
+                                .astype(jnp.float32)
                 for t in ts:
                     def resp_of(node):
                         if sc.left[t, node] < 0:
@@ -273,7 +275,8 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                             q = pair_idx[(ch, c)]
                             opnd = pre_ref[q, r:r + bh, :]
                         else:
-                            opnd = tile_ref[slot, ch, r:r + bh, c:c + TV]
+                            opnd = tile_ref[slot, ch, r:r + bh,
+                                            c:c + TV].astype(jnp.float32)
                         bin_ = opnd <= float(sc.thr[t, node])
                         lo = resp_of(int(sc.left[t, node]))
                         hi = resp_of(int(sc.right[t, node]))
@@ -313,12 +316,16 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                     return (hs,)
                 if at_enc:
                     # balanced multiply tree over the block's compares
-                    # ({0,1} floats: exact, associative)
+                    # ({0,1} floats: exact, associative).  The tree folds in
+                    # the compare dtype (bf16 in fast mode — the throughput
+                    # win); `alive` itself stays f32 — scalar bf16 cmpf /
+                    # reductions fail to legalize in Mosaic (v5e), and the
+                    # per-block convert is one op
                     while len(oks) > 1:
                         oks = [a * b for a, b in zip(oks[::2], oks[1::2])] \
                             + ([oks[-1]] if len(oks) % 2 else [])
                     if oks:
-                        alive = alive * oks[0]
+                        alive = alive * oks[0].astype(jnp.float32)
                     return (hs, alive)
                 return (hs, alive, nweak_acc) if with_nweak else (hs, alive)
             return block_fn
@@ -332,7 +339,8 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
             # pass and the whole cascade
             if pre_ref is not None and not preshift_lazy:
                 for q, (ch, c) in enumerate(pairs):
-                    pre_ref[q] = tile_ref[slot, ch, :, c:c + TV]
+                    pre_ref[q] = tile_ref[slot, ch, :,
+                                          c:c + TV].astype(jnp.float32)
 
             count = None
             nweak = None
@@ -349,7 +357,7 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                                        jnp.asarray(-jnp.inf, sdt)),)
                 else:
                     carry = (jnp.zeros((bh, TV), sdt),
-                             mask[b0:b0 + bh, :].astype(cdt))
+                             mask[b0:b0 + bh, :])
                     if with_nweak:
                         carry = carry + (jnp.zeros((bh, TV), jnp.float32),)
                 # int block -> uniform schedule; tuple -> explicit per-block
@@ -372,7 +380,10 @@ def _make_static_kernel(sc: StaticCascade, TU, TV, HU, HV, C, m, n,
                     if mg_enc:
                         pred = jnp.max(carry[1]) >= 0.0
                     elif inf_enc:
-                        pred = jnp.max(carry[0]) > -jnp.inf
+                        # scalar compare in f32: Mosaic (v5e) cannot
+                        # legalize scalar bf16 arith.cmpf
+                        pred = jnp.max(carry[0]).astype(jnp.float32) \
+                            > -jnp.inf
                     else:
                         pred = jnp.sum(carry[1]) > 0.0
                     carry = jax.lax.cond(pred,
@@ -722,13 +733,14 @@ def cascade_masked_grid_static(
         # the double-buffered tiles, output/mask blocks, and live carries
         # (~4 MB at the default tile; scale the slack with the tile area —
         # a (256,512) tile OOM'd at the flat 11 MB bound)
-        pre_bytes = max(n_pairs, 1) * (TU + HU) * TV * isz
+        pre_bytes = max(n_pairs, 1) * (TU + HU) * TV * 4  # slabs stay f32
         tile_bytes = 2 * C * (TU + HU) * (TV + HV) * isz
         live_bytes = 6 * TU * TV * 4  # out + mask + hs/alive carries
         if pre_bytes + tile_bytes + live_bytes > 14 * 2 ** 20:
             preshift = False
     if preshift:
-        scratch.append(pltpu.VMEM((max(n_pairs, 1), TU + HU, TV), tdt))
+        scratch.append(pltpu.VMEM((max(n_pairs, 1), TU + HU, TV),
+                                  jnp.float32))
 
         def kernel3(mask_ref, canvas_hbm, out_ref, stats_ref, tile_ref,
                     dma_sem, pre_ref):

@@ -144,8 +144,16 @@ def _db_fetch(srcs, TU, TV, content_grid):
 
 
 def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
-                 content_grid=None, exact_plan=None, odt=jnp.float32):
+                 content_grid=None, exact_plan=None, odt=jnp.float32,
+                 float_dd=False, fast=False):
     HR, HC = 8, 128  # fetched halo (alignment); compute uses 2 plane px
+    # fast serving mode: the whole arithmetic chain (prefilters, gradient
+    # diffs, projections, pool, smooth) runs in PACKED bf16 — this kernel
+    # has no compares, and bf16 add/mul/select legalize (probe_mosaic_bf16
+    # records), so the VPU processes 2 lanes per op.  Values deviate by
+    # bf16 rounding (≤0.4% relative); quantified in BASELINE.md's
+    # fast-mode table.
+    cdt = jnp.bfloat16 if fast else jnp.float32
 
     def kernel(*refs):
         if with_mask:
@@ -170,16 +178,28 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
                 v = tile_ref[slot, a, b,
                              HR - s + dr:HR - s + dr + TU + 2 * s,
                              HC - s + dc:HC - s + dc + TV + 2 * s]
-                return v.astype(jnp.float32)
+                return v.astype(cdt)
 
             # smoothed-gradient prefilters (term order =
-            # channels._gradients_poly)
-            sx = [[at1(a, 1, 0, -1) + 2.0 * at1(a, 0, 0, 0) + at1(a, 1, 0, 0),
-                   at1(a, 0, 0, 0) + 2.0 * at1(a, 1, 0, 0) + at1(a, 0, 0, 1)]
+            # channels._gradients_poly); float-image content sums the
+            # [1,2,1] taps error-free and rounds once (scipy's f64
+            # accumulator semantics, ops.dd)
+            if float_dd:
+                from .dd import two_sum
+
+                def tap3(a, b, c):
+                    s1, e1 = two_sum(a, 2.0 * b)
+                    s2, e2 = two_sum(s1, c)
+                    return s2 + (e1 + e2)
+            else:
+                def tap3(a, b, c):
+                    return a + 2.0 * b + c
+            sx = [[tap3(at1(a, 1, 0, -1), at1(a, 0, 0, 0), at1(a, 1, 0, 0)),
+                   tap3(at1(a, 0, 0, 0), at1(a, 1, 0, 0), at1(a, 0, 0, 1))]
                   for a in (0, 1)]
-            sy = [[at1(1, b, -1, 0) + 2.0 * at1(0, b, 0, 0) + at1(1, b, 0, 0)
+            sy = [[tap3(at1(1, b, -1, 0), at1(0, b, 0, 0), at1(1, b, 0, 0))
                    for b in (0, 1)],
-                  [at1(0, b, 0, 0) + 2.0 * at1(1, b, 0, 0) + at1(0, b, 1, 0)
+                  [tap3(at1(0, b, 0, 0), at1(1, b, 0, 0), at1(0, b, 1, 0))
                    for b in (0, 1)]]
 
             def sl2(x, dr, dc):
@@ -193,8 +213,10 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
 
             max_theta = 2 * np.pi if full else np.pi
             theta = np.linspace(0, max_theta, n_bins + 1)[:-1]
-            css = np.cos(theta).astype(np.float32)
-            sns = np.sin(theta).astype(np.float32)
+            css64 = np.cos(theta)
+            sns64 = np.sin(theta)
+            css = css64.astype(np.float32)
+            sns = sns64.astype(np.float32)
 
             if with_mask:
                 mask = mask_ref[...]
@@ -206,6 +228,11 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
                     from .exact import _eval_terms_jnp
                     mode, terms = exact_plan.bins[k]
                     ch = _eval_terms_jnp(terms, gx[a][b], gy[a][b], mode)
+                elif float_dd:
+                    # float content: the f64-promoted store in double-float
+                    from .dd import proj_dd
+                    ch = proj_dd(gx[a][b], gy[a][b],
+                                 np.float64(css64[k]), np.float64(sns64[k]))
                 else:
                     ch = gx[a][b] * float(css[k]) \
                         - gy[a][b] * float(sns[k])
@@ -231,7 +258,7 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
                         + 2.0 * pat(0, -1) + 4.0 * pat(0, 0) \
                         + 2.0 * pat(0, 1) \
                         + pat(1, -1) + 2.0 * pat(1, 0) + pat(1, 1)
-                    outk = v * jnp.float32(1.0 / 16.0)
+                    outk = v * jnp.asarray(1.0 / 16.0, cdt)
                     if with_mask:
                         # select (not multiply): gap planes may hold garbage
                         # (incl. NaN) when assembled without zero-init, and
@@ -337,10 +364,15 @@ def grad_hist_poly_pallas(
     if planes_p.dtype == jnp.bfloat16 and not fast:
         from .exact import projection_plan
         exact_plan = projection_plan(n_bins, full)
+    # f32 planes mark FLOAT image content: the dd chains replicate the
+    # reference's f64 prefilter accumulation + f64-promoted projection
+    # store (measured ≤5-ULP parity; PARITY.md float status)
+    float_dd = planes_p.dtype == jnp.float32 and not fast
     odt = jnp.bfloat16 if fast else jnp.float32
     kernel = _make_kernel(TU, TV, smooth, n_bins, full, float(bias),
                           with_mask, content_grid=content_grid,
-                          exact_plan=exact_plan, odt=odt)
+                          exact_plan=exact_plan, odt=odt,
+                          float_dd=float_dd, fast=fast)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     args = [planes_p]

@@ -253,7 +253,8 @@ def triangle_kernel(n: int) -> np.ndarray:
     return H / H.sum()
 
 
-def gradients(image: jax.Array) -> tuple[jax.Array, jax.Array]:
+def gradients(image: jax.Array,
+              float_dd: bool = False) -> tuple[jax.Array, jax.Array]:
     """Smoothed image gradients, matching
     /root/reference/waldboost/channels.py:16-21 exactly:
 
@@ -265,18 +266,46 @@ def gradients(image: jax.Array) -> tuple[jax.Array, jax.Array]:
     float32.  Returns (gx, gy).
     """
     image = image.astype(jnp.float32)
-    smooth = np.array([1.0, 2.0, 1.0], np.float32)
-    # Smooth along width (axis=-1), derivative along height (axis=-2) -> gy
+    # [1,2,1] prefilter: scipy.ndimage accumulates in FLOAT64 and rounds
+    # once at the f32 store; with ``float_dd`` the 3-term sum computes
+    # error-free and rounds once (ops.dd) — for float-image content, where
+    # the two-rounding f32 chain deviated (part of round-4's ULP bound).
+    # Integer-valued content keeps the plain chain (already exact, no dd
+    # tax).  The derivative tap (x[i-1] - x[i+1]) is a single f32 subtract
+    # — exact either way.
+    conv = _conv121_dd if float_dd else _conv121_f32
     t = _pad_reflect(image, 1, axis=-1)
-    t = _conv1d_lastdims(t, smooth, axis=-1)
+    t = conv(t, axis=-1)
     t = _pad_reflect(t, 1, axis=-2)
     gy = t[..., :-2, :] - t[..., 2:, :]  # x[i-1] - x[i+1]
-    # Smooth along height, derivative along width -> gx
     s = _pad_reflect(image, 1, axis=-2)
-    s = _conv1d_lastdims(s, smooth, axis=-2)
+    s = conv(s, axis=-2)
     s = _pad_reflect(s, 1, axis=-1)
     gx = s[..., :, :-2] - s[..., :, 2:]
     return gx, gy
+
+
+def _taps121(x: jax.Array, axis: int):
+    if axis == -1:
+        return x[..., :-2], x[..., 1:-1], x[..., 2:]
+    return x[..., :-2, :], x[..., 1:-1, :], x[..., 2:, :]
+
+
+def _conv121_f32(x: jax.Array, axis: int) -> jax.Array:
+    a, b, c = _taps121(x, axis)
+    return a + 2.0 * b + c
+
+
+def _conv121_dd(x: jax.Array, axis: int) -> jax.Array:
+    """Valid-mode [1,2,1] correlation along ``axis`` with scipy's f64
+    accumulation semantics: the 3-term sum is computed error-free in f32
+    pairs (2*b is exact; Knuth two_sum twice) and rounded ONCE."""
+    from .dd import two_sum
+
+    a, b, c = _taps121(x, axis)
+    s1, e1 = two_sum(a, 2.0 * b)
+    s2, e2 = two_sum(s1, c)
+    return s2 + (e1 + e2)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -353,4 +382,47 @@ def resize_bilinear(image: jax.Array, nh: int, nw: int) -> jax.Array:
         if (nh, nw) == (image.shape[-2], image.shape[-1]):
             return image
         return _resize_bilinear_exact_int(image, nh, nw).astype(image.dtype)
-    return _resize_bilinear_f32(image, nh, nw).astype(image.dtype)
+    return _resize_bilinear_f32_dd(image, nh, nw).astype(image.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _resize_bilinear_f32_dd(image: jax.Array, nh: int, nw: int) -> jax.Array:
+    """Float-image resize replicating the reference's FLOAT64 two-pass lerp
+    (rounded once to f32) in double-float arithmetic: the row pass's
+    UNROUNDED result feeds the column pass as an (hi, lo) pair, fracs are
+    f64 constants pre-split, and one final add rounds — bitwise equal to
+    ``f32(f64 chain)`` on the measured corpora (ops.dd; the round-4 f32
+    lerp carried a 260-ULP bound here)."""
+    from .dd import dd_const, dd_round, lerp_dd
+    from .warp import resize_taps64
+
+    h, w = image.shape[-2], image.shape[-1]
+    x = (image.astype(jnp.float32),
+         jnp.zeros(image.shape, jnp.float32))
+    if nh != h:
+        i0, fr = resize_taps64(h, nh)
+        top = tuple(jnp.take(c, i0, axis=-2) for c in x)
+        bot = tuple(jnp.take(c, np.minimum(i0 + 1, h - 1), axis=-2)
+                    for c in x)
+        sh = (-1, 1) if image.ndim == 2 else \
+            (1,) * (image.ndim - 2) + (-1, 1)
+        cs = [jnp.asarray(v.reshape(sh)) for v in
+              (fr.astype(np.float32), (fr - fr.astype(np.float32))
+               .astype(np.float32),
+               (1.0 - fr).astype(np.float32),
+               ((1.0 - fr) - (1.0 - fr).astype(np.float32))
+               .astype(np.float32))]
+        x = lerp_dd(top, bot, *cs)
+    if nw != w:
+        j0, fc = resize_taps64(w, nw)
+        left = tuple(jnp.take(c, j0, axis=-1) for c in x)
+        right = tuple(jnp.take(c, np.minimum(j0 + 1, w - 1), axis=-1)
+                      for c in x)
+        cs = [jnp.asarray(v) for v in
+              (fc.astype(np.float32), (fc - fc.astype(np.float32))
+               .astype(np.float32),
+               (1.0 - fc).astype(np.float32),
+               ((1.0 - fc) - (1.0 - fc).astype(np.float32))
+               .astype(np.float32))]
+        x = lerp_dd(left, right, *cs)
+    return dd_round(x)

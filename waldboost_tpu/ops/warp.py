@@ -60,6 +60,18 @@ def resize_taps(n_in: int, n_out: int) -> Tuple[np.ndarray, np.ndarray]:
     return i0.astype(np.int32), frac
 
 
+@functools.lru_cache(maxsize=None)
+def resize_taps64(n_in: int, n_out: int) -> Tuple[np.ndarray, np.ndarray]:
+    """:func:`resize_taps` with the frac kept in FLOAT64 — the float-image
+    exact path needs the unrounded f64 lerp weights (the reference resizes
+    float images in f64, tests/refshims/skimage float branch)."""
+    coords = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    coords = np.clip(coords, 0.0, n_in - 1.0)
+    i0 = np.floor(coords).astype(np.int64)
+    i0 = np.minimum(i0, max(n_in - 2, 0))
+    return i0.astype(np.int32), coords - i0
+
+
 def build_resize_matrix(i0: np.ndarray, frac: np.ndarray, n_in: int) -> jax.Array:
     """Materialize the (n_out, n_in) 2-tap resize matrix ON DEVICE from its
     tap vectors — bitwise equal to the host matrix of :func:`_axis_matrix`

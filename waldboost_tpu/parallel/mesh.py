@@ -16,9 +16,21 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-__all__ = ["make_mesh", "data_sharding", "replicated", "shard_array", "DATA_AXIS"]
+__all__ = ["make_mesh", "data_sharding", "replicated", "shard_array",
+           "is_multiprocess", "DATA_AXIS"]
 
 DATA_AXIS = "data"
+
+
+def is_multiprocess(mesh: Optional[Mesh]) -> bool:
+    """True when ``mesh`` spans devices of more than one jax process (a
+    multi-host / multi-slice DCN mesh): some shards are then NOT host-
+    addressable from this process, so host<->device staging must go through
+    global-array construction instead of plain device_put/asarray."""
+    if mesh is None:
+        return False
+    procs = {d.process_index for d in mesh.devices.flat}
+    return len(procs) > 1
 
 
 def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None,
@@ -45,7 +57,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_array(x, mesh: Mesh, axis_name: str = DATA_AXIS):
-    """Place an array with its leading dim sharded across the mesh."""
+    """Place an array with its leading dim sharded across the mesh.
+
+    Works on single-process meshes (plain device_put) AND multi-process
+    (DCN) meshes: there, every process passes the same full host value (the
+    multi-controller SPMD contract) and this builds the global array from
+    each process's addressable shards via ``jax.make_array_from_callback``.
+    """
+    s = data_sharding(mesh, np.ndim(x), axis_name)
+    if is_multiprocess(mesh):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, s,
+                                            lambda idx: x[idx])
     import jax.numpy as jnp
-    x = jnp.asarray(x)
-    return jax.device_put(x, data_sharding(mesh, x.ndim, axis_name))
+    return jax.device_put(jnp.asarray(x), s)

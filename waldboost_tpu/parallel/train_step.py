@@ -187,7 +187,8 @@ def _make_train_step_cached(alpha, max_depth, n_bins, min_samples_leaf,
 
     def step(*args):
         if len(args) == 10:  # feature_mask omitted -> unrestricted
-            args = args + (jnp.ones((max_depth, args[0].shape[1]), bool),)
+            # numpy (uncommitted): replicates over multi-process meshes too
+            args = args + (np.ones((max_depth, args[0].shape[1]), bool),)
         return jstep(*args)
 
     return step

@@ -29,7 +29,7 @@ import numpy as np
 
 from ..samples import SampleLabel
 from ..training import DTree, Learner
-from .mesh import data_sharding
+from .mesh import is_multiprocess, shard_array
 from .train_step import make_train_step
 
 __all__ = ["DevicePool", "train_sharded"]
@@ -92,13 +92,18 @@ class DevicePool:
         # across mesh sizes
         self.capacity = _round_up(capacity, max(256, n_dev * 8))
         self.mesh = mesh
-        x = jnp.zeros((self.capacity, feat_dim), jnp.float32)
-        H = jnp.zeros(self.capacity, jnp.float32)
-        v = jnp.zeros(self.capacity, bool)
         if mesh is not None:
-            x = jax.device_put(x, data_sharding(mesh, 2))
-            H = jax.device_put(H, data_sharding(mesh, 1))
-            v = jax.device_put(v, data_sharding(mesh, 1))
+            # shard_array handles single-process meshes (device_put) and
+            # multi-process DCN meshes (global-array assembly from each
+            # process's addressable shards) alike
+            x = shard_array(np.zeros((self.capacity, feat_dim), np.float32),
+                            mesh)
+            H = shard_array(np.zeros(self.capacity, np.float32), mesh)
+            v = shard_array(np.zeros(self.capacity, bool), mesh)
+        else:
+            x = jnp.zeros((self.capacity, feat_dim), jnp.float32)
+            H = jnp.zeros(self.capacity, jnp.float32)
+            v = jnp.zeros(self.capacity, bool)
         self.x, self.H, self.v = x, H, v
         self.count = 0  # host mirror of sum(v)
 
@@ -120,9 +125,12 @@ class DevicePool:
             pad = self.INSERT_CHUNK - kn
             xa = np.pad(xa, ((0, pad), (0, 0)))
             ha = np.pad(ha, (0, pad))
+            # staging buffers ride in as NUMPY (not committed device
+            # arrays): on a multi-process mesh every process passes the
+            # same host value and jit replicates it — a committed local
+            # array would conflict with the pool's global sharding
             self.x, self.H, self.v = _insert_jit(
-                self.x, self.H, self.v, jnp.asarray(xa), jnp.asarray(ha),
-                jnp.int32(kn))
+                self.x, self.H, self.v, xa, ha, np.int32(kn))
         self.count += accept
         return accept
 
@@ -133,6 +141,14 @@ class DevicePool:
         k = int(len(idx))
         if k == 0:
             return 0
+        if is_multiprocess(self.mesh):
+            # mining runs on each process's LOCAL devices; a local crop
+            # array cannot feed a jit over the global mesh.  Stage through
+            # the host insert path — every process mines the same stream,
+            # so the (identical) numpy buffers replicate cleanly.
+            idx = np.asarray(idx, np.int64)
+            return self.insert(np.asarray(src_x)[idx],
+                               np.asarray(src_H)[idx])
         accept = min(k, self.capacity - self.count)
         if accept <= 0:
             return 0
@@ -290,16 +306,18 @@ def train_sharded(model, training_images, mesh=None, learner: Learner = None,
                        f"fp={pool_fp.count}")
         theta_in = theta_schedule(stage, learner.false_positive_rate)
         use_sprt = theta_in is None
+        # scalar/mask operands as NUMPY: uncommitted, so they replicate
+        # over single- AND multi-process meshes alike
         if feature_masks_fn is not None:
-            fmask = jnp.asarray(feature_masks_fn(stage), bool)
+            fmask = np.asarray(feature_masks_fn(stage), bool)
         else:
-            fmask = jnp.ones((max_depth, F), bool)
+            fmask = np.ones((max_depth, F), bool)
         res = step(pool_fp.x, pool_fp.H, pool_fp.v,
                    pool_tp.x, pool_tp.H, pool_tp.v,
-                   jnp.float32(learner.false_positive_rate),
-                   jnp.float32(learner.true_positive_rate),
-                   jnp.float32(-np.inf if use_sprt else theta_in),
-                   jnp.asarray(bool(use_sprt)), fmask)
+                   np.float32(learner.false_positive_rate),
+                   np.float32(learner.true_positive_rate),
+                   np.float32(-np.inf if use_sprt else theta_in),
+                   np.bool_(use_sprt), fmask)
         # ONE device->host fetch for everything the host consumes this
         # stage (tree tables + scalars + pool counts): per-fetch latency
         # through the device tunnel dominated the stage's host tail

@@ -309,6 +309,37 @@ def _combine_block(G, frn, fcn, den_h, den_w, hq, wq):
                           FH, FW, den_h, den_w)
 
 
+def _combine_block_dd(G, fr64h, fr64w, hq, wq):
+    """Float-image 4-corner combine: the reference's f64 two-pass lerp
+    (rows, then cols on the UNROUNDED row result, one f32 rounding at the
+    end — tests/refshims/skimage float branch) evaluated in double-float
+    pairs (ops.dd).  ``fr64h``/``fr64w`` are the phase-major FLOAT64 frac
+    vectors; corners in ``G`` are exact f32 selections."""
+    from .ops.dd import dd_round, lerp_dd
+
+    def consts(v, reshape, bcast):
+        v = np.asarray(v, np.float64).reshape(reshape)
+        om = 1.0 - v
+        out = []
+        for a in (v, om):
+            hi = a.astype(np.float32)
+            lo = (a - hi).astype(np.float32)
+            out += [jnp.asarray(hi)[bcast], jnp.asarray(lo)[bcast]]
+        return out  # [fr_hi, fr_lo, omfr_hi, omfr_lo]
+
+    fh, fl, oh_, ol = consts(fr64h, (2, hq),
+                             (slice(None), None, slice(None), None))
+    gh, gl, ph, pl_ = consts(fr64w, (2, wq),
+                             (None, slice(None), None, slice(None)))
+
+    def f32(a):
+        return (a.astype(jnp.float32), jnp.zeros(a.shape, jnp.float32))
+
+    rows = [lerp_dd(f32(G[0, b]), f32(G[1, b]), fh, fl, oh_, ol)
+            for b in (0, 1)]
+    return dd_round(lerp_dd(rows[0], rows[1], gh, gl, ph, pl_))
+
+
 def _poly_geom_levels(packed: PackedPyramidPlan, halo, image_hw):
     """Static per-level resize geometry for the int 4-corner selector path:
     one dict per packed level with octave shape, phase-major EXACT taps
@@ -587,10 +618,11 @@ def _poly_level_blocks(octaves, cf, packed: PackedPyramidPlan, halo,
             i0w, frw = (_ext_pm(t, lv.width)
                         for t in (tw[0], tw[1].astype(np.float32)))
         else:
+            from .ops.warp import resize_taps64
             i0h, frh = (
-                _ext_pm(t, lv.height) for t in resize_taps(oh, lv.height))
+                _ext_pm(t, lv.height) for t in resize_taps64(oh, lv.height))
             i0w, frw = (
-                _ext_pm(t, lv.width) for t in resize_taps(ow, lv.width))
+                _ext_pm(t, lv.width) for t in resize_taps64(ow, lv.width))
         hq = (lv.height + 2 * halo) // 2
         wq = (lv.width + 2 * halo) // 2
         if is_int:
@@ -640,14 +672,28 @@ def _poly_level_blocks(octaves, cf, packed: PackedPyramidPlan, halo,
                 col_groups.setdefault(lv.octave, []).append(
                     (li, Sh, Sw, frh, frw, den_h, den_w, hq, wq))
             continue
-        Rh_pm = build_resize_matrix(i0h, frh, oh).reshape(2, hq, oh)
-        Rw_pm = build_resize_matrix(i0w, frw, ow).reshape(2, wq, ow)
-        # HIGHEST precision: the TPU default runs f32 matmuls in bf16,
-        # whose ~0.5-unit error breaks the trunc-tie convention (floats
-        # are not bf16-exact, so the selector scheme doesn't apply)
-        blocks[li] = jnp.einsum("prh,hw,qcw->pqrc", Rh_pm, oct_img, Rw_pm,
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
+        # float images: 4-corner selection at HIGHEST f32 (one-hot rows
+        # select exact f32 values; bf16 selection would truncate float
+        # content), then the f64 two-pass lerp in double-float — bitwise
+        # the reference's resize(...).astype(f32) chain (ops.dd; the
+        # round-4 f32 triple-einsum lerp carried the 260-ULP bound)
+        z = np.zeros(len(i0h), np.float32)
+        zw = np.zeros(len(i0w), np.float32)
+        Sh = jnp.stack([
+            build_resize_matrix(i0h, z, oh),
+            build_resize_matrix(np.minimum(i0h + 1, oh - 1), z, oh),
+        ]).reshape(2, 2, hq, oh)
+        Sw = jnp.stack([
+            build_resize_matrix(i0w, zw, ow),
+            build_resize_matrix(np.minimum(i0w + 1, ow - 1), zw, ow),
+        ]).reshape(2, 2, wq, ow)
+        rows = jnp.einsum("aprh,hw->aprw", Sh, oct_img,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        G = jnp.einsum("aprw,bqcw->abpqrc", rows, Sw,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        blocks[li] = _combine_block_dd(G, frh, frw, hq, wq)
 
     # grouped pass-1 for the col-first int levels, one matmul per octave
     for octv, items in col_groups.items():
