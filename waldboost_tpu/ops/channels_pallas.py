@@ -147,13 +147,16 @@ def _make_kernel(TU, TV, smooth, n_bins, full, bias, with_mask,
                  content_grid=None, exact_plan=None, odt=jnp.float32,
                  float_dd=False, fast=False):
     HR, HC = 8, 128  # fetched halo (alignment); compute uses 2 plane px
-    # fast serving mode: the whole arithmetic chain (prefilters, gradient
-    # diffs, projections, pool, smooth) runs in PACKED bf16 — this kernel
-    # has no compares, and bf16 add/mul/select legalize (probe_mosaic_bf16
-    # records), so the VPU processes 2 lanes per op.  Values deviate by
-    # bf16 rounding (≤0.4% relative); quantified in BASELINE.md's
-    # fast-mode table.
-    cdt = jnp.bfloat16 if fast else jnp.float32
+    # fast-mode compute dtype: MEASURED DEAD END at bf16 (round 5).  bf16
+    # add/mul/select all legalize (probe_mosaic_bf16.py), but running the
+    # whole arithmetic chain in bf16 made the trained-flagship headline
+    # SLOWER (1196 vs 1245 MP/s for f32-compute fast mode): v5e's VPU
+    # executes bf16 elementwise ops at f32 rate (no 2-lane packing win),
+    # so the extra converts are pure cost.  Fast mode keeps f32 compute;
+    # its gains are the skipped dd-projection chains and the bf16 OUTPUT
+    # (half the canvas write + downstream DMA traffic).
+    del fast
+    cdt = jnp.float32
 
     def kernel(*refs):
         if with_mask:
