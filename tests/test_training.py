@@ -217,3 +217,36 @@ def test_hist_einsum_matches_scatter_path():
     assert f1 == f0
     np.testing.assert_allclose(t1.threshold, t0.threshold, rtol=1e-6)
     np.testing.assert_allclose(t1.prediction, t0.prediction, rtol=1e-5)
+
+
+def test_train_on_hard_scene_distribution():
+    """End-to-end training quality on the HARDER synthetic distribution
+    (utils.scene_generator: multi-octave object sizes, variable aspect,
+    ignore-flagged instances, textured clutter — VERDICT r4 #3): a small
+    detector trained on it must rank held-out detections usefully, with
+    the Evaluator's ignore machinery exercised by real ignore-flagged
+    ground truth."""
+    from itertools import islice
+
+    import waldboost_tpu as wb
+    from waldboost_tpu.testing import evaluate_model
+    from waldboost_tpu.utils import scene_generator
+
+    gen = scene_generator(seed=11, hw=(192, 192))
+    model = wb.Model((12, 12, 4), dict(shrink=2, n_per_oct=4, smooth=1,
+                                       channels="grad_hist"))
+    pool = wb.SamplePool(min_tp=300, min_fp=300, seed=0)
+    wb.train(model, gen, pool=pool, length=12,
+             learner=wb.Learner(alpha=0.2, max_depth=2))
+    assert len(model) == 12
+
+    corpus = list(islice(scene_generator(seed=909, hw=(192, 192)), 60))
+    # the held-out corpus must actually contain ignore-flagged instances
+    n_ign = sum(int(d["groundtruth_boxes"].get_field("ignore").sum())
+                for d in corpus if len(d["groundtruth_boxes"]))
+    assert n_ign > 0
+    res = evaluate_model(corpus, model).evaluate()
+    # a 12-stage CPU-budget detector on the hard distribution: well above
+    # chance, well below the easy distribution's ~0.75 (12 stages,
+    # multi-octave objects)
+    assert res["auc"] > 0.2, res["auc"]
