@@ -70,22 +70,28 @@ def main():
     mdir = os.path.join(root, "models")
 
     # ---- 1. deep 256-stage cascade -----------------------------------
-    from train_flagship import noisy_scene_generator
-    gen = prefetch_iterable(noisy_scene_generator(seed=42, bg_every=2),
-                            depth=32)
-    model = wb.Model((12, 12, 4), dict(shrink=2, n_per_oct=8, smooth=1,
-                                       channels="grad_hist"))
-    learner = wb.Learner(alpha=0.3, max_depth=2)
-    t0 = time.perf_counter()
-    train_sharded(model, gen, mesh=None, learner=learner, length=256,
-                  min_tp=1000, min_fp=1000, seed=7)
-    dt = time.perf_counter() - t0
     deep_path = os.path.join(mdir, "flagship_synth_256.pb")
-    model.save(deep_path)
-    print(json.dumps({"model": "flagship_synth_256", "train_s": round(dt, 1),
-                      "stages_per_min": round(256 / dt * 60, 1),
-                      "fpr": float(learner.false_positive_rate)}),
-          flush=True)
+    if os.path.exists(deep_path):
+        model = wb.load(deep_path)  # resumable: trained in a prior run
+        print(json.dumps({"model": "flagship_synth_256",
+                          "resumed": True}), flush=True)
+    else:
+        from train_flagship import noisy_scene_generator
+        gen = prefetch_iterable(noisy_scene_generator(seed=42, bg_every=2),
+                                depth=32)
+        model = wb.Model((12, 12, 4), dict(shrink=2, n_per_oct=8, smooth=1,
+                                           channels="grad_hist"))
+        learner = wb.Learner(alpha=0.3, max_depth=2)
+        t0 = time.perf_counter()
+        train_sharded(model, gen, mesh=None, learner=learner, length=256,
+                      min_tp=1000, min_fp=1000, seed=7)
+        dt = time.perf_counter() - t0
+        model.save(deep_path)
+        print(json.dumps({"model": "flagship_synth_256",
+                          "train_s": round(dt, 1),
+                          "stages_per_min": round(256 / dt * 60, 1),
+                          "fpr": float(learner.false_positive_rate)}),
+              flush=True)
     rng = np.random.RandomState(0)
     noise = [rng.randint(0, 256, (480, 640)).astype(np.uint8)
              for _ in range(8)]
@@ -99,20 +105,26 @@ def main():
           flush=True)
 
     # ---- 2. hard-synthetic flagship ----------------------------------
-    gen2 = prefetch_iterable(hard_scene_stream(seed=51, bg_every=3),
-                             depth=32)
-    model2 = wb.Model((12, 12, 4), dict(shrink=2, n_per_oct=8, smooth=1,
-                                        channels="grad_hist"))
-    learner2 = wb.Learner(alpha=0.3, max_depth=2)
-    t0 = time.perf_counter()
-    train_sharded(model2, gen2, mesh=None, learner=learner2, length=64,
-                  min_tp=1000, min_fp=1000, seed=8)
-    dt = time.perf_counter() - t0
     hard_path = os.path.join(mdir, "flagship_hard_64.pb")
-    model2.save(hard_path)
+    if os.path.exists(hard_path):
+        model2 = wb.load(hard_path)
+        learner2 = wb.Learner(alpha=0.3, max_depth=2)
+        dt = 0.0
+        print(json.dumps({"model": "flagship_hard_64", "resumed": True}),
+              flush=True)
+    else:
+        gen2 = prefetch_iterable(hard_scene_stream(seed=51, bg_every=3),
+                                 depth=32)
+        model2 = wb.Model((12, 12, 4), dict(shrink=2, n_per_oct=8, smooth=1,
+                                            channels="grad_hist"))
+        learner2 = wb.Learner(alpha=0.3, max_depth=2)
+        t0 = time.perf_counter()
+        train_sharded(model2, gen2, mesh=None, learner=learner2, length=64,
+                      min_tp=1000, min_fp=1000, seed=8)
+        dt = time.perf_counter() - t0
+        model2.save(hard_path)
     hard_corpus = list(islice(scene_generator(seed=777, hw=(256, 256)), 200))
     print(json.dumps({"model": "flagship_hard_64", "train_s": round(dt, 1),
-                      "fpr": float(learner2.false_positive_rate),
                       "auc_hard_heldout": round(
                           eval_auc(model2, hard_corpus), 4),
                       "eval_cost_noise": round(cost_on(model2, noise), 3),

@@ -183,6 +183,15 @@ def _run_cascade(canvas, casc, valid_mask, window, meta):
 def _run_cascade_serving(canvas, model: "Model", valid_mask, window):
     """Frozen-cascade detection dispatch (single image or batch canvas)."""
     backend = _resolve_cascade_backend(serving=True)
+    if backend == "static" and len(model) > DEEP_STATIC_MAX:
+        # the NON-masked static kernel's 3-carry unrolled body blows the
+        # 16 MB scoped-VMEM stack on deep cascades (measured: 51.9 MB at
+        # 256 trained stages, VGA canvas).  This dense path only runs as
+        # the rare two-phase-overflow fallback and for diagnostics, so
+        # deep models take the XLA lockstep scan (exact, depth-agnostic);
+        # the SERVING kernels (masked/bucket paths) handle depth fine
+        # (2-carry + preshift slabs; r7 deep-cascade sweep).
+        backend = "xla"
     if backend == "static":
         from .ops.cascade_static import cascade_response_grid_static
         sc = model._get_static_cascade()
@@ -293,6 +302,11 @@ def detect_multi(models, image, response_scale=None):
 
 
 #: lockstep stage-prefix length and survivor capacity of two-phase evaluation
+#: deepest cascade the NON-masked static kernel unrolls (its (hs, alive,
+#: nweak) 3-carry body stack-OOMs scoped VMEM beyond this; deeper dense
+#: fallbacks take the XLA lockstep path — see _run_cascade_serving)
+DEEP_STATIC_MAX = 128
+
 TWO_PHASE_PREFIX = 12
 TWO_PHASE_CAPACITY = 4096
 
