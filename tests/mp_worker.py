@@ -38,13 +38,9 @@ def main():
     jax.distributed.initialize(coordinator_address=args.coordinator,
                                num_processes=args.num_processes,
                                process_id=args.process_id)
-    import numpy as np
-
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    import waldboost_tpu as wb
-    from waldboost_tpu.parallel.mesh import is_multiprocess, make_mesh, \
-        shard_array
+    from waldboost_tpu.parallel.mesh import is_multiprocess, make_mesh
 
     n_total = args.num_processes * args.local_devices
     assert len(jax.devices()) == n_total, (len(jax.devices()), n_total)

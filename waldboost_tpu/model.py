@@ -186,12 +186,19 @@ def _run_cascade_serving(canvas, model: "Model", valid_mask, window):
     if backend == "static" and len(model) > DEEP_STATIC_MAX:
         # the NON-masked static kernel's 3-carry unrolled body blows the
         # 16 MB scoped-VMEM stack on deep cascades (measured: 51.9 MB at
-        # 256 trained stages, VGA canvas).  This dense path only runs as
-        # the rare two-phase-overflow fallback and for diagnostics, so
-        # deep models take the XLA lockstep scan (exact, depth-agnostic);
-        # the SERVING kernels (masked/bucket paths) handle depth fine
+        # 256 trained stages, VGA canvas), and the generic pallas kernel
+        # holds the whole canvas in VMEM (full-frame canvases don't fit).
+        # This dense path only runs as the rare two-phase-overflow
+        # fallback and for diagnostics, so deep models take the XLA
+        # lockstep scan DIRECTLY (exact, depth/size-agnostic); the
+        # SERVING kernels (masked/bucket paths) handle depth fine
         # (2-carry + preshift slabs; r7 deep-cascade sweep).
-        backend = "xla"
+        casc, meta = model._get_cascade()
+        if canvas.ndim == 4:
+            f = lambda cv: _canvas_cascade_jit(cv, casc, valid_mask,
+                                               window, meta)
+            return jax.vmap(f)(canvas)
+        return _canvas_cascade_jit(canvas, casc, valid_mask, window, meta)
     if backend == "static":
         from .ops.cascade_static import cascade_response_grid_static
         sc = model._get_static_cascade()
