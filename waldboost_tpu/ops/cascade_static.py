@@ -676,6 +676,15 @@ def cascade_masked_grid_static(
     encodings, so it is ignored when ``with_n_weak`` or ``margin_enc``.
     """
     fast = bool(fast) and not with_n_weak and not margin_enc
+    T_eff = sc.n_stages if n_stages_cap is None \
+        else min(sc.n_stages, n_stages_cap)
+    if and_tree and T_eff > 128:
+        # deep cascades: the AND-tree encoding's per-block compare lists
+        # push Mosaic's scoped-VMEM stack over 16 MB (measured 30.07M at
+        # 256 trained stages, VGA; scripts/exp_r12_deep.py compile
+        # matrix — the single-carry -inf latch compiles and runs fine
+        # and is bitwise-identical in outputs), so fall back silently
+        and_tree = False
     batched = canvas.ndim == 4
     if not batched:
         canvas = canvas[None]
