@@ -181,3 +181,37 @@ def test_masked_kernel_serving_variants(setup):
         assert np.array_equal(np.asarray(mk), ref), (ps, lazy, mu, me, at)
         assert np.array_equal(np.asarray(count), np.asarray(count0)), \
             (ps, lazy, mu, me, at)
+
+
+def test_masked_kernel_deep_cascade_auto_latch():
+    """Cascades deeper than 128 stages silently switch the masked kernel
+    to the single-carry -inf latch (the AND-tree's per-block compare lists
+    blow Mosaic's scoped-VMEM stack at depth — scripts/exp_r12_deep.py);
+    outputs must still equal the XLA lockstep evaluator exactly."""
+    from waldboost_tpu.ops.cascade_static import cascade_masked_grid_static
+
+    model = _make_model(seed=3, n_stages=140)
+    m, n, _ = model.shape
+    shrink, n_per_oct, smooth, cf = _normalize_opts(model.channel_opts)
+    packed = _packed_plan_cached(48, 64, shrink, n_per_oct, (m, n),
+                                 halo=cf.halo)
+    valid = jnp.asarray(packed.valid_mask((m, n)))
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (48, 64)).astype(np.uint8)
+    cvs = _channel_canvas_fast(jnp.asarray(img), shrink, smooth, cf,
+                               packed).astype(jnp.float32)
+
+    casc, meta = model._get_cascade()
+    hs, alive, nw = cascade_response_grid(cvs, casc, (m, n), meta,
+                                          init_alive=valid)
+    sc = static_cascade_from_model(model)
+    masked, _, count = cascade_masked_grid_static(
+        cvs, sc, valid, (m, n), interpret=True, with_n_weak=False,
+        preshift=True, preshift_lazy=True, preshift_min_uses=1,
+        block=16, and_tree=True)  # auto-switches to the latch internally
+    gu, gv = hs.shape
+    mk = np.asarray(masked)[:gu, :gv]
+    np.testing.assert_array_equal(np.isfinite(mk), np.asarray(alive))
+    np.testing.assert_array_equal(mk[np.asarray(alive)],
+                                  np.asarray(hs)[np.asarray(alive)])
+    assert int(count) == int(np.asarray(alive).sum())
