@@ -235,6 +235,13 @@ def _run_packed_batch(images, casc, valid_mask, shrink, n_per_oct, smooth,
     canvas = _canvas_batch_jit(images, shrink, n_per_oct, smooth, cf,
                                packed)
     backend = _resolve_cascade_backend()
+    if backend == "pallas" and casc.n_stages > 128:
+        # the generic kernel's (T, NN) node tables live in SMEM and the
+        # batch loops B independent kernel calls in one jit — XLA
+        # schedules them concurrently, so SMEM holds B copies (measured
+        # 1.13M/1.00M at mine_batch=8, 256-stage cascade).  Deep-cascade
+        # mining takes the XLA lockstep batch instead (depth-agnostic).
+        backend = "xla"
     if backend == "pallas":
         interpret = jax.default_backend() != "tpu"
         hs, alive, n_weak = _cascade_pallas_batch_jit(
