@@ -39,7 +39,7 @@ def main():
         cascade_masked_grid_static, static_cascade_from_model)
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(root, "models", "flagship_synth_256.pb")
+    path = os.path.join(root, "models", "flagship_hard_256.pb")
     model = wb.load(path)
     m, n, _ = model.shape
     shrink, n_per_oct, smooth, cf = _normalize_opts(model.channel_opts)
