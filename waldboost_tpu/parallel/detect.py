@@ -168,18 +168,38 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
             if fspec["vmem_bytes"] > 14 * 2 ** 20 or not fspec["shelves"]:
                 fspec = None
         fast = _serving_fast()
+        from ..ops.channels_pallas import channel_grid as _chgrid
+        TUk, TVk, _, _ = _chgrid(Hc, Wc)
+
+        def canvas_float_b(images):
+            # float images: the fused channel kernel's double-float chains
+            # (dd prefilters + projections) blow Mosaic's scoped-VMEM
+            # stack (measured 24.13M/16M at VGA), so floats take the SAME
+            # XLA canvas chain Model.detect uses (dd-exact; float serving
+            # is the rare case) padded to the cascade kernel's halo
+            # allocation
+            from ..model import _channel_canvas_fast
+            cvs = jax.vmap(lambda im: _channel_canvas_fast(
+                im, shrink, smooth, cf, packed))(images)
+            cvs = cvs.astype(jnp.float32)
+            H_alloc = max(out_grid[0] * TUk, Hc)
+            W_alloc = max(out_grid[1] * TVk, Wc)
+            return jnp.pad(cvs, ((0, 0), (0, 0),
+                                 (0, H_alloc - cvs.shape[2]),
+                                 (0, W_alloc - cvs.shape[3])))
+
         if fspec is not None:
             from ..model import _poly_planes_fused
 
             def canvas_b(images, mats_=None):
-                if mats_ is not None and \
-                        jnp.issubdtype(images.dtype, jnp.integer):
+                if not jnp.issubdtype(images.dtype, jnp.integer):
+                    return canvas_float_b(images)
+                if mats_ is not None:
                     planes = _poly_planes_fused(images, mats_, fspec,
                                                 interpret=interpret)
                 else:
-                    # float images are not bf16-exact (selector resize does
-                    # not apply), and mats_=None callers (bare shard_map)
-                    # need the in-program build
+                    # mats_=None callers (bare shard_map) need the
+                    # in-program build
                     planes = jax.vmap(
                         lambda im: _poly_planes(im, cf, packed,
                                                 geom=geom))(images)
@@ -194,6 +214,8 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                            tuple(image_shape))
 
             def canvas_b(images, mats_=None):
+                if not jnp.issubdtype(images.dtype, jnp.integer):
+                    return canvas_float_b(images)
                 planes = jax.vmap(
                     lambda im: _poly_planes(im, cf, packed, geom=geom,
                                             mats=mats_, spec=spec))(images)
