@@ -722,9 +722,14 @@ def _poly_channels(planes, smooth, cf, packed: PackedPyramidPlan,
     interior = jnp.asarray(packed.smooth_interior_mask()) if smooth == 1 \
         else None
     if (cf.poly_kernel is not None and _use_channel_kernel()
-            and (smooth == 0 or cf.poly_kernel_smooth)):
+            and (smooth == 0 or cf.poly_kernel_smooth)
+            and planes.dtype != jnp.float32):
         # fused Pallas chain (channels + pool + smooth + mask in one pass);
-        # handles the batch as a grid dimension
+        # handles the batch as a grid dimension.  f32 planes mark FLOAT
+        # image content, which stays on the XLA chain: the kernel's
+        # double-float (dd) prefilter/projection chains blow Mosaic's
+        # scoped-VMEM stack at full-frame tiles (measured 24.13M/16M at
+        # VGA; parallel/detect.py routes its float batches the same way)
         interpret = jax.default_backend() != "tpu"
         content_hw = (packed.canvas_h, packed.canvas_w) if padded else None
         kmask = cf.poly_kernel_mask(packed) \
