@@ -109,8 +109,14 @@ def _channel_canvas_fast(image, shrink, smooth, cf, packed: PackedPyramidPlan):
     return chns
 
 
-def _poly_pad_geometry(cf, packed: PackedPyramidPlan, smooth: int = 0):
-    """Pre-pad geometry for the fused channel kernel (or None for XLA)."""
+def _poly_pad_geometry(cf, packed: PackedPyramidPlan, smooth: int = 0,
+                       dtype=None):
+    """Pre-pad geometry for the fused channel kernel (or None for XLA).
+    Float content (``dtype`` floating) never uses the kernel — its
+    double-float chains blow Mosaic's scoped-VMEM stack at full-frame
+    tiles — so it gets unpadded planes for the XLA chain."""
+    if dtype is not None and jnp.issubdtype(dtype, jnp.floating):
+        return None
     if (cf.poly_kernel is not None and _use_channel_kernel()
             and (smooth == 0 or cf.poly_kernel_smooth)):
         from .ops.channels_pallas import plane_pad_geometry
@@ -120,7 +126,7 @@ def _poly_pad_geometry(cf, packed: PackedPyramidPlan, smooth: int = 0):
 
 def _channel_canvas_poly(image, smooth, cf, packed: PackedPyramidPlan):
     """Polyphase canvas pipeline (shrink=2 fast path), single image."""
-    geom = _poly_pad_geometry(cf, packed, smooth)
+    geom = _poly_pad_geometry(cf, packed, smooth, dtype=image.dtype)
     planes = _poly_planes(image, cf, packed, geom=geom)
     return _poly_channels(planes, smooth, cf, packed, padded=geom is not None)
 
@@ -134,7 +140,7 @@ def _channel_canvas_batch(images, shrink, n_per_oct, smooth, cf,
     batched callers must come through here rather than vmapping the
     single-image canvas."""
     if shrink == 2 and cf.canvas_fn_poly is not None:
-        geom = _poly_pad_geometry(cf, packed, smooth)
+        geom = _poly_pad_geometry(cf, packed, smooth, dtype=images.dtype)
         planes = jax.vmap(
             lambda im: _poly_planes(im, cf, packed, geom=geom,
                                     mats=mats, spec=spec))(images)
