@@ -61,7 +61,7 @@ def _timeit(fn, batches, iters, warmup, reps=1):
 
 
 def _detect_mps(model, h, w, batch, iters, warmup, nms_iou=None, k=128,
-                k_row=16, reps=1, frames=None, fast=False):
+                k_row=16, reps=1, frames=None, fast=False, as_float=False):
     """End-to-end batched detection throughput: channels + cascade +
     on-device box extraction (+ optional on-device NMS).
 
@@ -104,9 +104,10 @@ def _detect_mps(model, h, w, batch, iters, warmup, nms_iou=None, k=128,
 
     rng = np.random.RandomState(0)
     n_batches = iters * reps + warmup
+    idt = np.float32 if as_float else np.uint8
     if frames is None:
         batches = [
-            jnp.asarray(rng.randint(0, 256, (batch, h, w)).astype(np.uint8))
+            jnp.asarray(rng.randint(0, 256, (batch, h, w)).astype(idt))
             for _ in range(n_batches)
         ]
     else:
@@ -184,6 +185,21 @@ def bench_vga_full_pyramid_fast(batch, iters, warmup, reps=1):
     model = wb.load(path)
     return _detect_mps(model, 480, 640, batch, iters, warmup, nms_iou=0.5,
                        reps=reps, fast=True)
+
+
+def bench_float_image_fast(batch, iters, warmup, reps=1):
+    """Config 2f: float32 frames under WB_SERVING_MODE=fast.  Exact float
+    serving pays the dd double-float contract (measured 208 vs 1173 MP/s,
+    BASELINE.md float-path record); fast mode routes float content through
+    the same fused bf16 plane + kernel pipeline as uint8
+    (polyphase._combine_block_plain)."""
+    import waldboost_tpu as wb
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "models", "flagship_synth_64.pb")
+    model = wb.load(path)
+    return _detect_mps(model, 480, 640, batch, iters, warmup, nms_iou=0.5,
+                       reps=reps, fast=True, as_float=True)
 
 
 def _scene_frames(n=64, hw=(480, 640), seed=100):
@@ -372,6 +388,10 @@ def main():
     add("full_pyramid_fast_throughput",
         lambda: bench_vga_full_pyramid_fast(batch, iters, warmup,
                                             reps=reps))
+    # float32 frames under fast mode (exact float serving is the dd
+    # double-float path, 208 MP/s — BASELINE.md float-path record)
+    add("float_image_fast_throughput",
+        lambda: bench_float_image_fast(batch, iters, warmup, reps=reps))
     # headline LAST (the driver parses the final JSON line): the committed
     # trained flagship — rounds 1-2 reported it as
     # trained_cascade_throughput (892.5 in r2) next to a synthetic-cascade

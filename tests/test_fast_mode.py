@@ -63,6 +63,40 @@ def test_fast_mode_bounded_deviation(model):
     assert flips <= 0.25 * total, (flips, total)
 
 
+def test_fast_mode_float_images_bounded_deviation(model):
+    """Float frames in fast mode ride the fused plane + kernel pipeline
+    (f32 planes, plain lerp — polyphase._combine_block_plain) instead of
+    the dd-exact XLA chain — boxes must stay close to the exact float
+    path's.  WB_FAST_FLOAT=bf16 additionally quantizes the content
+    (looser bound; TPU-measured 20.7% scene flips, BASELINE.md)."""
+    rng = np.random.RandomState(2)
+    base = rng.randint(0, 256, (4, 96, 128)).astype(np.float32)
+    imgs = jnp.asarray(base + rng.rand(4, 96, 128).astype(np.float32))
+    oe = _build(model, "exact")(imgs)
+    of = _build(model, "fast")(imgs)
+    prev = os.environ.get("WB_FAST_FLOAT")
+    os.environ["WB_FAST_FLOAT"] = "bf16"
+    try:
+        oq = _build(model, "fast")(imgs)
+    finally:
+        if prev is None:
+            os.environ.pop("WB_FAST_FLOAT", None)
+        else:
+            os.environ["WB_FAST_FLOAT"] = prev
+    total = flips = flips_q = 0
+    for b in range(4):
+        se, _ = _boxes(oe, b)
+        sf, _ = _boxes(of, b)
+        sq, _ = _boxes(oq, b)
+        total += max(len(se), 1)
+        flips += len(se ^ sf)
+        flips_q += len(se ^ sq)
+    # default (f32 planes): same deviation sources as the uint8 fast path
+    assert flips <= 0.25 * total, (flips, total)
+    # bf16 content quantization: looser, but still a working detector
+    assert flips_q <= 0.6 * total, (flips_q, total)
+
+
 def test_exact_mode_env_default_unchanged(model):
     """Without the env (default), the serving path must equal an explicit
     WB_SERVING_MODE=exact build bit-for-bit."""

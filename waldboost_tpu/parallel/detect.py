@@ -172,12 +172,12 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
         TUk, TVk, _, _ = _chgrid(Hc, Wc)
 
         def canvas_float_b(images):
-            # float images: the fused channel kernel's double-float chains
-            # (dd prefilters + projections) blow Mosaic's scoped-VMEM
-            # stack (measured 24.13M/16M at VGA), so floats take the SAME
-            # XLA canvas chain Model.detect uses (dd-exact; float serving
-            # is the rare case) padded to the cascade kernel's halo
-            # allocation
+            # float images, EXACT mode: the fused channel kernel's
+            # double-float chains (dd prefilters + projections) blow
+            # Mosaic's scoped-VMEM stack (measured 24.13M/16M at VGA), so
+            # floats take the SAME XLA canvas chain Model.detect uses
+            # (dd-exact; float serving is the rare case) padded to the
+            # cascade kernel's halo allocation
             from ..model import _channel_canvas_fast
             cvs = jax.vmap(lambda im: _channel_canvas_fast(
                 im, shrink, smooth, cf, packed))(images)
@@ -188,12 +188,34 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                  (0, H_alloc - cvs.shape[2]),
                                  (0, W_alloc - cvs.shape[3])))
 
+        from ..polyphase import _fast_float_bf16
+        fast_bf16 = _fast_float_bf16()  # build-time, like WB_SERVING_MODE
+
+        def canvas_float_fast_b(images):
+            # float images, FAST mode: plain f32 planes (exact HIGHEST
+            # one-hot selection, plain f32 lerp — no dd; WB_FAST_FLOAT=
+            # bf16 quantizes the content to bf16 planes instead), then
+            # the SAME fused kernel configuration the uint8 fast path
+            # runs (plain f32 chains, bf16 canvas).  Exact float serving
+            # measured 208 vs 1173 MP/s (BASELINE.md float-path record)
+            # — this is the product knob that closes that gap when the
+            # dd contract is waived.
+            planes = jax.vmap(
+                lambda im: _poly_planes(im, cf, packed, geom=geom,
+                                        fast=True,
+                                        fast_bf16=fast_bf16))(images)
+            return cf.poly_kernel(planes, interior, smooth, interpret,
+                                  content_hw=(Hc, Wc),
+                                  alloc_grid=out_grid, crop=False,
+                                  fast=True)
+
         if fspec is not None:
             from ..model import _poly_planes_fused
 
             def canvas_b(images, mats_=None):
                 if not jnp.issubdtype(images.dtype, jnp.integer):
-                    return canvas_float_b(images)
+                    return (canvas_float_fast_b(images) if fast
+                            else canvas_float_b(images))
                 if mats_ is not None:
                     planes = _poly_planes_fused(images, mats_, fspec,
                                                 interpret=interpret)
@@ -215,7 +237,8 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
 
             def canvas_b(images, mats_=None):
                 if not jnp.issubdtype(images.dtype, jnp.integer):
-                    return canvas_float_b(images)
+                    return (canvas_float_fast_b(images) if fast
+                            else canvas_float_b(images))
                 planes = jax.vmap(
                     lambda im: _poly_planes(im, cf, packed, geom=geom,
                                             mats=mats_, spec=spec))(images)

@@ -156,7 +156,7 @@ def _channel_canvas_batch(images, shrink, n_per_oct, smooth, cf,
 
 
 def _poly_planes(image, cf, packed: PackedPyramidPlan, geom=None,
-                 mats=None, spec=None):
+                 mats=None, spec=None, fast=False, fast_bf16=None):
     """Resize every pyramid level into the 2x2-polyphase canvas planes.
 
     With ``geom = (pr, pc, PH, PW)`` the planes are allocated pre-padded for
@@ -203,14 +203,25 @@ def _poly_planes(image, cf, packed: PackedPyramidPlan, geom=None,
     # the geometry they were baked for (shelf pitches ride the Sh rows)
     use_mats = (mats is not None and spec is not None and is_int
                 and geom is not None and spec.get("geom") == tuple(geom))
+    if fast_bf16 is None:
+        # serving builds resolve this at BUILD time and pass it in; the
+        # fallback read here happens at trace time (CLAUDE.md landmine:
+        # env reads inside a traced fn bake the first value in)
+        fast_bf16 = _fast_float_bf16()
     blocks = _poly_level_blocks(octaves, cf, packed, halo, is_int,
                                 mats=mats if use_mats else None,
-                                spec=spec if use_mats else None)
+                                spec=spec if use_mats else None,
+                                fast=fast, fast_bf16=fast_bf16)
     # integer-valued canvases (uint8 images) are exact in bf16 (<= 255 needs
     # 8 mantissa bits): halving the plane bytes halves both the assembly
     # writes and the channel kernel's fetch traffic, with identical values
-    # after the f32 upcast downstream
-    dtype = jnp.bfloat16 if is_int else jnp.float32
+    # after the f32 upcast downstream.  Fast serving mode (WB_SERVING_MODE=
+    # fast) keeps FLOAT content f32 by default (exact selection, plain
+    # lerp — the deviation stays at the uint8 fast level); WB_FAST_FLOAT=
+    # bf16 opts into quantizing the input content itself (measured 20.7%
+    # scene box flips vs exact-float — BASELINE.md float fast record).
+    dtype = jnp.bfloat16 if (is_int or (fast and fast_bf16)) \
+        else jnp.float32
 
     blocks = [b.astype(dtype) for b in blocks]
     xs = [pl.x - he2 + pc for pl in packed.levels]
@@ -344,6 +355,35 @@ def _combine_block_dd(G, fr64h, fr64w, hq, wq):
     rows = [lerp_dd(f32(G[0, b]), f32(G[1, b]), fh, fl, oh_, ol)
             for b in (0, 1)]
     return dd_round(lerp_dd(rows[0], rows[1], gh, gl, ph, pl_))
+
+
+def _fast_float_bf16() -> bool:
+    """WB_FAST_FLOAT=bf16 (resolved at detector-build/trace time, like
+    WB_SERVING_MODE): fast-mode float frames quantize the CONTENT to bf16
+    planes (single-pass selection einsums) instead of the default f32
+    planes (exact HIGHEST selection).  Cheaper plane build + half the
+    kernel fetch, at a much looser deviation bound (measured 20.7% scene
+    box flips vs the f32-plane variant's uint8-level rate, BASELINE.md)."""
+    import os
+    return os.environ.get("WB_FAST_FLOAT", "f32") == "bf16"
+
+
+def _combine_block_plain(G, fr64h, fr64w, hq, wq, out_dtype):
+    """Fast-serving float combine: plain f32 two-pass lerp over the corner
+    selections, emitted in the fast plane dtype.  No dd compensation, no
+    floor — float content, relaxed contract (WB_SERVING_MODE=fast;
+    deviation priced in BASELINE.md)."""
+    FH = jnp.asarray(np.asarray(fr64h, np.float32)
+                     .reshape(2, hq))[:, None, :, None]
+    FW = jnp.asarray(np.asarray(fr64w, np.float32)
+                     .reshape(2, wq))[None, :, None, :]
+
+    def f32(a):
+        return a.astype(jnp.float32)
+
+    rows = [f32(G[0, b]) + FH * (f32(G[1, b]) - f32(G[0, b]))
+            for b in (0, 1)]
+    return (rows[0] + FW * (rows[1] - rows[0])).astype(out_dtype)
 
 
 def _poly_geom_levels(packed: PackedPyramidPlan, halo, image_hw):
@@ -590,7 +630,8 @@ def _poly_level_blocks_mats(octaves, mats, spec):
 
 
 def _poly_level_blocks(octaves, cf, packed: PackedPyramidPlan, halo,
-                       is_int, mats=None, spec=None):
+                       is_int, mats=None, spec=None, fast=False,
+                       fast_bf16=False):
     """Per-level resized blocks in (2, 2, hq, wq) phase layout, with ``halo``
     (even) reflect rows/cols baked into the resize matrices."""
     from .ops.warp import build_resize_matrix, resize_taps
@@ -682,7 +723,14 @@ def _poly_level_blocks(octaves, cf, packed: PackedPyramidPlan, halo,
         # select exact f32 values; bf16 selection would truncate float
         # content), then the f64 two-pass lerp in double-float — bitwise
         # the reference's resize(...).astype(f32) chain (ops.dd; the
-        # round-4 f32 triple-einsum lerp carried the 260-ULP bound)
+        # round-4 f32 triple-einsum lerp carried the 260-ULP bound).
+        # Fast serving mode trades that contract for the uint8 serving
+        # pipeline: the HIGHEST-precision selection stays (one-hot rows,
+        # exact f32 values) but the lerp is plain f32 — no dd — and the
+        # f32 planes feed the fused kernel's plain chains.  WB_FAST_FLOAT=
+        # bf16 additionally quantizes the content: single default-
+        # precision bf16 selection passes (the in-pass rounding IS the
+        # quantization), bf16 planes, the exact uint8 kernel layout.
         z = np.zeros(len(i0h), np.float32)
         zw = np.zeros(len(i0w), np.float32)
         Sh = jnp.stack([
@@ -693,13 +741,34 @@ def _poly_level_blocks(octaves, cf, packed: PackedPyramidPlan, halo,
             build_resize_matrix(i0w, zw, ow),
             build_resize_matrix(np.minimum(i0w + 1, ow - 1), zw, ow),
         ]).reshape(2, 2, wq, ow)
+        if fast and fast_bf16:
+            rows = jnp.einsum("aprh,hw->aprw", Sh, oct_img,
+                              preferred_element_type=jnp.bfloat16)
+            G = jnp.einsum("aprw,bqcw->abpqrc", rows, Sw,
+                           preferred_element_type=jnp.bfloat16)
+            blocks[li] = _combine_block_plain(G, frh, frw, hq, wq,
+                                              jnp.bfloat16)
+            continue
+        # fast f32 planes: HIGH (3-pass) selection instead of HIGHEST
+        # (6-pass) — the ~2^-17 relative selection residue sits far below
+        # the mode's own plain-projection + bf16-canvas deviation, at
+        # half the MXU passes.  (A manual hi/lo split einsum pair is NOT
+        # an option: --xla_allow_excess_precision folds the f32->bf16->
+        # f32 round-trip that builds the hi term into a no-op, CLAUDE.md
+        # landmine.)  The exact path keeps HIGHEST: its selection must
+        # reproduce f32 values bitwise for the dd lerp.
+        prec = jax.lax.Precision.HIGH if fast else jax.lax.Precision.HIGHEST
         rows = jnp.einsum("aprh,hw->aprw", Sh, oct_img,
                           preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=prec)
         G = jnp.einsum("aprw,bqcw->abpqrc", rows, Sw,
                        preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-        blocks[li] = _combine_block_dd(G, frh, frw, hq, wq)
+                       precision=prec)
+        if fast:
+            blocks[li] = _combine_block_plain(G, frh, frw, hq, wq,
+                                              jnp.float32)
+        else:
+            blocks[li] = _combine_block_dd(G, frh, frw, hq, wq)
 
     # grouped pass-1 for the col-first int levels, one matmul per octave
     for octv, items in col_groups.items():
