@@ -72,6 +72,27 @@ def test_bucketed_true_size_float_images():
     assert _box_set(want) == _box_set(got)
 
 
+def test_bucketed_float_fast_mode_bounded_deviation():
+    """WB_SERVING_MODE=fast on a float image: the bucket's XLA chain runs
+    plain f32 channels (CanvasCtx.fast — no dd) and the cascade kernel
+    ingests bf16; boxes must stay close to the exact bucketed path's."""
+    import os
+
+    from waldboost_tpu.parallel.detect import BucketedDetector
+
+    model = _model()
+    rng = np.random.RandomState(6)
+    img = rng.rand(90, 115).astype(np.float32) * 255.0
+    exact = BucketedDetector(model, bucket=64, k=256).detect(img)
+    os.environ["WB_SERVING_MODE"] = "fast"
+    try:
+        fast = BucketedDetector(model, bucket=64, k=256).detect(img)
+    finally:
+        os.environ.pop("WB_SERVING_MODE", None)
+    se, sf = _box_set(exact), _box_set(fast)
+    assert len(se ^ sf) <= 0.25 * max(len(se), 1), (len(se ^ sf), len(se))
+
+
 def test_bucketed_grad_mag_midpipeline_reflect():
     # grad_mag re-reflects the magnitude before its normalization conv
     # (halo 6) — exercises the runtime reflection permutation

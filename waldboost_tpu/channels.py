@@ -72,6 +72,11 @@ class CanvasCtx:
     #: integer-exact channel paths (ops.exact projections) engage even
     #: though the canvas dtype is f32/bf16
     exact_int: bool = False
+    #: fast serving mode (WB_SERVING_MODE=fast, resolved at BUILD time by
+    #: the caller): float content skips the dd double-float chains for
+    #: plain f32 arithmetic (the XLA-chain mirror of the fused kernel's
+    #: fast branch; deviation priced in BASELINE.md)
+    fast: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -254,7 +259,7 @@ def _grad_mag_fn(image: jax.Array, norm: int = 5, eps: float = 1e-3) -> jax.Arra
 
 
 def _project_hist(gx: jax.Array, gy: jax.Array, n_bins: int, full: bool,
-                  bias: float, exact: bool) -> jax.Array:
+                  bias: float, exact: bool, fast: bool = False) -> jax.Array:
     """Stacked oriented projections of (... H, W) gradients -> (n_bins, ...).
 
     ``exact``: the gradients are uint8-image integers, so each bin equals
@@ -271,6 +276,13 @@ def _project_hist(gx: jax.Array, gy: jax.Array, n_bins: int, full: bool,
     if plan is not None:
         from .ops.exact import project_bins
         chns = jnp.stack(project_bins(gx, gy, plan))
+    elif fast:
+        # fast serving mode: plain f32 projections — the XLA mirror of
+        # the fused kernel's fast branch (ops/channels_pallas.py)
+        max_theta = 2 * np.pi if full else np.pi
+        theta = np.linspace(0, max_theta, n_bins + 1)[:-1]
+        chns = jnp.stack([gx * np.float32(np.cos(t))
+                          - gy * np.float32(np.sin(t)) for t in theta])
     else:
         from .ops.dd import proj_dd
         max_theta = 2 * np.pi if full else np.pi
@@ -282,14 +294,18 @@ def _project_hist(gx: jax.Array, gy: jax.Array, n_bins: int, full: bool,
 
 
 def _grad_hist_fn(image: jax.Array, n_bins: int = 4, full: bool = False,
-                  bias: float = 0.0, exact: Optional[bool] = None) -> jax.Array:
+                  bias: float = 0.0, exact: Optional[bool] = None,
+                  fast: bool = False) -> jax.Array:
     """Oriented-gradient projections, ``n_bins`` channels.
-    Mirrors /root/reference/waldboost/channels.py:40-52."""
+    Mirrors /root/reference/waldboost/channels.py:40-52.  ``fast``: float
+    content computes plain f32 chains (no dd) — the fast serving mode's
+    relaxed contract."""
     if exact is None:
         exact = image.dtype == jnp.uint8
+    fast = fast and not exact
     gx, gy = imops.gradients(image.astype(jnp.float32),
-                             float_dd=not exact)
-    return _project_hist(gx, gy, n_bins, full, bias, exact)
+                             float_dd=not exact and not fast)
+    return _project_hist(gx, gy, n_bins, full, bias, exact, fast=fast)
 
 
 def _grad_mag_canvas_fn(canvas: jax.Array, ctx: CanvasCtx, norm: int = 5,
@@ -317,7 +333,7 @@ def _grad_hist_canvas_fn(canvas: jax.Array, ctx: CanvasCtx, n_bins: int = 4,
                          full: bool = False, bias: float = 0.0) -> jax.Array:
     # single gradient pass (shifted adds); level halos make edges exact
     return _grad_hist_fn(canvas, n_bins=n_bins, full=full, bias=bias,
-                         exact=ctx.exact_int or None)
+                         exact=ctx.exact_int or None, fast=ctx.fast)
 
 
 def _shift(p: jax.Array, dr: int, dc: int) -> jax.Array:

@@ -163,7 +163,8 @@ def bucket_geometry(bucket_hw: Tuple[int, int], real_hw: Tuple[int, int],
 # ---------------------------------------------------------------------------
 
 def _canvas_rt_one(image, g, packed: PackedPyramidPlan, cf, shrink: int,
-                   smooth: int, halo: int, n_oct: int, is_int: bool):
+                   smooth: int, halo: int, n_oct: int, is_int: bool,
+                   fast: bool = False):
     """Runtime-geometry channel canvas for ONE image padded to the bucket
     shape: per-level runtime-tap resize into the bucket's static placements
     (halo rows included via tap duplication), then the same canvas-wide
@@ -189,7 +190,7 @@ def _canvas_rt_one(image, g, packed: PackedPyramidPlan, cf, shrink: int,
     else:
         reflect = lambda t: t
     ctx = CanvasCtx(reflect=reflect, border_mask=g.get("border"),
-                    exact_int=is_int)
+                    exact_int=is_int, fast=fast)
     chns = cf.canvas_fn(canvas, ctx)
     if shrink == 2:
         from ..ops.image import avg_pool_2
@@ -247,18 +248,24 @@ def make_bucket_detector_boxes(model: Model, bucket_hw: Tuple[int, int],
     wnd = jnp.asarray([m, n], jnp.int32)
     block = _serving_block()
 
+    # serving-mode knobs resolve at BUILD time (trace-time env reads bake
+    # the first value in — CLAUDE.md landmine)
+    from .detect import _serving_and_tree, _serving_fast, _serving_fast_scores
+    fast = _serving_fast()
+    and_tree = _serving_and_tree()
+    fast_scores = _serving_fast_scores()
+
     def body(images, g):
         is_int = jnp.issubdtype(images.dtype, jnp.integer)
         cvs = jax.vmap(lambda im: _canvas_rt_one(
-            im, g, packed, cf, shrink, smooth, halo, n_oct, is_int))(images)
-        from .detect import (_serving_and_tree, _serving_fast,
-                             _serving_fast_scores)
+            im, g, packed, cf, shrink, smooth, halo, n_oct, is_int,
+            fast=fast))(images)
         masked, n_weak, count = cascade_masked_grid_static(
             cvs, sc, g["valid"], (m, n), interpret=interpret,
             with_n_weak=with_n_weak, preshift=True, preshift_lazy=True,
             preshift_min_uses=1, block=block,
-            and_tree=_serving_and_tree(), fast=_serving_fast(),
-            fast_scores=_serving_fast_scores())
+            and_tree=and_tree, fast=fast,
+            fast_scores=fast_scores)
 
         def extract_one(mk, cnt):
             return extract_detections_masked(

@@ -167,7 +167,12 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                               tuple(image_shape))
             if fspec["vmem_bytes"] > 14 * 2 ** 20 or not fspec["shelves"]:
                 fspec = None
+        # serving knobs resolve at BUILD time (not inside the traced
+        # closures — CLAUDE.md trace-time-env landmine)
         fast = _serving_fast()
+        block_f = _serving_block()
+        and_tree_f = _serving_and_tree()
+        fast_scores_f = _serving_fast_scores()
         from ..ops.channels_pallas import channel_grid as _chgrid
         TUk, TVk, _, _ = _chgrid(Hc, Wc)
 
@@ -276,10 +281,10 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                               # than one slab copy
                                               # (scripts/exp_r5_pshift.py)
                                               preshift_min_uses=1,
-                                              block=_serving_block(),
-                                              and_tree=_serving_and_tree(),
+                                              block=block_f,
+                                              and_tree=and_tree_f,
                                               fast=fast,
-                                              fast_scores=_serving_fast_scores())
+                                              fast_scores=fast_scores_f)
     elif backend == "static":
         # cascade-specialized kernel with the batch as a grid dimension:
         # one launch evaluates the whole (per-shard) batch
@@ -287,6 +292,12 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                           static_cascade_from_model)
         sc = static_cascade_from_model(model)
         interpret = jax.default_backend() != "tpu"
+        # serving knobs resolve at BUILD time (not inside the traced
+        # closure — CLAUDE.md trace-time-env landmine)
+        fast_st = _serving_fast()
+        and_tree_st = _serving_and_tree()
+        fast_scores_st = _serving_fast_scores()
+        block_st = _serving_block()
 
         def cascade_b(cvs):
             return cascade_response_grid_static(cvs, sc, valid, (m, n),
@@ -308,10 +319,10 @@ def make_batched_detector(model: Model, image_shape: Tuple[int, int],
                                               # than one slab copy
                                               # (scripts/exp_r5_pshift.py)
                                               preshift_min_uses=1,
-                                              block=_serving_block(),
-                                              and_tree=_serving_and_tree(),
-                                              fast=_serving_fast(),
-                                              fast_scores=_serving_fast_scores())
+                                              block=block_st,
+                                              and_tree=and_tree_st,
+                                              fast=fast_st,
+                                              fast_scores=fast_scores_st)
     elif backend == "pallas":
         # the generic fused kernel cannot be vmapped (unblocked ANY-space
         # operand); loop per-image kernel calls inside one jitted program
