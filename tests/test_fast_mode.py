@@ -97,6 +97,40 @@ def test_fast_mode_float_images_bounded_deviation(model):
     assert flips_q <= 0.6 * total, (flips_q, total)
 
 
+def test_fast_mode_float_sharded_matches_unsharded(model):
+    """Fast-float serving under a device mesh must equal the unsharded
+    fast-float program bitwise (batch sharding only re-partitions the
+    same deterministic kernels)."""
+    import jax
+    import pytest
+
+    from waldboost_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = make_mesh(4)
+    rng = np.random.RandomState(3)
+    imgs = jnp.asarray(rng.rand(4, 96, 128).astype(np.float32) * 255.0)
+
+    prev = os.environ.get("WB_SERVING_MODE")
+    os.environ["WB_SERVING_MODE"] = "fast"
+    try:
+        fu, _ = make_batched_detector_boxes(model, (96, 128), k=512,
+                                            with_n_weak=False)
+        fs, _ = make_batched_detector_boxes(model, (96, 128), k=512,
+                                            mesh=mesh, with_n_weak=False)
+    finally:
+        if prev is None:
+            os.environ.pop("WB_SERVING_MODE", None)
+        else:
+            os.environ["WB_SERVING_MODE"] = prev
+    ou, os_ = fu(imgs), fs(imgs)
+    for b in range(4):
+        su, _ = _boxes(ou, b)
+        ss, _ = _boxes(os_, b)
+        assert su == ss, (b, su ^ ss)
+
+
 def test_exact_mode_env_default_unchanged(model):
     """Without the env (default), the serving path must equal an explicit
     WB_SERVING_MODE=exact build bit-for-bit."""
