@@ -389,9 +389,12 @@ def main():
         lambda: bench_vga_full_pyramid_fast(batch, iters, warmup,
                                             reps=reps))
     # float32 frames under fast mode (exact float serving is the dd
-    # double-float path, 208 MP/s — BASELINE.md float-path record)
+    # double-float path, 208 MP/s — BASELINE.md float-path record).
+    # Own batch optimum: f32 planes carry 4x the uint8 input traffic
+    # (measured 515.4 at 96 vs 491.3 at 192)
+    flt_batch = int(os.environ.get("BENCH_BATCH_FLOAT", "96"))
     add("float_image_fast_throughput",
-        lambda: bench_float_image_fast(batch, iters, warmup, reps=reps))
+        lambda: bench_float_image_fast(flt_batch, iters, warmup, reps=reps))
     # headline LAST (the driver parses the final JSON line): the committed
     # trained flagship — rounds 1-2 reported it as
     # trained_cascade_throughput (892.5 in r2) next to a synthetic-cascade
