@@ -142,7 +142,11 @@ def bench_vga_single_scale(batch, iters, warmup, reps=1):
     @jax.jit
     def run(images):
         def chan_one(im):
-            chns = cf(im.astype(jnp.float32))
+            # uint8 in: the channel function resolves the EXACT integer
+            # chain from the dtype (a pre-cast to f32 would silently
+            # select the float contract — dd double-float since round 5,
+            # measured 1836 vs 2335 MP/s on this config)
+            chns = cf(im)
             if shrink == 2:
                 chns = avg_pool_2(chns)
             if smooth == 1:
