@@ -123,39 +123,36 @@ def _detect_mps(model, h, w, batch, iters, warmup, nms_iou=None, k=128,
 
 
 def bench_vga_single_scale(batch, iters, warmup, reps=1):
-    """Config 1: stump model, single 640x480 image, ONE pyramid scale."""
+    """Config 1: stump model, single 640x480 image, ONE pyramid scale.
+
+    Runs the fused serving pipeline capped at the first pyramid level
+    (make_batched_detector_boxes(n_scales=1) — exact vs the reference-
+    style predict_on_image on the first channel_pyramid scale,
+    tests/test_parallel.py::test_n_scales_capped_detector_matches_first_scale).
+    History: a hand-rolled XLA chain benched 2335 in r4, but that number
+    rode a pre-round-5 uncontracted plain-float path (a stray f32
+    pre-cast); with contracts everywhere the XLA chain measures 1870
+    (uint8 exact) / 1836 (float dd), and the fused-kernel path below is
+    the honest fast way to serve it."""
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_model
-    from waldboost_tpu.channels import _normalize_opts
-    from waldboost_tpu.ops.cascade_static import (
-        cascade_response_grid_static, static_cascade_from_model)
-    from waldboost_tpu.ops.image import avg_pool_2, smooth_3x3
+    from waldboost_tpu.parallel.detect import make_batched_detector_boxes
 
     h, w = 480, 640
     model = _flagship_model(n_stages=64, depth=1)
-    m, n, _ = model.shape
-    shrink, n_per_oct, smooth, cf = _normalize_opts(model.channel_opts)
-    sc = static_cascade_from_model(model)
+    fn, _ = make_batched_detector_boxes(model, (h, w), k=128,
+                                        with_n_weak=False, n_scales=1)
 
     @jax.jit
+    def _force(rects, valid, count):
+        return (valid.sum().astype(jnp.float32) + rects.sum()
+                + count.sum().astype(jnp.float32))
+
     def run(images):
-        def chan_one(im):
-            # uint8 in: the channel function resolves the EXACT integer
-            # chain from the dtype (a pre-cast to f32 would silently
-            # select the float contract — dd double-float since round 5,
-            # measured 1836 vs 2335 MP/s on this config)
-            chns = cf(im)
-            if shrink == 2:
-                chns = avg_pool_2(chns)
-            if smooth == 1:
-                chns = smooth_3x3(chns)
-            return chns
-        cvs = jax.vmap(chan_one)(images)
-        gu, gv = cvs.shape[-2] - m, cvs.shape[-1] - n
-        valid = jnp.ones((gu, gv), bool)
-        return cascade_response_grid_static(cvs, sc, valid, (m, n))[2].sum()
+        rects, scores, valid, count, _ = fn(images)
+        return _force(rects, valid, count)
 
     rng = np.random.RandomState(0)
     batches = [
@@ -352,9 +349,9 @@ def main():
         except Exception:
             traceback.print_exc()
 
-    # single-scale measured best at 96 (2320 vs 2281 at 192): the one-level
-    # program is small enough that the bigger batch only grows HBM traffic
-    ss_batch = int(os.environ.get("BENCH_BATCH_SINGLE", "96"))
+    # single-scale rides the fused n_scales=1 serving path since round 5;
+    # batch sweep: 5186 / 6255 / 6244 / 6364 MP/s at 96 / 192 / 256 / 384
+    ss_batch = int(os.environ.get("BENCH_BATCH_SINGLE", "384"))
     add("single_scale_detection_throughput",
         lambda: bench_vga_single_scale(ss_batch, iters, warmup, reps=reps))
     # FHD/4K batches stay at their measured optima (16 / 8) independent of

@@ -36,6 +36,33 @@ def test_batched_detect_matches_single():
                                        rtol=1e-5)
 
 
+def test_n_scales_capped_detector_matches_first_scale():
+    """n_scales=1 serves ONLY the first pyramid level: box set must equal
+    the reference-style single-scale evaluation (predict_on_image on the
+    first channel_pyramid scale — config 1 of BASELINE.json)."""
+    from waldboost_tpu.channels import channel_pyramid
+    from waldboost_tpu.parallel.detect import make_batched_detector_boxes
+
+    model = make_model(n_stages=4, shape=(8, 8, 4),
+                       opts=dict(shrink=2, n_per_oct=2, smooth=1,
+                                 channels="grad_hist"))
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (48, 64)).astype(np.uint8)
+    fn, _ = make_batched_detector_boxes(model, img.shape, k=512,
+                                        with_n_weak=False, n_scales=1)
+    rects, scores, valid, count, _ = fn(jnp.asarray(img[None]))
+    v = np.asarray(valid[0])
+    got = {(*np.round(np.asarray(rects[0])[i], 2),
+            np.float32(np.asarray(scores[0])[i])) for i in np.where(v)[0]}
+
+    chns, scale = next(channel_pyramid(img, model.channel_opts))
+    r, c, h = model.predict_on_image(chns)
+    want_boxes = model.get_boxes(r, c, scale)
+    want = {(*np.round(np.asarray(b), 2), np.float32(s))
+            for b, s in zip(want_boxes.get(), h)}
+    assert got == want
+
+
 def test_batched_detector_boxes_matches_detect():
     """On-device extraction (rowwise top-k) returns the exact survivor set."""
     from waldboost_tpu.parallel.detect import make_batched_detector_boxes

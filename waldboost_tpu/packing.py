@@ -218,7 +218,7 @@ class PackedPyramidPlan:
             rng = _random.Random(canvas_w)
             for t in range(trials):
                 pack_order = list(order)
-                if t:
+                if t and len(pack_order) > 1:
                     for _ in range(rng.randrange(0, 8)):
                         j = rng.randrange(len(pack_order) - 1)
                         pack_order[j], pack_order[j + 1] = \

@@ -411,7 +411,8 @@ def make_batched_detector_boxes(model: Model, image_shape: Tuple[int, int],
                                 two_phase="auto",
                                 prefix: int = TWO_PHASE_BATCH_PREFIX,
                                 capacity: int = TWO_PHASE_BATCH_CAPACITY,
-                                with_n_weak: bool = True):
+                                with_n_weak: bool = True,
+                                n_scales: Optional[int] = None):
     """Batched detection with fully on-device extraction.
 
     Returns ``fn(images) -> (rects, scores, valid, count, n_weak)`` — per
@@ -449,10 +450,13 @@ def make_batched_detector_boxes(model: Model, image_shape: Tuple[int, int],
     if extractor == "approx":
         built = _make_masked_detector_boxes(model, image_shape, mesh=mesh,
                                             k=k, nms_iou=nms_iou,
-                                            with_n_weak=with_n_weak)
+                                            with_n_weak=with_n_weak,
+                                            n_scales=n_scales)
         if built is not None:
             return built
 
+    assert n_scales is None, \
+        "n_scales requires the static-kernel serving path"
     base_fn, packed = make_batched_detector(model, image_shape, mesh=mesh)
     level_id_map, inv_scales = packed.level_maps((m, n))
     offsets = np.array([(pl.y, pl.x) for pl in packed.levels], np.int32) \
@@ -488,7 +492,8 @@ def make_batched_detector_boxes(model: Model, image_shape: Tuple[int, int],
 def _make_masked_detector_boxes(model: Model, image_shape: Tuple[int, int],
                                 mesh=None, k: int = 256,
                                 nms_iou: Optional[float] = None,
-                                with_n_weak: bool = True):
+                                with_n_weak: bool = True,
+                                n_scales: Optional[int] = None):
     """ONE-program batched detection for the static-cascade backends.
 
     Composes canvas -> masked cascade kernel -> approx_max_k extraction ->
@@ -501,7 +506,24 @@ def _make_masked_detector_boxes(model: Model, image_shape: Tuple[int, int],
     from ..ops.nms import extract_detections_masked, nms_device
 
     m, n, _ = model.shape
-    parts = make_batched_detector(model, image_shape, _raw=True)
+    shared = None
+    if n_scales is not None:
+        # serve only the first n_scales pyramid levels (the reference's
+        # config-1 "single scale" workload at n_scales=1; the reference
+        # itself controls scale count via channel_opts['n_per_oct'],
+        # /root/reference/waldboost/channels.py:111-131): a truncated
+        # packed plan rides the same fused channel + cascade kernels
+        from ..channels import pyramid_plan
+        from ..model import _normalize_opts
+        from ..packing import PackedPyramidPlan
+        shrink_, n_per_oct_, _sm, cf_ = _normalize_opts(model.channel_opts)
+        plan = pyramid_plan(image_shape[0], image_shape[1], shrink_,
+                            n_per_oct_)[:n_scales]
+        packed_t = PackedPyramidPlan.build(plan, (m, n), halo=cf_.halo,
+                                           shrink=shrink_)
+        shared = (packed_t, (0, 0))
+    parts = make_batched_detector(model, image_shape, _raw=True,
+                                  _shared=shared)
     canvas_b, _, cascade_masked_b, packed, content_hw = parts
     if cascade_masked_b is None:
         return None
